@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Text-analysis battery over the `documents` table: tokenization, token
+  * statistics, term frequencies, n-grams, quality scoring, language-ID
+  * heuristic, and md5 document fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions` array
+  * expressions — per-row work stays inside WholeStageCodegen; shuffles happen
+  * only at explicit groupBy/window boundaries. The whitespace-tokenize shape
+  * is the reference's only string operation
+  * (/root/reference/src/mapreduce/common_test_suite.go:31-42).
+  */
+object TextOps extends QueryModule {
+
+  /** Whitespace tokens of lower(text), empties dropped. Pure expression — no
+    * UDF, no shuffle.
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Flagship: sorted distinct tokens — the reference's canonical workload
+    * (distinct-words; SURVEY.md §2.3). Exercises scan → generate → shuffle
+    * dedup → distributed sort, i.e. reference operators #1–#6 in one plan.
+    */
+  def distinctTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .orderBy("token")
+
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("toks")),
+          4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Top-20 tokens per language by frequency (count desc, token asc). The
+    * groupBy pre-aggregates map-side, so only (lang, token, partial count)
+    * rows cross the shuffle — at 100 TB the reduction happens before the wire.
+    */
+  def termFrequency(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
+    tf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .orderBy("lang", "rnk")
+  }
+
+  /** Adjacent-token bigrams per document (expression-built, no shuffle), then
+    * global top-100 by count.
+    */
+  def topBigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(100)
+  }
+
+  /** Per-document quality signals + a composite score — the length /
+    * stopword-ratio / short-token heuristics a pretraining-data pipeline
+    * applies before training.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stops = array(stopwords.map(lit): _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        round(size(filter(col("toks"), t => array_contains(stops, t)))
+          .cast("double") / size(col("toks")), 4).as("stopword_ratio"),
+        round(size(filter(col("toks"), t => length(t) <= 2))
+          .cast("double") / size(col("toks")), 4).as("short_ratio"),
+        round(size(array_distinct(col("toks")))
+          .cast("double") / size(col("toks")), 4).as("distinct_ratio"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens") / lit(100.0)) * lit(0.4)
+          + col("distinct_ratio") * lit(0.4)
+          + (lit(1.0) - col("short_ratio")) * lit(0.2), 4))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram-free marker-word language ID: score each candidate language by
+    * marker hits, predict the argmax (ties + zero-evidence → "und").
+    * Deterministic, SQL-expressible, and embarrassingly parallel.
+    */
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "es" -> Seq("el", "los", "las", "es", "y"),
+      "fr" -> Seq("le", "les", "est", "et", "une"),
+      "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+    val toks = tokens(col("text")).as("toks")
+    val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"), toks)
+      .select(col("doc_id") +: col("lang") +: markers.map { case (l, ws) =>
+        size(filter(col("toks"), t => array_contains(array(ws.map(lit): _*), t))).as(s"score_$l")
+      }: _*)
+    val best = markers.map { case (l, _) => col(s"score_$l") }.reduce(greatest(_, _))
+    // Chained WHENs: earlier languages win ties (en first) — deterministic.
+    val predFirst = markers.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (l, _)) => acc.when(col(s"score_$l") === best, lit(l))
+    }.otherwise(lit("zh"))
+    scored
+      .withColumn("predicted", predFirst)
+      .select(col("doc_id"), col("lang"), col("predicted"),
+        (col("predicted") === col("lang")).as("hit"))
+      .orderBy("doc_id")
+  }
+
+  /** md5 fingerprint of the normalized token stream per document, plus how
+    * many documents share that fingerprint (exact-dup group size).
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+    fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_distinct_tokens" -> (distinctTokens(_, _)),
+    "txt_token_stats" -> (tokenStats(_, _)),
+    "txt_term_freq" -> (termFrequency(_, _)),
+    "txt_bigrams" -> (topBigrams(_, _)),
+    "txt_quality" -> (qualityScore(_, _)),
+    "txt_langid" -> (languageId(_, _)),
+    "txt_fingerprint" -> (fingerprints(_, _)))
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)"
+  private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "txt_distinct_tokens" ->
+      s"""SELECT DISTINCT token FROM (
+         |  SELECT unnest($toksSql) AS token FROM documents
+         |) ORDER BY token""".stripMargin,
+    "txt_token_stats" ->
+      s"""SELECT doc_id,
+         |  len(toks)::INT AS n_tokens,
+         |  len(list_distinct(toks))::INT AS n_distinct,
+         |  round(list_sum(list_apply(toks, t -> length(t)))::DOUBLE / len(toks), 4) AS avg_token_len
+         |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "txt_term_freq" ->
+      s"""WITH tf AS (
+         |  SELECT lang, unnest($toksSql) AS token FROM documents
+         |), counted AS (
+         |  SELECT lang, token, count(*) AS cnt FROM tf GROUP BY lang, token
+         |)
+         |SELECT * FROM (
+         |  SELECT lang, token, cnt,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC)::INT AS rnk
+         |  FROM counted
+         |) WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
+    "txt_bigrams" ->
+      s"""WITH docs AS (SELECT $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+         |  FROM docs, unnest(range(1, len(toks))) AS r(i)
+         |  WHERE len(toks) >= 2
+         |)
+         |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+         |ORDER BY cnt DESC, bigram ASC LIMIT 100""".stripMargin,
+    "txt_quality" ->
+      s"""SELECT doc_id, n_chars,
+         |  len(toks)::INT AS n_tokens,
+         |  round(len(list_filter(toks, t -> t IN $stopsSql))::DOUBLE / len(toks), 4) AS stopword_ratio,
+         |  round(len(list_filter(toks, t -> length(t) <= 2))::DOUBLE / len(toks), 4) AS short_ratio,
+         |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio,
+         |  round(least(1.0, len(toks) / 100.0) * 0.4
+         |    + round(len(list_distinct(toks))::DOUBLE / len(toks), 4) * 0.4
+         |    + (1.0 - round(len(list_filter(toks, t -> length(t) <= 2))::DOUBLE / len(toks), 4)) * 0.2, 4) AS quality
+         |FROM (SELECT doc_id, n_chars, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "txt_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(toks, t -> t IN ('the','a','and','of','is'))) AS score_en,
+         |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS score_de,
+         |    len(list_filter(toks, t -> t IN ('el','los','las','es','y'))) AS score_es,
+         |    len(list_filter(toks, t -> t IN ('le','les','est','et','une'))) AS score_fr,
+         |    len(list_filter(toks, t -> t IN ('de','shi','le','wo','ni'))) AS score_zh
+         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+         |)
+         |SELECT doc_id, lang,
+         |  CASE
+         |    WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
+         |    WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+         |    WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+         |    WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+         |    WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+         |    ELSE 'zh'
+         |  END AS predicted,
+         |  predicted = lang AS hit
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      s"""SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+         |FROM (SELECT doc_id, md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp FROM documents)
+         |ORDER BY doc_id""".stripMargin)
+}
