@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     MapReduceQueries,
-    TextOps)
+    TextOps,
+    Relational)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Sorted distinct tokens — the reference's canonical workload (SURVEY §2.3)
@@ -23,8 +24,12 @@ object SparkEntry {
     TextOps.distinctTokens(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    require(all.map(_._1).distinct.size == all.size,
+      "duplicate query name across modules — oracle/query desync hazard")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -55,11 +55,16 @@ object MapReduce {
     * tokenization to (word, "") and a constant-"" reduce — net semantics is
     * the sorted distinct token set.
     */
+  /** Whitespace class spelled out to match the DuckDB-RE2 oracle regex
+    * (Java \s includes \x0B, RE2's does not).
+    */
+  val WhitespaceClass = "[ \\t\\n\\x0B\\f\\r]+"
+
   def distinctTokens(spark: SparkSession, input: Dataset[(String, String)]): Dataset[(String, String)] =
     mapReduce(
       spark,
       input,
-      (_, contents) => contents.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "")),
+      (_, contents) => contents.split(WhitespaceClass).iterator.filter(_.nonEmpty).map(w => (w, "")),
       (_, _) => "")
 
   /** Classic word count expressed through the same two UDF slots. */
@@ -67,6 +72,6 @@ object MapReduce {
     mapReduce(
       spark,
       input,
-      (_, contents) => contents.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "1")),
+      (_, contents) => contents.split(WhitespaceClass).iterator.filter(_.nonEmpty).map(w => (w, "1")),
       (_, vs) => vs.map(_.toLong).sum.toString)
 }

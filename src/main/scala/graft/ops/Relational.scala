@@ -1,0 +1,365 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DateType, DecimalType}
+import graft.{QueryModule, Tables}
+
+/** Relational battery over the TPC-H-ish star schema (FIXTURES.md §B):
+  * filter/projection with parquet pushdown, the full join family
+  * (broadcast/shuffle/left/semi/anti), hash aggregates with rollup/cube,
+  * window functions, top-k, set operations, and the scalar function library.
+  *
+  * The reference has none of these as engine operators (SURVEY.md §2.2 — its
+  * only relational capability is what a user writes inside `mapF`); this
+  * module is the §7.2-step-3 extension surface, expressed purely with
+  * Catalyst built-ins so pushdown/pruning/partial-agg/AQE all engage.
+  *
+  * Float determinism for oracle parity: every SUM over a double column casts
+  * to DECIMAL first (`dec2`/`dec4`) and back to double after aggregating —
+  * decimal addition is exact and order-independent, so Spark's parallel
+  * reduction and DuckDB's sequential one agree bit-for-bit. Derived averages
+  * divide the exact sum by the count in double space (same IEEE ops on both
+  * sides) and round.
+  */
+object Relational extends QueryModule {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact decimal sum surfaced as double. */
+  private def sumd2(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** price * (1-discount) [* (1+tax)] computed entirely in decimal space:
+    * each FACTOR is cast to a short decimal (the synthetic data has 2-decimal
+    * prices/rates, so the casts are far from rounding ties) and multiplied
+    * exactly. Rounding the double PRODUCT instead (e.g. dec(p*(1-d)*(1+t)))
+    * lands on .00005 ties where Spark and DuckDB round differently.
+    */
+  private def discPrice(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1.0) - discount).cast(DecimalType(8, 2))
+  private def charge(price: Column, discount: Column, tax: Column): Column =
+    discPrice(price, discount) * (lit(1.0) + tax).cast(DecimalType(8, 2))
+
+  // ---------------------------------------------------------------- scans
+
+  /** Filter + projection: predicates and the 5-column read schema both reach
+    * the parquet scan (PushedFilters / ReadSchema in .explain) — at 100 TB
+    * this is the difference between reading 5 columns of a few row groups and
+    * reading everything.
+    */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-07-01"
+        && col("l_discount").between(0.02, 0.06) && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"),
+        discPrice(col("l_extendedprice"), col("l_discount"))
+          .cast("double").as("disc_price"))
+
+  // ----------------------------------------------------------- aggregates
+
+  /** TPC-H Q1-shaped pricing summary: grouped sums/averages/counts with
+    * map-side partial aggregation (6 groups, so the shuffle carries ~nothing).
+    */
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumd2(col("l_quantity")).as("sum_qty"),
+        sumd2(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast("double").as("sum_charge"),
+        round(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("n_items"))
+
+  /** Distinct aggregate + HAVING: per priority, distinct customers and order
+    * stats. countDistinct is exact (two-phase shuffle); the scale path for
+    * "good enough" cardinality is approx_count_distinct (HLL++, one pass) —
+    * exact is used here because the oracle must hash-match.
+    */
+  def distinctHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        max(col("o_totalprice")).as("max_price"))
+      .filter(col("n_orders") > 100)
+
+  /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
+    * subtotals in one shuffle instead of three.
+    */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"), sumd2(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+
+  /** CUBE over (orderstatus, orderpriority): all 4 grouping combinations. */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sumd2(col("o_totalprice")).as("total"),
+        grouping_id().as("gid"))
+
+  // ---------------------------------------------------------------- joins
+
+  /** Star join with broadcast dims: lineitem (fact) joined to supplier,
+    * nation, region — all small dimension tables, broadcast explicitly so
+    * the fact table never shuffles. Revenue per nation in ASIA.
+    */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Fact-to-fact shuffle join: orders ⋈ customer are both large at scale, so
+    * this is the shuffled (sort-merge / shuffled-hash under AQE) join path,
+    * aggregated per market segment.
+    */
+  def joinStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sumd2(col("o_totalprice")).as("total"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+
+  /** Left outer join preserving customers with zero orders. */
+  def joinLeft(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sumd2(col("o_totalprice")), lit(0.0)).as("spent"))
+
+  /** Left-semi: customers with at least one open high-value order. Semi joins
+    * ship only the join key of the right side — no row multiplication.
+    */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** Left-anti: customers with no finished ('F') order. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  // -------------------------------------------------------------- windows
+
+  /** Window battery over orders, partitioned by customer (high cardinality —
+    * no skewed single-task sort): top-3 orders per customer by price
+    * (row_number), previous order price (lag), and exact running spend
+    * (decimal window sum). Every ordering includes o_orderkey so ties are
+    * impossible and the result is deterministic.
+    */
+  def windowOrders(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(byPrice).as("rnk"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        sum(dec2(col("o_totalprice"))).over(byDate).cast("double").as("run_total"))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** Global top-10 orders by price: compiles to TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge on one task; no global sort.
+    */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  // -------------------------------------------------------------- set ops
+
+  /** INTERSECT / EXCEPT / UNION ALL over the nation keys reached by customers
+    * vs suppliers, tagged by which side(s) they appear on.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val p = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    c.intersect(p).withColumn("side", lit("both"))
+      .unionAll(c.except(p).withColumn("side", lit("customer_only")))
+      .unionAll(p.except(c).withColumn("side", lit("supplier_only")))
+  }
+
+  // ------------------------------------------------------ scalar functions
+
+  /** String function battery over part — all codegen'd built-ins. */
+  def scalarString(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        regexp_replace(col("p_brand"), "Brand#", "B").as("brand_short"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        reverse(col("p_name")).as("name_rev"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        size(split(col("p_name"), " ")).as("n_words"))
+
+  /** Date + math function battery over orders. */
+  def scalarDateMath(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast(DateType)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_add(d, 30).as("ship_by"),
+        last_day(d).as("month_end"),
+        datediff(lit("2002-01-01").cast(DateType), d).as("days_to_ref"),
+        round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+        pmod(col("o_orderkey"), lit(7)).as("key_mod"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("price_kbucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_project" -> (filterProject(_, _)),
+    "q_agg_pricing" -> (aggPricing(_, _)),
+    "q_distinct_having" -> (distinctHaving(_, _)),
+    "q_rollup" -> (rollupPricing(_, _)),
+    "q_cube" -> (cubeOrders(_, _)),
+    "q_join_bcast" -> (joinBroadcast(_, _)),
+    "q_join_stats" -> (joinStats(_, _)),
+    "q_join_left" -> (joinLeft(_, _)),
+    "q_join_semi" -> (joinSemi(_, _)),
+    "q_join_anti" -> (joinAnti(_, _)),
+    "q_window" -> (windowOrders(_, _)),
+    "q_topk" -> (topK(_, _)),
+    "q_setops" -> (setOps(_, _)),
+    "q_scalar_string" -> (scalarString(_, _)),
+    "q_scalar_datemath" -> (scalarDateMath(_, _)))
+
+  private def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
+  private def sum2(c: String) = s"CAST(sum(${d2(c)}) AS DOUBLE)"
+  private val discSql = s"${d2("l_extendedprice")} * CAST(1.0 - l_discount AS DECIMAL(8,2))"
+  private val chargeSql = s"$discSql * CAST(1.0 + l_tax AS DECIMAL(8,2))"
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         |  CAST($discSql AS DOUBLE) AS disc_price
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10""".stripMargin,
+    "q_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sum2("l_quantity")} AS sum_qty,
+         |  ${sum2("l_extendedprice")} AS sum_base_price,
+         |  CAST(sum($discSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($chargeSql) AS DOUBLE) AS sum_charge,
+         |  round(${sum2("l_quantity")} / count(*), 6) AS avg_qty,
+         |  round(${sum2("l_extendedprice")} / count(*), 6) AS avg_price,
+         |  count(*) AS n_items
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct_having" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n_orders, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority HAVING count(*) > 100""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+         |  ${sum2("l_quantity")} AS sum_qty,
+         |  grouping(l_returnflag, l_linestatus) AS gid
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |  ${sum2("o_totalprice")} AS total,
+         |  grouping(o_orderstatus, o_orderpriority) AS gid
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_join_bcast" ->
+      s"""SELECT n_name,
+         |  CAST(sum($discSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+    "q_join_stats" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${sum2("o_totalprice")} AS total,
+         |  count(DISTINCT o_custkey) AS n_cust
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+    "q_join_left" ->
+      s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+         |  coalesce(${sum2("o_totalprice")}, 0.0) AS spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderstatus = 'O' AND o_totalprice > 150000.0)""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderstatus = 'F')""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk, prev_price, run_total
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+        |    lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS run_total
+        |  FROM orders
+        |) WHERE rnk <= 3""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_setops" ->
+      """SELECT nationkey, 'both' AS side FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS side FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'supplier_only' AS side FROM (
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |  EXCEPT SELECT DISTINCT c_nationkey FROM customer)""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  length(p_name) AS name_len,
+        |  substr(p_type, 1, 5) AS type_pfx,
+        |  regexp_replace(p_brand, 'Brand#', 'B') AS brand_short,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  reverse(p_name) AS name_rev,
+        |  lpad(p_size::VARCHAR, 4, '0') AS size_pad,
+        |  len(string_split(p_name, ' ')) AS n_words
+        |FROM part""".stripMargin,
+    "q_scalar_datemath" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  quarter(o_orderdate) AS qtr,
+        |  o_orderdate::DATE + 30 AS ship_by,
+        |  last_day(o_orderdate::DATE) AS month_end,
+        |  date_diff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_to_ref,
+        |  round(sqrt(o_totalprice), 6) AS sqrt_price,
+        |  o_orderkey % 7 AS key_mod,
+        |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kbucket
+        |FROM orders""".stripMargin)
+}

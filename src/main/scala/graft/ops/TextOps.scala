@@ -18,10 +18,12 @@ import graft.{QueryModule, Tables}
 object TextOps extends QueryModule {
 
   /** Whitespace tokens of lower(text), empties dropped. Pure expression — no
-    * UDF, no shuffle.
+    * UDF, no shuffle. The whitespace class is spelled out because Java's \s
+    * and DuckDB-RE2's \s disagree on \x0B — oracle parity needs the exact
+    * same class on both sides (see toksSql below).
     */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    filter(split(lower(c), "[ \\t\\n\\x0B\\f\\r]+"), t => length(t) > 0)
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -135,9 +137,13 @@ object TextOps extends QueryModule {
     * many documents share that fingerprint (exact-dup group size).
     */
   def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    // Zero-token docs → null fp, matching the oracle's string_agg-of-empty-
+    // list NULL (md5(NULL) = NULL) instead of Spark's md5('').
+    val toks = tokens(col("text"))
     val fp = Tables.documents(s, dir)
       .select(col("doc_id"),
-        md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+        when(size(toks) === 0, lit(null))
+          .otherwise(md5(concat_ws(" ", toks))).as("fp"))
     fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
       .orderBy("doc_id")
   }
@@ -152,7 +158,7 @@ object TextOps extends QueryModule {
     "txt_fingerprint" -> (fingerprints(_, _)))
 
   private val toksSql =
-    "list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)"
+    "list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), t -> length(t) > 0)"
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
