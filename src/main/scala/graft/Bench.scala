@@ -1,24 +1,57 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs every declared query at the given scale factor and
+  * emits ONE machine-parseable JSON line (stdout, unprefixed — build.sbt sets
+  * `run / outputStrategy := StdoutOutput` so sbt does not decorate it) and
+  * also writes the same JSON to a file (env SPARK_GRAFT_BENCH_OUT, default
+  * bench_out.json in the CWD) so log noise can never hide it.
+  *
+  * Each query is forced with a `noop`-format write: every result row is fully
+  * computed and serialized, but nothing Catalyst can prune survives — unlike
+  * `count()`, which lets the optimizer drop the whole select list and any
+  * terminal sort. Failures are reported per-query (never swallowed into a
+  * fast fake timing) and flip the exit code.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Fixed alphabetical order: JVM/codegen warmup lands on the same query
+    // every round, so per-query deltas across rounds are comparable.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size},"errors":$errs}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(outFile), json + "\n")
+    println(json)
     spark.stop()
+    if (results.size != ok.size) sys.exit(1)
   }
 }

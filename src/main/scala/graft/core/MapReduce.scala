@@ -51,15 +51,18 @@ object MapReduce {
     spark.sparkContext.wholeTextFiles(paths).toDS()
   }
 
+  /** Whitespace class spelled out to match the DuckDB-RE2 oracle regex
+    * (Java \s includes \x0B, RE2's does not). Single source of truth — the
+    * escape sequences are interpreted identically by Java's regex compiler
+    * and RE2, so the same string is interpolated verbatim into oracle SQL
+    * (TextOps.toksSql, MapReduceQueries.toksSql).
+    */
+  val WhitespaceClass = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** The reference test workload (common_test_suite.go:31-50): whitespace
     * tokenization to (word, "") and a constant-"" reduce — net semantics is
     * the sorted distinct token set.
     */
-  /** Whitespace class spelled out to match the DuckDB-RE2 oracle regex
-    * (Java \s includes \x0B, RE2's does not).
-    */
-  val WhitespaceClass = "[ \\t\\n\\x0B\\f\\r]+"
-
   def distinctTokens(spark: SparkSession, input: Dataset[(String, String)]): Dataset[(String, String)] =
     mapReduce(
       spark,

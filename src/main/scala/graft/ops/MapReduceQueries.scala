@@ -37,7 +37,7 @@ object MapReduceQueries extends QueryModule {
     "mr_wordcount" -> (mrWordCount(_, _)))
 
   private val toksSql =
-    "list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> length(t) > 0)"
+    s"list_filter(string_split_regex(text, '${MapReduce.WhitespaceClass}'), t -> length(t) > 0)"
 
   val oracles: Map[String, String] = Map(
     "mr_distinct_words" ->

@@ -209,7 +209,9 @@ object Relational extends QueryModule {
         length(col("p_name")).as("name_len"),
         substring(col("p_type"), 1, 5).as("type_pfx"),
         regexp_replace(col("p_brand"), "Brand#", "B").as("brand_short"),
-        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        // concat (NULL-propagating) matches the oracle's `||`; concat_ws
+        // would silently skip a NULL side and desync the hash.
+        concat(col("p_brand"), lit("|"), col("p_type")).as("brand_type"),
         reverse(col("p_name")).as("name_rev"),
         lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
         size(split(col("p_name"), " ")).as("n_words"))
@@ -218,11 +220,14 @@ object Relational extends QueryModule {
   def scalarDateMath(s: SparkSession, dir: String): DataFrame = {
     val d = col("o_orderdate").cast(DateType)
     Tables.orders(s, dir)
+      // Field extraction happens on the DateType cast `d`, done once up
+      // front: a single timestamp→date boundary (UTC-pinned in every
+      // SparkSession builder) keeps parity with the TZ-naive DuckDB oracle.
       .select(col("o_orderkey"),
-        year(col("o_orderdate")).as("yr"),
-        month(col("o_orderdate")).as("mo"),
-        dayofmonth(col("o_orderdate")).as("dom"),
-        quarter(col("o_orderdate")).as("qtr"),
+        year(d).as("yr"),
+        month(d).as("mo"),
+        dayofmonth(d).as("dom"),
+        quarter(d).as("qtr"),
         date_add(d, 30).as("ship_by"),
         last_day(d).as("month_end"),
         datediff(lit("2002-01-01").cast(DateType), d).as("days_to_ref"),

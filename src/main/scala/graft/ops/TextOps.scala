@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryModule, Tables}
+import graft.core.MapReduce.WhitespaceClass
 
 /** Text-analysis battery over the `documents` table: tokenization, token
   * statistics, term frequencies, n-grams, quality scoring, language-ID
@@ -18,12 +19,12 @@ import graft.{QueryModule, Tables}
 object TextOps extends QueryModule {
 
   /** Whitespace tokens of lower(text), empties dropped. Pure expression — no
-    * UDF, no shuffle. The whitespace class is spelled out because Java's \s
-    * and DuckDB-RE2's \s disagree on \x0B — oracle parity needs the exact
-    * same class on both sides (see toksSql below).
+    * UDF, no shuffle. The whitespace class lives in
+    * [[graft.core.MapReduce.WhitespaceClass]] — one constant feeds the Spark
+    * regex and (via toksSql interpolation) the DuckDB-RE2 oracle regex.
     */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "[ \\t\\n\\x0B\\f\\r]+"), t => length(t) > 0)
+    filter(split(lower(c), WhitespaceClass), t => length(t) > 0)
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -53,14 +54,28 @@ object TextOps extends QueryModule {
   /** Top-20 tokens per language by frequency (count desc, token asc). The
     * groupBy pre-aggregates map-side, so only (lang, token, partial count)
     * rows cross the shuffle — at 100 TB the reduction happens before the wire.
+    *
+    * Two-phase top-k: a window partitioned by `lang` alone would sort every
+    * (lang, token, cnt) row for a language on ONE task (~5 languages → 5
+    * tasks own the whole dataset — a scale cliff). Instead, salt by
+    * hash(token) so phase 1 takes a local top-20 per (lang, salt) across 64
+    * parallel groups, then phase 2 picks the global top-20 per lang from the
+    * ≤ 64×20 salted survivors. Correct because the pre-agg keys on (lang,
+    * token): each token's full count lives in exactly one salt bucket, so
+    * the true top-20 always survives phase 1.
     */
   def termFrequency(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
-    tf.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 20)
+      .withColumn("salt", pmod(hash(col("token")), lit(64)))
+    val local = Window.partitionBy("lang", "salt")
+      .orderBy(col("cnt").desc, col("token").asc)
+    val global = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token").asc)
+    tf.withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 20)
+      .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= 20)
+      .select("lang", "token", "cnt", "rnk")
       .orderBy("lang", "rnk")
   }
 
@@ -138,11 +153,12 @@ object TextOps extends QueryModule {
     */
   def fingerprints(s: SparkSession, dir: String): DataFrame = {
     // Zero-token docs → null fp, matching the oracle's string_agg-of-empty-
-    // list NULL (md5(NULL) = NULL) instead of Spark's md5('').
+    // list NULL (md5(NULL) = NULL) instead of Spark's md5(''). `<= 0` also
+    // covers NULL text, where size() returns -1 under legacy sizeOfNull.
     val toks = tokens(col("text"))
     val fp = Tables.documents(s, dir)
       .select(col("doc_id"),
-        when(size(toks) === 0, lit(null))
+        when(size(toks) <= 0, lit(null))
           .otherwise(md5(concat_ws(" ", toks))).as("fp"))
     fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
       .orderBy("doc_id")
@@ -158,7 +174,7 @@ object TextOps extends QueryModule {
     "txt_fingerprint" -> (fingerprints(_, _)))
 
   private val toksSql =
-    "list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), t -> length(t) > 0)"
+    s"list_filter(string_split_regex(lower(text), '$WhitespaceClass'), t -> length(t) > 0)"
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
