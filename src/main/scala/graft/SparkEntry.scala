@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     MapReduceQueries,
     TextOps,
-    Relational)
+    Relational,
+    Dedup)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Sorted distinct tokens — the reference's canonical workload (SURVEY §2.3)

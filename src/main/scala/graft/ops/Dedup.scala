@@ -1,0 +1,372 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Deduplication battery over `documents` (+ `embeddings` for vector
+  * near-dup) — the headline LLM-pretraining-pipeline operators (SURVEY §7.2
+  * step 5).
+  *
+  * Five families, all pure Catalyst expressions (no UDFs, codegen'd per-row
+  * work) and all banded/blocked — never an all-pairs crossJoin:
+  *
+  *  - exact:      md5 token-stream fingerprint → deterministic winner per
+  *                group (min doc_id), mirroring the reference's last-wins
+  *                merge dedup (/root/reference/src/mapreduce/master.go:107)
+  *                but with a *defined* winner (see SURVEY §7.4 on the
+  *                reference's Go-map nondeterminism).
+  *  - MinHash+LSH: 3-token shingles → 12 md5 min-hashes → 4 bands × 3 →
+  *                band-equality self-join → exact Jaccard verify ≥ 0.8.
+  *  - SimHash:    32-bit signature from per-token md5 bit votes.
+  *  - n-gram Jaccard: char-4-gram sets, blocked by (lang, length bucket),
+  *                Jaccard verify ≥ 0.6.
+  *  - embedding:  random-hyperplane LSH (16 planes, 2 bands × 8 bits) →
+  *                cosine verify.
+  *
+  * Determinism contract: every hash is md5 (identical in Spark and DuckDB),
+  * every "random" hyperplane derives from md5 parity at object init, and all
+  * pair outputs are (small_id, large_id)-oriented — so each query has an
+  * exact DuckDB oracle.
+  */
+object Dedup extends QueryModule {
+
+  // ---------------------------------------------------------------- params
+  private val NumHashes = 12 // MinHash signature length
+  private val Bands = 4 //  × rows-per-band 3; s-curve midpoint ≈ 0.63
+  private val RowsPerBand = NumHashes / Bands
+  private val JaccardT = 0.8
+  private val GramJaccardT = 0.6
+  private val Planes = 16 // hyperplane LSH signature bits
+  private val Dim = 64 // embedding dimensionality (FIXTURES.md §B)
+  private val CosT = 0.4 // verify threshold; real pipelines use ~0.9 — the
+  //                        synthetic fixture has no cluster structure, so a
+  //                        lower cut keeps the verify path exercised.
+
+  /** ±1 hyperplane matrix derived from md5 parity — deterministic across
+    * JVMs/sessions (no RNG), and interpolated as literals into both the
+    * Spark plan and the oracle SQL so the two engines bucket identically.
+    */
+  private[ops] val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(Planes, Dim) { (p, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes("UTF-8"))
+      if ((md(0) & 1) == 1) 1.0 else -1.0
+    }
+
+  // ------------------------------------------------------------ primitives
+
+  private def toks: Column = TextOps.tokens(col("text"))
+
+  /** Distinct 3-token shingles. Caller must pre-filter size(toks) >= 3 —
+    * sequence() with end < start would count backwards.
+    */
+  private def shingles(t: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ",
+        element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+
+  /** docs → (doc_id, sh: distinct shingle array). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+
+  /** Sequential-fold dot product — same accumulation order as the oracle's
+    * list_sum(list_apply(...)), so signs/rounding agree bit-for-bit.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  // ------------------------------------------------------------ dd_exact
+
+  /** Exact dedup: one deterministic winner (min doc_id) per token-stream
+    * fingerprint; dup_cnt reports group size. Hash-groupBy shape — the fp is
+    * high-cardinality, so the window partitioning is skew-free at any scale.
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(size(toks) <= 0, lit(null))
+          .otherwise(md5(concat_ws(" ", toks))).as("fp"))
+    val w = Window.partitionBy("fp")
+    fp.withColumn("rnk", row_number().over(w.orderBy("doc_id")))
+      .withColumn("dup_cnt", count(lit(1)).over(w))
+      .filter(col("rnk") === 1)
+      .select("doc_id", "fp", "dup_cnt")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- dd_neardup
+
+  /** MinHash signature columns h0..h11: per seed i, the minimum md5 over the
+    * shingle set. min over fixed-width lowercase hex == numeric min, so the
+    * same value falls out of Spark's array_min and DuckDB's list_min.
+    */
+  private def sigCols: Seq[Column] =
+    (0 until NumHashes).map { i =>
+      array_min(transform(col("sh"), x => md5(concat(lit(s"$i|"), x)))).as(s"h$i")
+    }
+
+  private def bandCols: Seq[Column] =
+    (0 until Bands).map { b =>
+      val hs = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      md5(concat_ws("|", hs: _*)).as(s"b$b")
+    }
+
+  /** Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
+    * Candidates come ONLY from band-hash equality (an equi-join on
+    * (band_idx, band_hash) — shuffle-partitioned, no all-pairs work); the
+    * shingle arrays are re-joined by id afterwards so they cross the shuffle
+    * once per verified candidate, not once per band row.
+    */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val banded = sh.select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id") +: bandCols: _*)
+    val lng = banded.select(col("doc_id"), explode(array(
+        (0 until Bands).map(b =>
+          struct(lit(b).as("b_idx"), col(s"b$b").as("band"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.b_idx").as("b_idx"), col("e.band").as("band"))
+    val cand = lng.as("a").join(lng.as("b"),
+        col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= JaccardT)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------- dd_simhash
+
+  /** 32-bit SimHash per document. Bit j votes +1/−1 by the low bit of hex
+    * digit j of each token's md5; the signature is the sign vector of the
+    * summed votes. A single codegen'd fold per row — no shuffle until the
+    * final sort.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    def bits(t: Column): Column = transform(
+      slice(split(md5(t), ""), 1, 32),
+      c => when(c.isInCollection(oddHex), lit(1)).otherwise(lit(-1)))
+    val votes = aggregate(col("toks"), array_repeat(lit(0), 32),
+      (acc, t) => zip_with(acc, bits(t), (a, b) => a + b))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        array_join(transform(votes, v => when(v >= 0, lit("1")).otherwise(lit("0"))), "")
+          .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------- dd_ngram_jaccard
+
+  /** Character-4-gram Jaccard near-dup, blocked by (lang, 16-char length
+    * bucket): candidate pairs only form inside a block, so the join is a
+    * shuffle equi-join on the block key, never all-pairs. (Near-dups of very
+    * different length can't score high Jaccard anyway; boundary-straddlers
+    * are the documented recall tradeoff of single-bucket blocking.)
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val tx = lower(col("text"))
+    val g = Tables.documents(s, dir)
+      .filter(length(tx) >= 4)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 16).as("lb"),
+        array_distinct(transform(
+          sequence(lit(1), length(tx) - 3),
+          i => substr(tx, i, lit(4)))).as("grams"))
+    g.as("a").join(g.as("b"),
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac",
+        size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams"))))
+      .filter(col("jac") >= GramJaccardT)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------- dd_embed_neardup
+
+  /** Embedding near-dup via random-hyperplane LSH: 16 sign bits → 2 bands of
+    * 8 → band-equality self-join → exact cosine verify. With clustered
+    * real-world embeddings the buckets stay tight; band width / count are
+    * the recall-vs-candidates dial (8-bit bands ≈ 0.49 recall at cos 0.9 —
+    * double the bands to trade candidates for recall).
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), emb.as("emb"))
+    val sig = concat((0 until Planes).map { p =>
+      val w = array(hyperplanes(p).map(lit): _*)
+      when(dot(col("emb"), w) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val lng = e.select(col("vec_id"), sig.as("sig"))
+      .select(col("vec_id"), explode(array(
+        struct(lit(0).as("b_idx"), substring(col("sig"), 1, 8).as("band")),
+        struct(lit(1).as("b_idx"), substring(col("sig"), 9, 8).as("band")))).as("e"))
+      .select(col("vec_id"), col("e.b_idx").as("b_idx"), col("e.band").as("band"))
+    val cand = lng.as("a").join(lng.as("b"),
+        col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+      .withColumn("cos",
+        dot(col("ea"), col("eb")) /
+          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+      .filter(col("cos") >= CosT)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (exactDedup(_, _)),
+    "dd_neardup" -> (minhashNearDup(_, _)),
+    "dd_simhash" -> (simhash(_, _)),
+    "dd_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "dd_embed_neardup" -> (embedNearDup(_, _)))
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private val toksSql =
+    s"list_filter(string_split_regex(lower(text), '${graft.core.MapReduce.WhitespaceClass}'), t -> length(t) > 0)"
+
+  private val mhSql = (0 until NumHashes)
+    .map(i => s"list_min(list_apply(sh, x -> md5('$i|' || x))) AS h$i").mkString(",\n    ")
+  private val bandSql = (0 until Bands).map { b =>
+    val hs = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}")
+    s"md5(${hs.mkString(" || '|' || ")}) AS b$b"
+  }.mkString(",\n    ")
+  private val bandLongSql = (0 until Bands)
+    .map(b => s"SELECT doc_id, $b AS b_idx, b$b AS band FROM banded")
+    .mkString("\n  UNION ALL ")
+
+  /** 16 hyperplane rows as a VALUES list — generated from the same Scala
+    * constant the Spark plan uses.
+    */
+  private val planesSql = hyperplanes.zipWithIndex.map { case (w, p) =>
+    s"($p, [${w.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
+  }.mkString(",\n    ")
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY fp) AS dup_cnt
+         |  FROM fp
+         |)
+         |SELECT doc_id, fp, dup_cnt FROM g WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+    "dd_neardup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(list_apply(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+         |  FROM t WHERE len(toks) >= 3
+         |), sig AS (
+         |  SELECT doc_id, sh,
+         |    $mhSql
+         |  FROM s
+         |), banded AS (
+         |  SELECT doc_id,
+         |    $bandSql
+         |  FROM sig
+         |), lng AS (
+         |  $bandLongSql
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.doc_id < b.doc_id
+         |), ver AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)) AS jac
+         |  FROM cand
+         |  JOIN s sa ON sa.doc_id = doc_a
+         |  JOIN s sb ON sb.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM ver
+         |WHERE jac >= $JaccardT ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_simhash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest(toks) AS t FROM d WHERE len(toks) >= 1
+         |), bits AS (
+         |  SELECT doc_id, r.j,
+         |    CASE WHEN substr(md5(t), (r.j + 1)::INT, 1)
+         |      IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS v
+         |  FROM tok, range(32) r(j)
+         |), agg AS (
+         |  SELECT doc_id, j, sum(v) AS sv FROM bits GROUP BY doc_id, j
+         |)
+         |SELECT doc_id,
+         |  string_agg(CASE WHEN sv >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+         |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, n_chars // 16 AS lb,
+         |    list_distinct(list_apply(range(1, length(lower(text)) - 2),
+         |      i -> substr(lower(text), i::INT, 4))) AS grams
+         |  FROM documents WHERE length(lower(text)) >= 4
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |      len(list_distinct(a.grams || b.grams)) AS jac
+         |  FROM g a JOIN g b
+         |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM pairs
+         |WHERE jac >= $GramJaccardT ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_embed_neardup" ->
+      s"""WITH w(p, wv) AS (VALUES
+         |    $planesSql
+         |), e AS (
+         |  SELECT vec_id, list_apply(embedding, x -> x::DOUBLE) AS emb
+         |  FROM embeddings
+         |), bit AS (
+         |  SELECT vec_id, p,
+         |    CASE WHEN list_sum(list_apply(range(${Dim}), i -> emb[(i + 1)::INT] * wv[(i + 1)::INT])) >= 0
+         |      THEN '1' ELSE '0' END AS c
+         |  FROM e, w
+         |), sig AS (
+         |  SELECT vec_id, string_agg(c, '' ORDER BY p) AS s FROM bit GROUP BY vec_id
+         |), lng AS (
+         |  SELECT vec_id, 0 AS b_idx, substr(s, 1, 8) AS band FROM sig
+         |  UNION ALL SELECT vec_id, 1, substr(s, 9, 8) FROM sig
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id < b.vec_id
+         |), pair AS (
+         |  SELECT vec_a, vec_b, ea.emb AS ea, eb.emb AS eb
+         |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+         |), cs AS (
+         |  SELECT vec_a, vec_b,
+         |    list_sum(list_apply(range(${Dim}), i -> ea[(i + 1)::INT] * eb[(i + 1)::INT])) /
+         |      (sqrt(list_sum(list_apply(ea, x -> x * x))) *
+         |       sqrt(list_sum(list_apply(eb, x -> x * x)))) AS c
+         |  FROM pair
+         |)
+         |SELECT vec_a, vec_b, round(c, 4) AS cos_sim FROM cs
+         |WHERE c >= $CosT ORDER BY vec_a, vec_b""".stripMargin)
+}
