@@ -15,7 +15,8 @@ object SparkEntry {
     MapReduceQueries,
     TextOps,
     Relational,
-    Dedup)
+    Dedup,
+    Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Sorted distinct tokens — the reference's canonical workload (SURVEY §2.3)

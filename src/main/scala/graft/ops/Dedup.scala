@@ -38,7 +38,7 @@ object Dedup extends QueryModule {
   private val RowsPerBand = NumHashes / Bands
   private val JaccardT = 0.8
   private val GramJaccardT = 0.6
-  private val Planes = 16 // hyperplane LSH signature bits
+  private[ops] val Planes = 16 // hyperplane LSH signature bits (shared with Similarity)
   private val Dim = 64 // embedding dimensionality (FIXTURES.md §B)
   private val CosT = 0.4 // verify threshold; real pipelines use ~0.9 — the
   //                        synthetic fixture has no cluster structure, so a

@@ -1,0 +1,321 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Similarity search over the `embeddings` table (SURVEY §7.2 step 6):
+  * cosine top-k, brute-force and approximate.
+  *
+  *  - brute top-k:  a small broadcast query set scanned against the whole
+  *                  corpus — one pass, no corpus shuffle, salted two-phase
+  *                  top-k (the right plan when |Q| ≪ |corpus|).
+  *  - LSH top-k:    random-hyperplane band bucketing (shared with
+  *                  [[Dedup]]) prunes candidates to same-band vectors
+  *                  before the exact re-rank — the scale path when |Q|
+  *                  grows with the corpus.
+  *  - kNN graph:    per-vector top-3 within LSH buckets — the all-corpus
+  *                  ANN-graph building block.
+  *  - IVF assign:   exact integer centroids per label + nearest-centroid
+  *                  assignment — the coarse-quantizer half of an IVF index.
+  *
+  * Cross-engine determinism: floating-point sums reduce in whatever order
+  * the engine picks, so a double dot product is not reproducible between
+  * Spark and DuckDB. Instead every vector is quantized to Q?.20 fixed point
+  * (`floor(x · 2^20)` as long — deterministic in both engines; components
+  * here are < 0.53 so 64-term products stay ≪ 2^63). Dot products and
+  * norms are then EXACT integer arithmetic — order-independent — and only
+  * the final `dot / (√na·√nb)` runs in IEEE double, which is deterministic
+  * given identical inputs. This mirrors int8-quantized ANN practice; the
+  * ~1e-6 per-component quantization error is far below ranking resolution.
+  */
+object Similarity extends QueryModule {
+
+  private val Scale = 1048576L // 2^20
+  private val Dim = 64
+  private val NumQueries = 8 // vec_id < 8 is the fixed demo query set
+  private val TopK = 5
+  private val GraphK = 3
+
+  // ------------------------------------------------------------ primitives
+
+  /** float embedding → exact fixed-point long vector. */
+  private def quantize(emb: Column): Column =
+    transform(emb.cast("array<double>"), x => floor(x * Scale))
+
+  /** Exact integer dot product (sequential fold, but order-independent
+    * anyway since integer addition is associative).
+    */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def inorm2(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  /** cosine from integer dot/norms — one deterministic double expression. */
+  private def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+
+  /** (vec_id, vq, n2) — quantized corpus with precomputed squared norm. */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("vq"))
+      .withColumn("n2", inorm2(col("vq")))
+
+  /** Salted two-phase top-k per group: phase 1 takes a local top-k inside
+    * each of 64 salt buckets (64·|groups| parallel window partitions),
+    * phase 2 picks the global top-k from the ≤ 64k survivors. Correct
+    * because every candidate row lives in exactly one salt bucket, so the
+    * true top-k always survives phase 1; scale-safe because no single task
+    * ever sorts a whole group (the `txt_term_freq` lesson).
+    */
+  private def topKPerGroup(df: DataFrame, group: Seq[String], saltBy: String,
+      k: Int, ord: Column*): DataFrame = {
+    val salted = df.withColumn("salt", pmod(hash(col(saltBy)), lit(64)))
+    val local = Window.partitionBy((group :+ "salt").map(col): _*).orderBy(ord: _*)
+    val global = Window.partitionBy(group.map(col): _*).orderBy(ord: _*)
+    salted
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= k)
+      .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= k)
+      .drop("salt", "lrnk")
+  }
+
+  // --------------------------------------------------------- sim_brute_topk
+
+  /** Exact top-5 cosine neighbors for the 8 query vectors. The query side is
+    * broadcast (bytes, not a shuffle); the corpus streams through once with
+    * no repartition — at 100 TB this is a single scan + a bounded-state
+    * top-k, the optimal plan for few-query exact search.
+    */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vq").as("qv"), col("n2").as("qn2"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(idot(col("vq"), col("qv")), col("n2"), col("qn2")).as("cos"))
+    topKPerGroup(scored, Seq("q_id"), "vec_id", TopK,
+        col("cos").desc, col("vec_id").asc)
+      .select(col("q_id"), col("vec_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  // ----------------------------------------------------------- LSH banding
+
+  /** 16 hyperplane sign bits from the shared deterministic ±1 planes
+    * ([[Dedup.hyperplanes]]); the dot against a ±1 plane is a signed integer
+    * sum of the quantized components — exact in both engines.
+    */
+  private def sig: Column = concat((0 until Dedup.Planes).map { p =>
+    val w = array(Dedup.hyperplanes(p).map(v => lit(v.toLong)): _*)
+    when(idot(col("vq"), w) >= 0, lit("1")).otherwise(lit("0"))
+  }: _*)
+
+  /** (vec_id, b_idx, band): 2 bands × 8 bits per vector. */
+  private def banded(c: DataFrame): DataFrame =
+    c.withColumn("sig", sig)
+      .select(col("vec_id"), explode(array(
+        struct(lit(0).as("b_idx"), substring(col("sig"), 1, 8).as("band")),
+        struct(lit(1).as("b_idx"), substring(col("sig"), 9, 8).as("band")))).as("e"))
+      .select(col("vec_id"), col("e.b_idx").as("b_idx"), col("e.band").as("band"))
+
+  // ----------------------------------------------------------- sim_lsh_topk
+
+  /** Approximate top-5 for the same query set: candidates are only vectors
+    * sharing ≥ 1 LSH band with the query (an equi-join on (b_idx, band) —
+    * shuffle-partitioned by bucket, never all-pairs), then exact cosine
+    * re-rank. Bucket population scales as corpus/2^bits per band, so the
+    * candidate set — and the work — stays a small fixed fraction of a 100 TB
+    * corpus; more/narrower bands dial recall vs. candidates.
+    */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val b = banded(c)
+    val cand = b.as("a")
+      .join(b.filter(col("vec_id") < NumQueries).as("q"),
+        col("a.b_idx") === col("q.b_idx") && col("a.band") === col("q.band") &&
+          col("a.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("a.vec_id").as("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand
+      .join(c.select(col("vec_id").as("q_id"), col("vq").as("qv"), col("n2").as("qn2")), "q_id")
+      .join(c, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(idot(col("vq"), col("qv")), col("n2"), col("qn2")).as("cos"))
+    topKPerGroup(scored, Seq("q_id"), "vec_id", TopK,
+        col("cos").desc, col("vec_id").asc)
+      .select(col("q_id"), col("vec_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  // --------------------------------------------------------- sim_knn_graph
+
+  /** Corpus-wide approximate kNN graph: per-vector top-3 among same-band
+    * candidates. The self-join is bucket-local (equi-join on (b_idx, band)),
+    * so total pairs ≈ Σ bucket² — linear in corpus size for fixed bucket
+    * width, not quadratic.
+    */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val b = banded(c)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+      .dropDuplicates("vec_id", "nbr_id")
+    val scored = cand
+      .join(c, "vec_id")
+      .join(c.select(col("vec_id").as("nbr_id"), col("vq").as("nv"), col("n2").as("nn2")), "nbr_id")
+      .select(col("vec_id"), col("nbr_id"),
+        cosine(idot(col("vq"), col("nv")), col("n2"), col("nn2")).as("cos"))
+    topKPerGroup(scored, Seq("vec_id"), "nbr_id", GraphK,
+        col("cos").desc, col("nbr_id").asc)
+      .select(col("vec_id"), col("nbr_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  // -------------------------------------------------------- sim_ivf_assign
+
+  /** IVF coarse quantizer: per-label centroids from the EXACT integer
+    * component sums (posexplode → long-sum groupBy — order-independent,
+    * partial-aggregated map-side), one double division at the end; then
+    * every vector is assigned to its max-cosine centroid (10 centroids →
+    * broadcast, corpus never shuffles). `hit` reports whether the coarse
+    * quantizer recovers the generating label.
+    */
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("vq"))
+    val cent = e.select(col("label"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("c", col("sv").cast("double") / col("cnt"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+    // double-vs-double cosine: both sides fold sequentially over 64 elements
+    // in both engines — deterministic.
+    val dot = aggregate(zip_with(col("vq").cast("array<double>"), col("cv"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cn2 = aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)
+    val scored = e.join(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        (dot / (sqrt(inorm2(col("vq")).cast("double")) * sqrt(cn2))).as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_label").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"),
+        col("c_label").as("assigned"),
+        (col("label") === col("c_label")).as("hit"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_brute_topk" -> (bruteTopK(_, _)),
+    "sim_lsh_topk" -> (lshTopK(_, _)),
+    "sim_knn_graph" -> (knnGraph(_, _)),
+    "sim_ivf_assign" -> (ivfAssign(_, _)))
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val vqSql = s"list_apply(embedding, x -> floor(x::DOUBLE * $Scale)::BIGINT)"
+  private val dotSql =
+    s"list_sum(list_apply(range($Dim), i -> va[(i + 1)::INT] * vb[(i + 1)::INT]))"
+  private val n2 = "list_sum(list_apply(%s, x -> x * x))"
+
+  /** ±1 plane rows as BIGINT lists — same constants as the Spark plan. */
+  private val planesSql = Dedup.hyperplanes.zipWithIndex.map { case (w, p) =>
+    s"($p, [${w.map(v => v.toLong.toString).mkString(", ")}])"
+  }.mkString(",\n    ")
+
+  private val corpusSql =
+    s"""e AS (
+       |  SELECT vec_id, $vqSql AS vq, ${n2.format(vqSql)} AS nn FROM embeddings
+       |)""".stripMargin
+
+  private val bandSql =
+    s"""w(p, wv) AS (VALUES
+       |    $planesSql
+       |), bit AS (
+       |  SELECT vec_id, p,
+       |    CASE WHEN list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT] * wv[(i + 1)::INT])) >= 0
+       |      THEN '1' ELSE '0' END AS c
+       |  FROM e, w
+       |), sg AS (
+       |  SELECT vec_id, string_agg(c, '' ORDER BY p) AS s FROM bit GROUP BY vec_id
+       |), lng AS (
+       |  SELECT vec_id, 0 AS b_idx, substr(s, 1, 8) AS band FROM sg
+       |  UNION ALL SELECT vec_id, 1, substr(s, 9, 8) FROM sg
+       |)""".stripMargin
+
+  private def rankSql(pairs: String, grp: String, other: String, k: Int) =
+    s"""scored AS (
+       |  SELECT $grp, $other,
+       |    $dotSql::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) AS cos
+       |  FROM $pairs
+       |), ranked AS (
+       |  SELECT $grp, $other, cos,
+       |    row_number() OVER (PARTITION BY $grp ORDER BY cos DESC, $other ASC)::INT AS rnk
+       |  FROM scored
+       |)
+       |SELECT $grp, $other, rnk, round(cos, 6) AS cos_sim FROM ranked
+       |WHERE rnk <= $k ORDER BY $grp, rnk""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_brute_topk" ->
+      s"""WITH $corpusSql, pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    q.vq AS va, c.vq AS vb, q.nn AS na, c.nn AS nb
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ${rankSql("pairs", "q_id", "vec_id", TopK)}""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""WITH $corpusSql, $bandSql, cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS vec_id
+         |  FROM lng a JOIN lng q
+         |    ON a.b_idx = q.b_idx AND a.band = q.band AND a.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), pairs AS (
+         |  SELECT q_id, cand.vec_id,
+         |    eq.vq AS va, ec.vq AS vb, eq.nn AS na, ec.nn AS nb
+         |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = cand.vec_id
+         |), ${rankSql("pairs", "q_id", "vec_id", TopK)}""".stripMargin,
+    "sim_knn_graph" ->
+      s"""WITH $corpusSql, $bandSql, cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id <> b.vec_id
+         |), pairs AS (
+         |  SELECT cand.vec_id, nbr_id,
+         |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
+         |), ${rankSql("pairs", "vec_id", "nbr_id", GraphK)}""".stripMargin,
+    "sim_ivf_assign" ->
+      s"""WITH eq AS (
+         |  SELECT vec_id, label, $vqSql AS vq FROM embeddings
+         |), comp AS (
+         |  SELECT label, i, sum(vq[(i + 1)::INT]) AS sv, count(*) AS cnt
+         |  FROM eq, range($Dim) r(i) GROUP BY label, i
+         |), cent AS (
+         |  SELECT label AS c_label, list(sv::DOUBLE / cnt ORDER BY i) AS cv FROM comp GROUP BY label
+         |), scored AS (
+         |  SELECT vec_id, label, c_label,
+         |    list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT]::DOUBLE * cv[(i + 1)::INT])) /
+         |      (sqrt(${n2.format("vq")}::DOUBLE) * sqrt(list_sum(list_apply(cv, x -> x * x)))) AS cos
+         |  FROM eq, cent
+         |), ranked AS (
+         |  SELECT vec_id, label, c_label, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS rnk
+         |  FROM scored
+         |)
+         |SELECT vec_id, label, c_label AS assigned, label = c_label AS hit,
+         |  round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin)
+}
