@@ -16,7 +16,8 @@ object SparkEntry {
     TextOps,
     Relational,
     Dedup,
-    Similarity)
+    Similarity,
+    Streamish)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Sorted distinct tokens — the reference's canonical workload (SURVEY §2.3)

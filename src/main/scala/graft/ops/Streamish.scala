@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryModule, Tables}
+
+/** Event-time and JSON operators over the `events` table (SURVEY §7.2
+  * step 7): tumbling and sliding window aggregates, gap-based session
+  * windows, and JSON property extraction.
+  *
+  * Batch-expressed event-time semantics: the same `window($"ts", ...)`
+  * expressions drop unchanged into a Structured Streaming `readStream`
+  * pipeline (see [[graft.streaming.StreamingDemo]]) — the reference has no
+  * streaming at all (SURVEY §2.2), so batch parity is what the oracle
+  * checks while the streaming wiring demonstrates the incremental path.
+  *
+  * Determinism: every SUM over `value` goes through an exact DECIMAL cast
+  * (the [[Relational]] pattern); all timestamp arithmetic is integer
+  * microseconds (`unix_micros` / `epoch_us`) so bucket and gap edges agree
+  * bit-for-bit with DuckDB. `events.ts` is parquet timestamp[ns] — Spark
+  * truncates to µs on read, so the oracle casts `ts::TIMESTAMP` (µs) before
+  * any arithmetic.
+  */
+object Streamish extends QueryModule {
+
+  private val GapUs = 30L * 60 * 1000000 // 30-minute session gap
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def sumd2(c: Column): Column = sum(dec2(c)).cast("double")
+
+  // ------------------------------------------------------------ ev_tumbling
+
+  /** 1-hour tumbling windows per event_type: count + exact sum + mean.
+    * `window()` is a pure expression (no shuffle of its own); the groupBy
+    * pre-aggregates map-side, so only (window, type, partials) cross the
+    * wire — the plan a 100 TB event log wants.
+    */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd2(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"),
+        round(col("sum_value") / col("n"), 6).as("avg_value"))
+      .orderBy("w_start", "event_type")
+
+  // ------------------------------------------------------------- ev_sliding
+
+  /** 1-hour windows sliding every 15 minutes, per event_type. Each event
+    * lands in exactly 4 windows; Spark's `window(ts, len, slide)` generates
+    * them as an expression (a 4× row expansion before the partial agg — no
+    * extra shuffle, state bounded by |open windows × types|).
+    */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd2(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  // ------------------------------------------------------------- ev_session
+
+  /** Gap-based session windows per user: a new session starts when the gap
+    * since the previous event exceeds 30 minutes (lag + running sum — the
+    * standard batch sessionization). The window partitions by `user_id`
+    * (high-cardinality at scale — no 5-partition cliff); in streaming the
+    * same semantics come from `session_window(ts, gap)` /
+    * `flatMapGroupsWithState`.
+    */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val gap = us - lag(us, 1).over(w)
+    Tables.events(s, dir)
+      .withColumn("new_sess",
+        when(gap.isNull || gap > GapUs, lit(1)).otherwise(lit(0)))
+      .withColumn("sess", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        ((max(us) - min(us)).cast("double") / 1000000.0).as("duration_sec"),
+        sumd2(col("value")).as("sum_value"))
+      .orderBy("user_id", "sess")
+  }
+
+  // ---------------------------------------------------------------- ev_json
+
+  /** JSON property extraction as a first-class column: pull `$.k` out of the
+    * `props` JSON string, bucket it, and aggregate. `get_json_object` is a
+    * codegen'd expression — the JSON never leaves the executor row.
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(expr("div(k, 10)").cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        sumd2(col("value")).as("sum_value"))
+      .orderBy("k_bucket")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling" -> (tumbling(_, _)),
+    "ev_sliding" -> (sliding(_, _)),
+    "ev_session" -> (sessions(_, _)),
+    "ev_json" -> (jsonProps(_, _)))
+
+  // ------------------------------------------------------------ oracle SQL
+
+  val oracles: Map[String, String] = Map(
+    "ev_tumbling" ->
+      """WITH b AS (
+        |  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 3600000000) * 3600000000) AS w_start,
+        |    event_type, value
+        |  FROM events
+        |)
+        |SELECT w_start, event_type, count(*) AS n,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value,
+        |  round(sum(value::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_value
+        |FROM b GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    "ev_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) AS us, event_type, value FROM events
+        |), b AS (
+        |  SELECT make_timestamp((us // 900000000 - i) * 900000000) AS w_start,
+        |    event_type, value
+        |  FROM e, range(4) r(i)
+        |  WHERE us < (us // 900000000 - i) * 900000000 + 3600000000
+        |)
+        |SELECT w_start, event_type, count(*) AS n,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM b GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    "ev_session" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts::TIMESTAMP AS ts, epoch_us(ts::TIMESTAMP) AS us, value
+         |  FROM events
+         |), flagged AS (
+         |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts)
+         |      > $GapUs OR lag(us) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM e
+         |), numbered AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS sess
+         |  FROM flagged
+         |)
+         |SELECT user_id, sess, min(ts) AS session_start, count(*) AS n_events,
+         |  (max(us) - min(us))::DOUBLE / 1000000.0 AS duration_sec,
+         |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+         |FROM numbered GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "ev_json" ->
+      """WITH e AS (
+        |  SELECT user_id, value, json_extract_string(props, '$.k')::INT AS k FROM events
+        |)
+        |SELECT (k // 10)::INT AS k_bucket, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM e GROUP BY k_bucket ORDER BY k_bucket""".stripMargin)
+}
