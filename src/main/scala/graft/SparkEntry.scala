@@ -17,7 +17,8 @@ object SparkEntry {
     Relational,
     Dedup,
     Similarity,
-    Streamish)
+    Streamish,
+    Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Sorted distinct tokens — the reference's canonical workload (SURVEY §2.3)
