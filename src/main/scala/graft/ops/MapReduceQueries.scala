@@ -28,13 +28,22 @@ object MapReduceQueries extends QueryModule {
   def mrDistinct(s: SparkSession, dir: String): DataFrame =
     MapReduce.distinctTokens(s, docsAsFiles(s, dir)).toDF("key", "value")
 
-  /** Word count via mapF/reduceF. */
+  /** Word count via mapF/combineF — the partial-aggregation path. */
   def mrWordCount(s: SparkSession, dir: String): DataFrame =
     MapReduce.wordCount(s, docsAsFiles(s, dir)).toDF("key", "value")
 
+  /** Word count via the explicit-nReduce sort-based reduce path
+    * (hash-partition to 8 reducers → in-partition sort → streamed key runs),
+    * asserting the reference task-granularity plan against the same oracle.
+    */
+  def mrWordCountNReduce(s: SparkSession, dir: String): DataFrame =
+    MapReduce.wordCountNReduce(s, docsAsFiles(s, dir), nReduce = 8)
+      .toDF("key", "value")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_distinct_words" -> (mrDistinct(_, _)),
-    "mr_wordcount" -> (mrWordCount(_, _)))
+    "mr_wordcount" -> (mrWordCount(_, _)),
+    "mr_wordcount_nreduce" -> (mrWordCountNReduce(_, _)))
 
   private val toksSql =
     s"list_filter(string_split_regex(text, '${MapReduce.WhitespaceClass}'), t -> length(t) > 0)"
@@ -45,6 +54,10 @@ object MapReduceQueries extends QueryModule {
          |  SELECT unnest($toksSql) AS token FROM documents
          |) ORDER BY key""".stripMargin,
     "mr_wordcount" ->
+      s"""SELECT token AS key, count(*)::VARCHAR AS value FROM (
+         |  SELECT unnest($toksSql) AS token FROM documents
+         |) GROUP BY token ORDER BY key""".stripMargin,
+    "mr_wordcount_nreduce" ->
       s"""SELECT token AS key, count(*)::VARCHAR AS value FROM (
          |  SELECT unnest($toksSql) AS token FROM documents
          |) GROUP BY token ORDER BY key""".stripMargin)
