@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Streamish
+import graft.streaming.Streaming
+
+/** Streaming ≡ batch: every streaming transform, run to completion over the
+  * static fixture, must produce exactly the batch battery's answer. The
+  * fixture arrives as one micro-batch, so complete/update-mode memory sinks
+  * hold the final state.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling windows equal the batch ev_tumbling aggregate") {
+    val got = runToMemory(
+      Streaming.tumblingCounts(Streaming.eventsStream(spark, dir)),
+      "t_tumbling", "complete")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val want = Streamish.tumbling(spark, dir)
+      .select("w_start", "event_type", "n", "sum_value")
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(got === want)
+  }
+
+  test("streaming session windows equal the batch lag+cumsum sessionization") {
+    val got = runToMemory(
+      Streaming.sessionCounts(Streaming.eventsStream(spark, dir)),
+      "t_sessions", "complete")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val want = Streamish.sessions(spark, dir)
+      .select("user_id", "session_start", "n_events")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(got === want)
+  }
+
+  test("mapGroupsWithState running totals equal the batch per-user aggregate") {
+    import spark.implicits._
+    val got = runToMemory(
+      Streaming.runningUserTotals(spark, Streaming.eventsStream(spark, dir)).toDF(),
+      "t_running", "update")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val want = Tables.events(spark, dir)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().sortBy(_._1).toMap
+    assert(got.map(g => g._1 -> g._2).toMap === want)
+    // double accumulation order differs between the state fold and the batch
+    // sum — compare values with tolerance, not bit-exactly
+    val batchSums = Tables.events(spark, dir)
+      .groupBy("user_id").sum("value")
+      .as[(Long, Double)].collect().toMap
+    got.foreach { case (u, _, sv) =>
+      assert(math.abs(sv - batchSums(u)) < 1e-6, s"user $u")
+    }
+  }
+}
