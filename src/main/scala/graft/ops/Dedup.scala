@@ -102,13 +102,36 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------- dd_neardup
 
-  /** MinHash signature columns h0..h11: per seed i, the minimum md5 over the
-    * shingle set. min over fixed-width lowercase hex == numeric min, so the
-    * same value falls out of Spark's array_min and DuckDB's list_min.
+  /** Universal-hash multipliers for the MinHash family: h_i(x) = (a_i·w1 +
+    * b_i·w2) mod P over two 32-bit words of ONE md5 per shingle — 12 hashes
+    * for the price of one digest (the naive per-seed md5 costs 12× the
+    * digests and dominated the bench). Constants are small enough that
+    * a_i·w1 + b_i·w2 < 2^48 — exact in BIGINT in both engines.
     */
+  private val HashP = 2147483647L // 2^31 - 1
+  private val HashA = (0 until NumHashes).map(i => 2 * i + 3L)
+  private val HashB = (0 until NumHashes).map(i => 2 * i + 101L)
+
+  /** MinHash signature columns h0..h11 from one md5 per shingle: w1/w2 are
+    * the first two 32-bit digest words; each h_i is the min universal hash
+    * over the shingle set — exact integer arithmetic, identical in DuckDB.
+    */
+  /** One md5 per shingle → (w1, w2) word pairs. Materialized as its own
+    * column BEFORE the 12 h_i projections: higher-order functions are not
+    * subexpression-eliminated, so embedding this in each h_i would run the
+    * digests 12×.
+    */
+  private def shingleWords: Column = transform(col("sh"), x => {
+    val d = md5(x)
+    struct(conv(substring(d, 1, 8), 16, 10).cast("long").as("w1"),
+      conv(substring(d, 9, 8), 16, 10).cast("long").as("w2"))
+  })
+
   private def sigCols: Seq[Column] =
     (0 until NumHashes).map { i =>
-      array_min(transform(col("sh"), x => md5(concat(lit(s"$i|"), x)))).as(s"h$i")
+      array_min(transform(col("words"),
+        s => pmod(lit(HashA(i)) * s.getField("w1") + lit(HashB(i)) * s.getField("w2"), lit(HashP))))
+        .as(s"h$i")
     }
 
   private def bandCols: Seq[Column] =
@@ -125,7 +148,8 @@ object Dedup extends QueryModule {
     */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
-    val banded = sh.select(col("doc_id") +: sigCols: _*)
+    val banded = sh.withColumn("words", shingleWords)
+      .select(col("doc_id") +: sigCols: _*)
       .select(col("doc_id") +: bandCols: _*)
     val lng = banded.select(col("doc_id"), explode(array(
         (0 until Bands).map(b =>
@@ -139,9 +163,11 @@ object Dedup extends QueryModule {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      // |A∪B| = |A| + |B| − |A∩B| (arrays are distinct) — one array op
+      // per pair instead of two.
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jac") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -173,10 +199,20 @@ object Dedup extends QueryModule {
   // ---------------------------------------------- dd_ngram_jaccard
 
   /** Character-4-gram Jaccard near-dup, blocked by (lang, 16-char length
-    * bucket): candidate pairs only form inside a block, so the join is a
-    * shuffle equi-join on the block key, never all-pairs. (Near-dups of very
+    * bucket): candidate pairs only form inside a block. (Near-dups of very
     * different length can't score high Jaccard anyway; boundary-straddlers
     * are the documented recall tradeoff of single-bucket blocking.)
+    *
+    * Within a block, candidates come from PREFIX FILTERING (AllPairs/PPJoin,
+    * Xiao et al., WWW'08 — public literature): order each doc's grams by
+    * block-local (document frequency asc, gram asc) and keep only the first
+    * `n − ceil(t·n) + 1` as its prefix; any pair with Jaccard ≥ t must share
+    * a prefix gram (pigeonhole), so the equi-join on (block, gram) over
+    * prefixes finds every true pair while generating ~rare-gram-df²
+    * candidates instead of the block's full pair quadratic. The exact
+    * intersect then verifies. Result set is IDENTICAL to blocked all-pairs
+    * (the oracle still computes that form) — only the candidate generation
+    * is subquadratic.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val tx = lower(col("text"))
@@ -187,15 +223,30 @@ object Dedup extends QueryModule {
         array_distinct(transform(
           sequence(lit(1), length(tx) - 3),
           i => substr(tx, i, lit(4)))).as("grams"))
-    g.as("a").join(g.as("b"),
+      .withColumn("n", size(col("grams")))
+    val ex = g.select(col("doc_id"), col("lang"), col("lb"), col("n"),
+      explode(col("grams")).as("gram"))
+    val dfreq = ex.groupBy("lang", "lb", "gram").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, Seq("lang", "lb", "gram"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)))
+      .filter(col("pos") <= col("n") - ceil(col("n") * lit(GramJaccardT)) + 1)
+      .select("doc_id", "lang", "lb", "gram")
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jac",
-        size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams"))))
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("n").as("na")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("n").as("nb")), "doc_b")
+      // size-ratio prefilter (J ≥ t ⇒ min/max ≥ t) skips the array work
+      // for hopeless pairs; union via sizes as in minhashNearDup.
+      .filter(least(col("na"), col("nb")) >= lit(GramJaccardT) * greatest(col("na"), col("nb")))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= GramJaccardT)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(col("jac"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -247,8 +298,12 @@ object Dedup extends QueryModule {
   private val toksSql =
     s"list_filter(string_split_regex(lower(text), '${graft.core.MapReduce.WhitespaceClass}'), t -> length(t) > 0)"
 
+  /** Same universal-hash MinHash family as sigCols: one md5 per shingle,
+    * two 32-bit words, h_i = (a_i·w1 + b_i·w2) mod P — all BIGINT-exact.
+    */
   private val mhSql = (0 until NumHashes)
-    .map(i => s"list_min(list_apply(sh, x -> md5('$i|' || x))) AS h$i").mkString(",\n    ")
+    .map(i => s"list_min(list_apply(words, w -> (${HashA(i)} * w[1] + ${HashB(i)} * w[2]) % $HashP)) AS h$i")
+    .mkString(",\n    ")
   private val bandSql = (0 until Bands).map { b =>
     val hs = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}")
     s"md5(${hs.mkString(" || '|' || ")}) AS b$b"
@@ -283,10 +338,15 @@ object Dedup extends QueryModule {
          |  SELECT doc_id, list_distinct(list_apply(range(1, len(toks) - 1),
          |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
          |  FROM t WHERE len(toks) >= 3
+         |), sw AS (
+         |  SELECT doc_id, sh, list_apply(sh, x ->
+         |    [('0x' || substr(md5(x), 1, 8))::BIGINT,
+         |     ('0x' || substr(md5(x), 9, 8))::BIGINT]) AS words
+         |  FROM s
          |), sig AS (
          |  SELECT doc_id, sh,
          |    $mhSql
-         |  FROM s
+         |  FROM sw
          |), banded AS (
          |  SELECT doc_id,
          |    $bandSql
@@ -299,7 +359,8 @@ object Dedup extends QueryModule {
          |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.doc_id < b.doc_id
          |), ver AS (
          |  SELECT doc_a, doc_b,
-         |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)) AS jac
+         |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
          |  FROM cand
          |  JOIN s sa ON sa.doc_id = doc_a
          |  JOIN s sb ON sb.doc_id = doc_b
