@@ -75,12 +75,6 @@ object Dedup extends QueryModule {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
 
-  /** Sequential-fold dot product — same accumulation order as the oracle's
-    * list_sum(list_apply(...)), so signs/rounding agree bit-for-bit.
-    */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   // ------------------------------------------------------------ dd_exact
 
   /** Exact dedup: one deterministic winner (min doc_id) per token-stream
@@ -253,34 +247,26 @@ object Dedup extends QueryModule {
   // ------------------------------------------- dd_embed_neardup
 
   /** Embedding near-dup via random-hyperplane LSH: 16 sign bits → 2 bands of
-    * 8 → band-equality self-join → exact cosine verify. With clustered
+    * 8 → band-equality self-join → exact cosine verify, all on the shared
+    * fixed-point integer vector path ([[Similarity.quantize]]/idot — exact
+    * BIGINT arithmetic, one IEEE division at the end). With clustered
     * real-world embeddings the buckets stay tight; band width / count are
     * the recall-vs-candidates dial (8-bit bands ≈ 0.49 recall at cos 0.9 —
     * double the bands to trade candidates for recall).
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val emb = col("embedding").cast("array<double>")
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), emb.as("emb"))
-    val sig = concat((0 until Planes).map { p =>
-      val w = array(hyperplanes(p).map(lit): _*)
-      when(dot(col("emb"), w) >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
-    val lng = e.select(col("vec_id"), sig.as("sig"))
-      .select(col("vec_id"), explode(array(
-        struct(lit(0).as("b_idx"), substring(col("sig"), 1, 8).as("band")),
-        struct(lit(1).as("b_idx"), substring(col("sig"), 9, 8).as("band")))).as("e"))
-      .select(col("vec_id"), col("e.b_idx").as("b_idx"), col("e.band").as("band"))
+    val c = Similarity.corpus(s, dir)
+    val lng = Similarity.banded(c)
     val cand = lng.as("a").join(lng.as("b"),
         col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+      .join(c.select(col("vec_id").as("vec_a"), col("vq").as("va"), col("n2").as("na")), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("vq").as("vb"), col("n2").as("nb")), "vec_b")
       .withColumn("cos",
-        dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+        Similarity.cosine(Similarity.idot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= CosT)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
@@ -312,12 +298,6 @@ object Dedup extends QueryModule {
     .map(b => s"SELECT doc_id, $b AS b_idx, b$b AS band FROM banded")
     .mkString("\n  UNION ALL ")
 
-  /** 16 hyperplane rows as a VALUES list — generated from the same Scala
-    * constant the Spark plan uses.
-    */
-  private val planesSql = hyperplanes.zipWithIndex.map { case (w, p) =>
-    s"($p, [${w.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
-  }.mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -399,34 +379,16 @@ object Dedup extends QueryModule {
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM pairs
          |WHERE jac >= $GramJaccardT ORDER BY doc_a, doc_b""".stripMargin,
     "dd_embed_neardup" ->
-      s"""WITH w(p, wv) AS (VALUES
-         |    $planesSql
-         |), e AS (
-         |  SELECT vec_id, list_apply(embedding, x -> x::DOUBLE) AS emb
-         |  FROM embeddings
-         |), bit AS (
-         |  SELECT vec_id, p,
-         |    CASE WHEN list_sum(list_apply(range(${Dim}), i -> emb[(i + 1)::INT] * wv[(i + 1)::INT])) >= 0
-         |      THEN '1' ELSE '0' END AS c
-         |  FROM e, w
-         |), sig AS (
-         |  SELECT vec_id, string_agg(c, '' ORDER BY p) AS s FROM bit GROUP BY vec_id
-         |), lng AS (
-         |  SELECT vec_id, 0 AS b_idx, substr(s, 1, 8) AS band FROM sig
-         |  UNION ALL SELECT vec_id, 1, substr(s, 9, 8) FROM sig
-         |), cand AS (
+      s"""WITH ${Similarity.corpusSql}, ${Similarity.bandSql}, cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM lng a JOIN lng b
          |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id < b.vec_id
-         |), pair AS (
-         |  SELECT vec_a, vec_b, ea.emb AS ea, eb.emb AS eb
-         |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
          |), cs AS (
          |  SELECT vec_a, vec_b,
-         |    list_sum(list_apply(range(${Dim}), i -> ea[(i + 1)::INT] * eb[(i + 1)::INT])) /
-         |      (sqrt(list_sum(list_apply(ea, x -> x * x))) *
-         |       sqrt(list_sum(list_apply(eb, x -> x * x)))) AS c
-         |  FROM pair
+         |    list_sum(list_apply(range(${Similarity.Dim}),
+         |      i -> ea.vq[(i + 1)::INT] * eb.vq[(i + 1)::INT]))::DOUBLE /
+         |      (sqrt(ea.nn::DOUBLE) * sqrt(eb.nn::DOUBLE)) AS c
+         |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
          |)
          |SELECT vec_a, vec_b, round(c, 4) AS cos_sim FROM cs
          |WHERE c >= $CosT ORDER BY vec_a, vec_b""".stripMargin)

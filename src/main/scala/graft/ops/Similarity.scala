@@ -33,7 +33,7 @@ import graft.{QueryModule, Tables}
 object Similarity extends QueryModule {
 
   private val Scale = 1048576L // 2^20
-  private val Dim = 64
+  private[ops] val Dim = 64
   private val NumQueries = 8 // vec_id < 8 is the fixed demo query set
   private val TopK = 5
   private val GraphK = 3
@@ -41,24 +41,24 @@ object Similarity extends QueryModule {
   // ------------------------------------------------------------ primitives
 
   /** float embedding → exact fixed-point long vector. */
-  private def quantize(emb: Column): Column =
+  private[ops] def quantize(emb: Column): Column =
     transform(emb.cast("array<double>"), x => floor(x * Scale))
 
   /** Exact integer dot product (sequential fold, but order-independent
     * anyway since integer addition is associative).
     */
-  private def idot(a: Column, b: Column): Column =
+  private[ops] def idot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  private def inorm2(a: Column): Column =
+  private[ops] def inorm2(a: Column): Column =
     aggregate(a, lit(0L), (acc, x) => acc + x * x)
 
   /** cosine from integer dot/norms — one deterministic double expression. */
-  private def cosine(dot: Column, na2: Column, nb2: Column): Column =
+  private[ops] def cosine(dot: Column, na2: Column, nb2: Column): Column =
     dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
 
   /** (vec_id, vq, n2) — quantized corpus with precomputed squared norm. */
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[ops] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("vq"))
       .withColumn("n2", inorm2(col("vq")))
@@ -108,13 +108,13 @@ object Similarity extends QueryModule {
     * ([[Dedup.hyperplanes]]); the dot against a ±1 plane is a signed integer
     * sum of the quantized components — exact in both engines.
     */
-  private def sig: Column = concat((0 until Dedup.Planes).map { p =>
+  private[ops] def sig: Column = concat((0 until Dedup.Planes).map { p =>
     val w = array(Dedup.hyperplanes(p).map(v => lit(v.toLong)): _*)
     when(idot(col("vq"), w) >= 0, lit("1")).otherwise(lit("0"))
   }: _*)
 
   /** (vec_id, b_idx, band): 2 bands × 8 bits per vector. */
-  private def banded(c: DataFrame): DataFrame =
+  private[ops] def banded(c: DataFrame): DataFrame =
     c.withColumn("sig", sig)
       .select(col("vec_id"), explode(array(
         struct(lit(0).as("b_idx"), substring(col("sig"), 1, 8).as("band")),
@@ -231,16 +231,16 @@ object Similarity extends QueryModule {
   private val n2 = "list_sum(list_apply(%s, x -> x * x))"
 
   /** ±1 plane rows as BIGINT lists — same constants as the Spark plan. */
-  private val planesSql = Dedup.hyperplanes.zipWithIndex.map { case (w, p) =>
+  private[ops] val planesSql = Dedup.hyperplanes.zipWithIndex.map { case (w, p) =>
     s"($p, [${w.map(v => v.toLong.toString).mkString(", ")}])"
   }.mkString(",\n    ")
 
-  private val corpusSql =
+  private[ops] val corpusSql =
     s"""e AS (
        |  SELECT vec_id, $vqSql AS vq, ${n2.format(vqSql)} AS nn FROM embeddings
        |)""".stripMargin
 
-  private val bandSql =
+  private[ops] val bandSql =
     s"""w(p, wv) AS (VALUES
        |    $planesSql
        |), bit AS (
