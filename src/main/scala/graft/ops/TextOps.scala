@@ -148,6 +148,47 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single other
+    * non-space characters — the shape GPT-style byte-pair pre-tokenization
+    * produces before merges. Same explicit whitespace set as
+    * [[graft.core.MapReduce.WhitespaceClass]] so Java regex and RE2 agree.
+    */
+  private[ops] val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
+
+  /** Token counting both ways a data pipeline needs it: whitespace tokens
+    * (word-level budget) and BPE-ish pieces (model-token budget proxy), plus
+    * their ratio. Pure regex expressions, no shuffle before the sort.
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    val tx = lower(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(tx, lit(BpePattern), lit(0))).as("n_bpe_pieces"))
+      .withColumn("pieces_per_token",
+        when(col("n_ws_tokens") === 0, lit(null))
+          .otherwise(round(col("n_bpe_pieces").cast("double") / col("n_ws_tokens"), 4)))
+      .orderBy("doc_id")
+  }
+
+  /** Polynomial rolling-hash fingerprint of the character stream
+    * (h ← h·131 + code mod 2^31−1) — the cheap content hash behind
+    * content-defined chunking, computed as an exact integer fold (products
+    * < 2^39, so BIGINT-exact in both engines); n_same = dup-group size.
+    */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val tx = lower(col("text"))
+    val codes = transform(sequence(lit(1), length(tx)),
+      i => ascii(substr(tx, i, lit(1))).cast("long"))
+    val rh = aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * lit(131L) + c, lit(2147483647L)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(length(tx) === 0, lit(0L)).otherwise(rh).as("rh"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy("rh")))
+      .orderBy("doc_id")
+  }
+
   /** md5 fingerprint of the normalized token stream per document, plus how
     * many documents share that fingerprint (exact-dup group size).
     */
@@ -171,7 +212,9 @@ object TextOps extends QueryModule {
     "txt_bigrams" -> (topBigrams(_, _)),
     "txt_quality" -> (qualityScore(_, _)),
     "txt_langid" -> (languageId(_, _)),
-    "txt_fingerprint" -> (fingerprints(_, _)))
+    "txt_fingerprint" -> (fingerprints(_, _)),
+    "txt_token_count" -> (tokenCount(_, _)),
+    "txt_rolling_fp" -> (rollingFingerprint(_, _)))
 
   private val toksSql =
     s"list_filter(string_split_regex(lower(text), '$WhitespaceClass'), t -> length(t) > 0)"
@@ -244,5 +287,25 @@ object TextOps extends QueryModule {
     "txt_fingerprint" ->
       s"""SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
          |FROM (SELECT doc_id, md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp FROM documents)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "txt_token_count" ->
+      s"""SELECT doc_id,
+         |  len($toksSql)::INT AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text), '$BpePattern'))::INT AS n_bpe_pieces,
+         |  CASE WHEN len($toksSql) = 0 THEN NULL
+         |    ELSE round(len(regexp_extract_all(lower(text), '$BpePattern'))::DOUBLE
+         |      / len($toksSql), 4) END AS pieces_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_rolling_fp" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(lower(text)) = 0 THEN 0
+        |      ELSE list_reduce(
+        |        [0::BIGINT] || list_apply(range(length(lower(text))),
+        |          i -> ascii(substr(lower(text), (i + 1)::INT, 1))::BIGINT),
+        |        (a, b) -> (a * 131 + b) % 2147483647) END AS rh
+        |  FROM documents
+        |)
+        |SELECT doc_id, rh, count(*) OVER (PARTITION BY rh) AS n_same
+        |FROM h ORDER BY doc_id""".stripMargin)
 }
