@@ -173,18 +173,16 @@ object TextOps extends QueryModule {
 
   /** Polynomial rolling-hash fingerprint of the character stream
     * (h ← h·131 + code mod 2^31−1) — the cheap content hash behind
-    * content-defined chunking, computed as an exact integer fold (products
-    * < 2^39, so BIGINT-exact in both engines); n_same = dup-group size.
+    * content-defined chunking; n_same = dup-group size. Computed by the
+    * native codegen'd [[graft.functions.RollingHash]] expression (a
+    * higher-order-function fold would break WholeStageCodegen and pay
+    * per-character lambda dispatch); products < 2^39, so the arithmetic is
+    * BIGINT-exact in both engines.
     */
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val tx = lower(col("text"))
-    val codes = transform(sequence(lit(1), length(tx)),
-      i => ascii(substr(tx, i, lit(1))).cast("long"))
-    val rh = aggregate(codes, lit(0L),
-      (acc, c) => pmod(acc * lit(131L) + c, lit(2147483647L)))
+    graft.functions.RollingHash.register(s)
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        when(length(tx) === 0, lit(0L)).otherwise(rh).as("rh"))
+      .select(col("doc_id"), expr("rolling_hash(lower(text))").as("rh"))
       .withColumn("n_same", count(lit(1)).over(Window.partitionBy("rh")))
       .orderBy("doc_id")
   }
