@@ -105,11 +105,40 @@ object Streamish extends QueryModule {
         sumd2(col("value")).as("sum_value"))
       .orderBy("k_bucket")
 
+  // ---------------------------------------------------------------- ev_asof
+
+  /** AS-OF join, composed from union + window (the Spark-native plan for a
+    * time-series operator Spark lacks as a keyword): for every `error`
+    * event, the user's most recent `click` at-or-before it. Both sides
+    * shuffle ONCE on (user_id) and stream through a single running-state
+    * window — no range-join pair explosion, no per-row probe; ties at equal
+    * ts resolve click-first (inclusive as-of), then event_id, so the match
+    * is fully deterministic.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val isClick = col("event_type") === "click"
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), when(isClick, 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("last_click_ts",
+        last(when(isClick, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").as("error_ts"),
+        col("last_click_ts"),
+        ((unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).cast("double")
+          / 1000000.0).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> (tumbling(_, _)),
     "ev_sliding" -> (sliding(_, _)),
     "ev_session" -> (sessions(_, _)),
-    "ev_json" -> (jsonProps(_, _)))
+    "ev_json" -> (jsonProps(_, _)),
+    "ev_asof" -> (asofJoin(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -154,6 +183,20 @@ object Streamish extends QueryModule {
          |  (max(us) - min(us))::DOUBLE / 1000000.0 AS duration_sec,
          |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
          |FROM numbered GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "ev_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type
+        |  FROM events WHERE event_type IN ('click', 'error')
+        |), lk AS (
+        |  SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS last_click_ts
+        |  FROM ev
+        |)
+        |SELECT event_id, user_id, ts AS error_ts, last_click_ts,
+        |  (epoch_us(ts) - epoch_us(last_click_ts))::DOUBLE / 1000000.0 AS gap_sec
+        |FROM lk WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
     "ev_json" ->
       """WITH e AS (
         |  SELECT user_id, value, json_extract_string(props, '$.k')::INT AS k FROM events
