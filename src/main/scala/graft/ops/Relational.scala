@@ -88,6 +88,24 @@ object Relational extends QueryModule {
         max(col("o_totalprice")).as("max_price"))
       .filter(col("n_orders") > 100)
 
+  /** The 100 TB cardinality path: approx_count_distinct (HLL++) is one pass
+    * with bounded sketch state where exact countDistinct expands every
+    * (group, key) pair through the shuffle. Declared WITHOUT an oracle —
+    * sketch estimates are engine-specific, so the driver records a rows-only
+    * check; the rel_err column self-reports the sketch error against the
+    * exact count (≤ the 2% rsd requested).
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust_exact"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_approx"))
+      .withColumn("rel_err",
+        round(abs(col("n_cust_approx") - col("n_cust_exact"))
+          / col("n_cust_exact"), 4))
+      .orderBy("o_orderpriority")
+
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.
     */
@@ -240,6 +258,7 @@ object Relational extends QueryModule {
     "q_filter_project" -> (filterProject(_, _)),
     "q_agg_pricing" -> (aggPricing(_, _)),
     "q_distinct_having" -> (distinctHaving(_, _)),
+    "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
     "q_cube" -> (cubeOrders(_, _)),
     "q_join_bcast" -> (joinBroadcast(_, _)),
