@@ -170,23 +170,32 @@ object Dedup extends QueryModule {
   // ---------------------------------------------------------- dd_simhash
 
   /** 32-bit SimHash per document. Bit j votes +1/−1 by the low bit of hex
-    * digit j of each token's md5; the signature is the sign vector of the
-    * summed votes. A single codegen'd fold per row — no shuffle until the
-    * final sort.
+    * digit j of each token's md5 (every occurrence votes); the signature is
+    * the sign vector of the summed votes.
+    *
+    * Relational formulation instead of a per-row array fold: explode →
+    * count per (doc, token) → ONE md5 per distinct pair, weighted by the
+    * count → 32 codegen'd conditional sums under a hash aggregate. The
+    * naive fold is interpreted HOF code over every token occurrence
+    * (~9M × 32 lambda evals at sf0.1); this shape pays one digest per
+    * distinct (doc, token) and keeps the voting inside WholeStageCodegen
+    * with map-side partial aggregation.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    def bits(t: Column): Column = transform(
-      slice(split(md5(t), ""), 1, 32),
-      c => when(c.isInCollection(oddHex), lit(1)).otherwise(lit(-1)))
-    val votes = aggregate(col("toks"), array_repeat(lit(0), 32),
-      (acc, t) => zip_with(acc, bits(t), (a, b) => a + b))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= 1)
+    val counted = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("t")))
+    val votes = (0 until 32).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isInCollection(oddHex), col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$j")
+    }
+    counted
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        array_join(transform(votes, v => when(v >= 0, lit("1")).otherwise(lit("0"))), "")
-          .as("simhash"))
+        concat((0 until 32).map(j =>
+          when(col(s"v$j") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
       .orderBy("doc_id")
   }
 
