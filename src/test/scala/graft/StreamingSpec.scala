@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Streamish
 import graft.streaming.Streaming
@@ -41,6 +42,44 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "session_start", "n_events")
       .orderBy("user_id", "session_start").collect().toSeq
     assert(got === want)
+  }
+
+  test("incremental arrival: many micro-batches converge to the batch answer") {
+    // Re-shard events into 4 time-ordered chunks written SEQUENTIALLY (so
+    // file mtimes order them) and feed one file per micro-batch — in-order
+    // arrival with intra-chunk disorder, the regime watermarks assume.
+    // State must merge across batches to the same result one big batch
+    // produces. (Feeding chunks out of order correctly DROPS old events:
+    // that's the watermark contract, verified manually.)
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.ntile
+    val src = "/tmp/graft-stream-src"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val batchEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val chunked = batchEvents
+      .withColumn("chunk", ntile(4).over(W.orderBy("ts")))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes -> deterministic arrival order
+    }
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+    val gotTumbling = runToMemory(Streaming.tumblingCounts(stream), "t_inc_tumbling", "complete")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val wantTumbling = Streamish.tumbling(spark, dir)
+      .select("w_start", "event_type", "n", "sum_value")
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(gotTumbling === wantTumbling)
+
+    val gotSessions = runToMemory(Streaming.sessionCounts(stream), "t_inc_sessions", "complete")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val wantSessions = Streamish.sessions(spark, dir)
+      .select("user_id", "session_start", "n_events")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(gotSessions === wantSessions) // sessions merged across micro-batches
   }
 
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
