@@ -141,7 +141,10 @@ object Dedup extends QueryModule {
     * once per verified candidate, not once per band row.
     */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    // sh feeds the signature path AND both verify sides — persist to avoid
+    // re-tokenizing/re-shingling three times (the ngramJaccard lesson).
     val sh = shingled(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.withColumn("words", shingleWords)
       .select(col("doc_id") +: sigCols: _*)
       .select(col("doc_id") +: bandCols: _*)
@@ -275,8 +278,13 @@ object Dedup extends QueryModule {
     * double the bands to trade candidates for recall).
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    // quantize+norm feeds banding and both verify sides; the banded rows
+    // feed both sides of the self-join (the 16-fold sig is the expensive
+    // bit) — persist both small intermediates.
     val c = Similarity.corpus(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lng = Similarity.banded(c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lng.as("a").join(lng.as("b"),
         col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -132,7 +132,9 @@ object Similarity extends QueryModule {
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = banded(c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = b.as("a")
       .join(b.filter(col("vec_id") < NumQueries).as("q"),
         col("a.b_idx") === col("q.b_idx") && col("a.band") === col("q.band") &&
@@ -160,7 +162,9 @@ object Similarity extends QueryModule {
     */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = banded(c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = b.as("a").join(b.as("b"),
         col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band") &&
           col("a.vec_id") =!= col("b.vec_id"))
