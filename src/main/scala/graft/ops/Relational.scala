@@ -217,6 +217,61 @@ object Relational extends QueryModule {
       .unionAll(p.except(c).withColumn("side", lit("supplier_only")))
   }
 
+  // ------------------------------------------------------- TPC-H macros
+
+  /** TPC-H Q3 (shipping priority), adapted to the fixture schema
+    * (o_orderpriority stands in for the missing o_shippriority): segment
+    * filter rides the customer broadcast; orders⋈lineitem is the only big
+    * shuffle; top-10 via TakeOrderedAndProject, no global sort.
+    */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-03-15"
+    broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local supplier volume): the full 6-table star — region/
+    * nation/supplier broadcast, customer⋈orders⋈lineitem shuffled on their
+    * join keys, local-supplier condition (c_nationkey = s_nationkey) applied
+    * at the supplier join, one 5-group aggregate at the end.
+    */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc)
+
+  /** Exact interpolated percentiles (median / p95) per order priority —
+    * `percentile` is exact two-phase (sort-based partial state), matching
+    * DuckDB's quantile_cont interpolation bit-for-bit on the same doubles.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   // ------------------------------------------------------ scalar functions
 
   /** String function battery over part — all codegen'd built-ins. */
@@ -270,7 +325,10 @@ object Relational extends QueryModule {
     "q_topk" -> (topK(_, _)),
     "q_setops" -> (setOps(_, _)),
     "q_scalar_string" -> (scalarString(_, _)),
-    "q_scalar_datemath" -> (scalarDateMath(_, _)))
+    "q_scalar_datemath" -> (scalarDateMath(_, _)),
+    "q_tpch_q3" -> (tpchQ3(_, _)),
+    "q_tpch_q5" -> (tpchQ5(_, _)),
+    "q_percentiles" -> (percentiles(_, _)))
 
   private def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
   private def sum2(c: String) = s"CAST(sum(${d2(c)}) AS DOUBLE)"
@@ -385,5 +443,34 @@ object Relational extends QueryModule {
         |  round(sqrt(o_totalprice), 6) AS sqrt_price,
         |  o_orderkey % 7 AS key_mod,
         |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kbucket
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(sum($discSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      s"""SELECT n_name, CAST(sum($discSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -133,7 +133,23 @@ object Streamish extends QueryModule {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------------------- ev_pivot
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event-type pivot: long → wide with an explicit column list, so
+    * Spark skips the extra distinct-values job and the output schema is
+    * static — the only shuffle is the one daily aggregate.
+    */
+  def pivotDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day").pivot("event_type", EventTypes).count()
+      .na.fill(0, EventTypes)
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_pivot" -> (pivotDaily(_, _)),
     "ev_tumbling" -> (tumbling(_, _)),
     "ev_sliding" -> (sliding(_, _)),
     "ev_session" -> (sessions(_, _)),
@@ -143,6 +159,12 @@ object Streamish extends QueryModule {
   // ------------------------------------------------------------ oracle SQL
 
   val oracles: Map[String, String] = Map(
+    "ev_pivot" ->
+      ("""SELECT ts::TIMESTAMP::DATE AS day,
+         |""" + EventTypes.map(t =>
+          s"  count(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n") +
+        """
+          |FROM events GROUP BY day ORDER BY day""").stripMargin,
     "ev_tumbling" ->
       """WITH b AS (
         |  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 3600000000) * 3600000000) AS w_start,
