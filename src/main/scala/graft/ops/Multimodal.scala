@@ -100,6 +100,28 @@ object Multimodal extends QueryModule {
         md5(col("frame")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  // ------------------------------------------------------------- mm_resize
+
+  /** "Resize" stub: stride-4 byte downsampling — the deterministic stand-in
+    * for an image resize (swap the stride loop for a real scaler). Emits the
+    * downsampled payload's size + checksum; like every stub here the
+    * PLUMBING (byte addressing, per-row expression, no shuffle) is the real,
+    * tested part. ASCII fixture ⇒ byte stride ≡ char stride, which is what
+    * the oracle computes.
+    */
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    val tx = col("text")
+    val resized = array_join(transform(
+      sequence(lit(0), ceil(length(tx).cast("double") / FrameStride).cast("int") - 1),
+      i => substr(tx, i * FrameStride + 1, lit(1))), "")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), mediaType(col("source")).as("media_type"),
+        length(tx).as("orig_bytes"),
+        length(resized).as("resized_bytes"),
+        md5(resized.cast("binary")).as("resized_md5"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- mm_typed_decode
 
   /** STUB DECODER — stands in for the real image/audio codec (libraries not
@@ -136,6 +158,7 @@ object Multimodal extends QueryModule {
     "mm_meta_stats" -> (metaStats(_, _)),
     "mm_decode_features" -> (decodeFeatures(_, _)),
     "mm_frame_sample" -> (frameSample(_, _)),
+    "mm_resize" -> (resize(_, _)),
     "mm_typed_decode" -> (typedDecode(_, _)))
 
   // ------------------------------------------------------------- oracle SQL
@@ -170,6 +193,16 @@ object Multimodal extends QueryModule {
          |SELECT doc_id, media_type, frame_idx,
          |  octet_length(frame::BLOB)::INT AS frame_bytes, md5(frame) AS frame_md5
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, $mtSql AS media_type, length(text) AS orig_bytes,
+         |    list_aggregate(list_apply(range(CAST(ceil(length(text)::DOUBLE / $FrameStride) AS BIGINT)),
+         |      i -> substr(text, (i * $FrameStride + 1)::INT, 1)), 'string_agg', '') AS resized
+         |  FROM documents
+         |)
+         |SELECT doc_id, media_type, orig_bytes::INT AS orig_bytes,
+         |  length(resized)::INT AS resized_bytes, md5(resized) AS resized_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
     "mm_typed_decode" ->
       s"""SELECT doc_id, $mtSql AS media_type,
          |  length(text)::INT AS n_bytes,
