@@ -104,22 +104,36 @@ object Similarity extends QueryModule {
 
   // ----------------------------------------------------------- LSH banding
 
-  /** 16 hyperplane sign bits from the shared deterministic ±1 planes
-    * ([[Dedup.hyperplanes]]); the dot against a ±1 plane is a signed integer
-    * sum of the quantized components — exact in both engines.
+  /** (vec_id, b_idx, band): 2 bands × 8 bits per vector, from 16 hyperplane
+    * sign bits against the shared deterministic ±1 planes
+    * ([[Dedup.hyperplanes]]) — signed integer sums of the quantized
+    * components, exact in both engines.
+    *
+    * Relational formulation (posexplode × broadcast plane table → grouped
+    * sums → ordered re-concat) instead of 16 per-row fold expressions: the
+    * folds are interpreted HOF code and their generated classes dominate
+    * cold time (2.2× measured); the grouped-sum shape is codegen'd with
+    * map-side partials and produces bit-identical bands.
     */
-  private[ops] def sig: Column = concat((0 until Dedup.Planes).map { p =>
-    val w = array(Dedup.hyperplanes(p).map(v => lit(v.toLong)): _*)
-    when(idot(col("vq"), w) >= 0, lit("1")).otherwise(lit("0"))
-  }: _*)
-
-  /** (vec_id, b_idx, band): 2 bands × 8 bits per vector. */
-  private[ops] def banded(c: DataFrame): DataFrame =
-    c.withColumn("sig", sig)
+  private[ops] def banded(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    val planes = Dedup.hyperplanes.zipWithIndex.flatMap { case (w, p) =>
+      w.zipWithIndex.map { case (v, i) => (p, i, v.toLong) }
+    }.toSeq.toDF("p", "i", "w")
+    val bits = c.select(col("vec_id"), posexplode(col("vq")).as(Seq("i", "v")))
+      .join(broadcast(planes), "i")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("v") * col("w")).as("dot"))
+      .select(col("vec_id"), col("p"),
+        when(col("dot") >= 0, lit("1")).otherwise(lit("0")).as("c"))
+    bits.groupBy("vec_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+        x => x.getField("c")), "").as("sig"))
       .select(col("vec_id"), explode(array(
         struct(lit(0).as("b_idx"), substring(col("sig"), 1, 8).as("band")),
         struct(lit(1).as("b_idx"), substring(col("sig"), 9, 8).as("band")))).as("e"))
       .select(col("vec_id"), col("e.b_idx").as("b_idx"), col("e.band").as("band"))
+  }
 
   // ----------------------------------------------------------- sim_lsh_topk
 
