@@ -2,11 +2,19 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Running per-user totals — the state carried by [[Streaming.runningUserTotals]]. */
 final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+/** The one open session per user held in state by [[Streaming.sessionsViaState]]
+  * (timestamps as epoch micros).
+  */
+final case class OpenSession(start: Long, last: Long, n: Long)
+
+/** A closed session emitted by [[Streaming.sessionsViaState]]. */
+final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)
 
 /** Structured Streaming surface: the same event-time semantics as the batch
   * [[graft.ops.Streamish]] battery, expressed incrementally —
@@ -63,6 +71,40 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
+
+  private val GapUs = 30L * 60 * 1000000
+
+  /** Hand-rolled sessionization through `flatMapGroupsWithState` — the
+    * fully-custom-state twin of [[sessionCounts]]: each user's open session
+    * lives in state; a gap > 30 min CLOSES it (emitted downstream
+    * immediately) and opens a new one. This is the slot for session logic
+    * `session_window` can't express (e.g. value-dependent gaps); the open
+    * session stays in state until a later batch closes it.
+    */
+  def sessionsViaState(s: SparkSession, events: DataFrame): Dataset[ClosedSession] = {
+    import s.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+          def toTs(us: Long) = java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(us / 1000000, (us % 1000000) * 1000))
+          val times = rows.map(_._2).toArray.sorted // batch arrival is unordered
+          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+          var cur = state.getOption
+          times.foreach { t =>
+            cur = cur match {
+              case Some(o) if t - o.last > GapUs =>
+                closed += ClosedSession(user, toTs(o.start), o.n)
+                Some(OpenSession(t, t, 1))
+              case Some(o) => Some(o.copy(last = t, n = o.n + 1))
+              case None => Some(OpenSession(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
 
   /** Custom streaming state via the typed API: running per-user event count
     * and value total, one `UserTotals` row of state per user

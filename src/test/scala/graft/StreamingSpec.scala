@@ -82,6 +82,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotSessions === wantSessions) // sessions merged across micro-batches
   }
 
+  test("flatMapGroupsWithState emits exactly the non-final closed sessions") {
+    import spark.implicits._
+    // Append mode: a user's LAST session never closes (stays in state), so
+    // the emitted set must equal the batch sessions minus each user's final
+    // one — asserted exactly.
+    val got = runToMemory(
+      Streaming.sessionsViaState(spark, Streaming.eventsStream(spark, dir)).toDF(),
+      "t_closed", "append")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val all = Streamish.sessions(spark, dir)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    val lastPerUser = all.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = all.filterNot { case (u, st, _) => lastPerUser(u) == st }.toSet
+    assert(got === want)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
