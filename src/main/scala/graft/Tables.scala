@@ -42,3 +42,16 @@ trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
 }
+
+/** Shared DuckDB oracle-SQL fragments — one definition per semantic so the
+  * Spark expression and every oracle that mirrors it cannot drift apart
+  * (the whitespace class itself lives in
+  * [[graft.core.MapReduce.WhitespaceClass]]).
+  */
+object OracleSql {
+  /** Whitespace tokens of `expr`, empties dropped — the SQL twin of
+    * `TextOps.tokens` (lowercased) / `MapReduce.tokenize` (raw).
+    */
+  def toks(expr: String): String =
+    s"list_filter(string_split_regex($expr, '${graft.core.MapReduce.WhitespaceClass}'), t -> length(t) > 0)"
+}

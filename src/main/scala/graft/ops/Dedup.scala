@@ -106,10 +106,6 @@ object Dedup extends QueryModule {
   private val HashA = (0 until NumHashes).map(i => 2 * i + 3L)
   private val HashB = (0 until NumHashes).map(i => 2 * i + 101L)
 
-  /** MinHash signature columns h0..h11 from one md5 per shingle: w1/w2 are
-    * the first two 32-bit digest words; each h_i is the min universal hash
-    * over the shingle set — exact integer arithmetic, identical in DuckDB.
-    */
   /** One md5 per shingle → (w1, w2) word pairs. Materialized as its own
     * column BEFORE the 12 h_i projections: higher-order functions are not
     * subexpression-eliminated, so embedding this in each h_i would run the
@@ -121,6 +117,10 @@ object Dedup extends QueryModule {
       conv(substring(d, 9, 8), 16, 10).cast("long").as("w2"))
   })
 
+  /** MinHash signature columns h0..h11 from the materialized word pairs:
+    * each h_i is the min universal hash over the shingle set — exact
+    * integer arithmetic, identical in DuckDB.
+    */
   private def sigCols: Seq[Column] =
     (0 until NumHashes).map { i =>
       array_min(transform(col("words"),
@@ -309,8 +309,7 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------- oracle SQL
 
-  private val toksSql =
-    s"list_filter(string_split_regex(lower(text), '${graft.core.MapReduce.WhitespaceClass}'), t -> length(t) > 0)"
+  private val toksSql = graft.OracleSql.toks("lower(text)")
 
   /** Same universal-hash MinHash family as sigCols: one md5 per shingle,
     * two 32-bit words, h_i = (a_i·w1 + b_i·w2) mod P — all BIGINT-exact.

@@ -45,8 +45,7 @@ object MapReduceQueries extends QueryModule {
     "mr_wordcount" -> (mrWordCount(_, _)),
     "mr_wordcount_nreduce" -> (mrWordCountNReduce(_, _)))
 
-  private val toksSql =
-    s"list_filter(string_split_regex(text, '${MapReduce.WhitespaceClass}'), t -> length(t) > 0)"
+  private val toksSql = graft.OracleSql.toks("text")
 
   val oracles: Map[String, String] = Map(
     "mr_distinct_words" ->

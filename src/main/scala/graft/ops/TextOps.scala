@@ -214,8 +214,7 @@ object TextOps extends QueryModule {
     "txt_token_count" -> (tokenCount(_, _)),
     "txt_rolling_fp" -> (rollingFingerprint(_, _)))
 
-  private val toksSql =
-    s"list_filter(string_split_regex(lower(text), '$WhitespaceClass'), t -> length(t) > 0)"
+  private val toksSql = graft.OracleSql.toks("lower(text)")
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
