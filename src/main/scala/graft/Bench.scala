@@ -25,7 +25,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Fixed alphabetical order: JVM/codegen warmup lands on the same query
+    // Untimed warmup: exercise scan/shuffle/window/codegen machinery once so
+    // session JIT doesn't land on whichever query sorts first — per-query
+    // numbers then measure the queries. (Measured: the first two queries
+    // otherwise absorb ~5 s of one-time framework warmup.)
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .withColumn("r", row_number().over(Window.partitionBy("r_name").orderBy("r_regionkey")))
+        .groupBy("r").agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // Fixed alphabetical order: remaining warmup lands on the same query
     // every round, so per-query deltas across rounds are comparable.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
