@@ -17,11 +17,12 @@ import graft.{QueryModule, Tables}
   *                merge dedup (/root/reference/src/mapreduce/master.go:107)
   *                but with a *defined* winner (see SURVEY §7.4 on the
   *                reference's Go-map nondeterminism).
-  *  - MinHash+LSH: 3-token shingles → 12 md5 min-hashes → 4 bands × 3 →
-  *                band-equality self-join → exact Jaccard verify ≥ 0.8.
+  *  - MinHash+LSH: 3-token shingles → 12 universal min-hashes from one md5
+  *                per shingle → 4 bands × 3 → band-equality self-join →
+  *                exact Jaccard verify ≥ 0.8.
   *  - SimHash:    32-bit signature from per-token md5 bit votes.
   *  - n-gram Jaccard: char-4-gram sets, blocked by (lang, length bucket),
-  *                Jaccard verify ≥ 0.6.
+  *                PPJoin prefix-filtered candidates, Jaccard verify ≥ 0.6.
   *  - embedding:  random-hyperplane LSH (16 planes, 2 bands × 8 bits) →
   *                cosine verify.
   *
