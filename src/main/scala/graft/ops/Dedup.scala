@@ -23,13 +23,14 @@ import graft.{QueryModule, Tables}
   *  - SimHash:    32-bit signature from per-token md5 bit votes.
   *  - n-gram Jaccard: char-4-gram sets, blocked by (lang, length bucket),
   *                PPJoin prefix-filtered candidates, Jaccard verify ≥ 0.6.
-  *  - embedding:  random-hyperplane LSH (16 planes, 2 bands × 8 bits) →
-  *                cosine verify.
+  *  - embedding:  random-hyperplane LSH ([[Similarity.bandedWithBits]]:
+  *                band width log-scaled with corpus size, skewed buckets
+  *                re-split at a population cap) → cosine verify.
   *
   * Determinism contract: every hash is md5 (identical in Spark and DuckDB),
-  * every "random" hyperplane derives from md5 parity at object init, and all
-  * pair outputs are (small_id, large_id)-oriented — so each query has an
-  * exact DuckDB oracle.
+  * every "random" hyperplane derives from md5 parity at object init
+  * ([[Similarity.hyperplanes]]), and all pair outputs are
+  * (small_id, large_id)-oriented — so each query has an exact DuckDB oracle.
   */
 object Dedup extends QueryModule {
 
@@ -39,22 +40,9 @@ object Dedup extends QueryModule {
   private val RowsPerBand = NumHashes / Bands
   private val JaccardT = 0.8
   private val GramJaccardT = 0.6
-  private[ops] val Planes = 16 // hyperplane LSH signature bits (shared with Similarity)
-  private val Dim = 64 // embedding dimensionality (FIXTURES.md §B)
   private val CosT = 0.4 // verify threshold; real pipelines use ~0.9 — the
   //                        synthetic fixture has no cluster structure, so a
   //                        lower cut keeps the verify path exercised.
-
-  /** ±1 hyperplane matrix derived from md5 parity — deterministic across
-    * JVMs/sessions (no RNG), and interpolated as literals into both the
-    * Spark plan and the oracle SQL so the two engines bucket identically.
-    */
-  private[ops] val hyperplanes: Array[Array[Double]] =
-    Array.tabulate(Planes, Dim) { (p, i) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$i".getBytes("UTF-8"))
-      if ((md(0) & 1) == 1) 1.0 else -1.0
-    }
 
   // ------------------------------------------------------------ primitives
 
@@ -83,10 +71,16 @@ object Dedup extends QueryModule {
     * high-cardinality, so the window partitioning is skew-free at any scale.
     */
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    // toks materialized as its own projection first: HOFs get no common-
+    // subexpression elimination, so referencing `toks` twice inside the
+    // null-guard expression would run the split+filter 2× per row (and
+    // CollapseProject keeps the two selects apart — the expression is not
+    // "cheap", so it is not re-inlined).
     val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
-        when(size(toks) <= 0, lit(null))
-          .otherwise(md5(concat_ws(" ", toks))).as("fp"))
+        when(size(col("toks")) <= 0, lit(null))
+          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
     val w = Window.partitionBy("fp")
     fp.withColumn("rnk", row_number().over(w.orderBy("doc_id")))
       .withColumn("dup_cnt", count(lit(1)).over(w))
@@ -270,18 +264,19 @@ object Dedup extends QueryModule {
 
   // ------------------------------------------- dd_embed_neardup
 
-  /** Embedding near-dup via random-hyperplane LSH: 16 sign bits → 2 bands of
-    * 8 → band-equality self-join → exact cosine verify, all on the shared
+  /** Embedding near-dup via random-hyperplane LSH: [[Similarity.banded]]
+    * sign-bit bands (width log-scaled with corpus size, skewed buckets
+    * re-split at the population cap — candidate pairs stay linear in n) →
+    * band-equality self-join → exact cosine verify, all on the shared
     * fixed-point integer vector path ([[Similarity.quantize]]/idot — exact
-    * BIGINT arithmetic, one IEEE division at the end). With clustered
-    * real-world embeddings the buckets stay tight; band width / count are
-    * the recall-vs-candidates dial (8-bit bands ≈ 0.49 recall at cos 0.9 —
-    * double the bands to trade candidates for recall).
+    * BIGINT arithmetic, one IEEE division at the end). Band width / count
+    * are the recall-vs-candidates dial (8-bit bands ≈ 0.49 recall at
+    * cos 0.9 — more bands trade candidates for recall).
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     // quantize+norm feeds banding and both verify sides; the banded rows
-    // feed both sides of the self-join (the 16-fold sig is the expensive
-    // bit) — persist both small intermediates.
+    // feed both sides of the self-join (the signature build is the
+    // expensive bit) — persist both small intermediates.
     val c = Similarity.corpus(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lng = Similarity.banded(c)

@@ -33,10 +33,71 @@ import graft.{QueryModule, Tables}
 object Similarity extends QueryModule {
 
   private val Scale = 1048576L // 2^20
-  private[ops] val Dim = 64
+  private[graft] val Dim = 64
   private val NumQueries = 8 // vec_id < 8 is the fixed demo query set
   private val TopK = 5
   private val GraphK = 3
+
+  // ------------------------------------------------- LSH banding parameters
+  //
+  // The hazard these exist to avoid: with a FIXED band width the bucket
+  // *count* is fixed, so bucket *population* grows linearly with the corpus
+  // and candidate pairs (Σ bucket²) grow QUADRATICALLY. Two mechanisms keep
+  // the candidate set linear in corpus size:
+  //
+  //  1. bits-per-band scales with log₂(corpus / TargetBucket): the bucket
+  //     count grows with the corpus, holding the EXPECTED population near
+  //     TargetBucket — expected pairs ≈ n·TargetBucket, i.e. linear.
+  //  2. a bucket-size cap with one-level re-split: any bucket whose observed
+  //     population exceeds BucketCap (data skew — clustered embeddings that
+  //     share a sign pattern) is re-split by ReBits extra signature bits,
+  //     cutting the skewed bucket into up to 2^ReBits sub-buckets.
+  //
+  // Both are mirrored verbatim in the DuckDB oracle SQL (the bits formula is
+  // an integer CASE ladder — no float log₂ in either engine, so the two
+  // sides can never disagree on a power-of-two boundary).
+  private[graft] val BandCount = 2
+  private[graft] val MinBandBits = 8 // = round-3 behavior at small SF
+  private[graft] val MaxBandBits = 24
+  private[graft] val TargetBucket = 16L // aimed-for expected bucket population
+  private[graft] val BucketCap = 32L // observed population that triggers re-split
+  private[graft] val ReBits = 8 // extra signature bits appended on re-split
+  private[graft] val MaxPlanes = BandCount * MaxBandBits + ReBits
+
+  /** ±1 hyperplane matrix derived from md5 parity — deterministic across
+    * JVMs/sessions (no RNG), and interpolated as literals into both the
+    * Spark plan and the oracle SQL so the two engines bucket identically.
+    * Only the first `BandCount·bits + ReBits` rows are used at any given
+    * corpus size.
+    */
+  private[ops] val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(MaxPlanes, Dim) { (p, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes("UTF-8"))
+      if ((md(0) & 1) == 1) 1.0 else -1.0
+    }
+
+  /** Smallest band width (within [MinBandBits, MaxBandBits]) such that the
+    * expected bucket population `n / 2^bits` is ≤ TargetBucket — i.e. bits
+    * grows with log₂(n), so candidate pairs stay ~n·TargetBucket (linear)
+    * instead of n²/2^bits (quadratic at fixed width). Integer arithmetic
+    * only; [[bandBitsCaseSql]] is the same ladder in SQL.
+    */
+  private[graft] def bandBits(n: Long): Int = {
+    var b = MinBandBits
+    while (b < MaxBandBits && n > TargetBucket * (1L << b)) b += 1
+    b
+  }
+
+  /** The [[bandBits]] ladder as a DuckDB CASE over `n` — exact integer
+    * thresholds, generated from the same constants.
+    */
+  private[ops] def bandBitsCaseSql: String = {
+    val clauses = (MinBandBits until MaxBandBits)
+      .map(b => s"WHEN n <= ${TargetBucket * (1L << b)} THEN $b")
+      .mkString(" ")
+    s"CASE $clauses ELSE $MaxBandBits END"
+  }
 
   // ------------------------------------------------------------ primitives
 
@@ -104,35 +165,59 @@ object Similarity extends QueryModule {
 
   // ----------------------------------------------------------- LSH banding
 
-  /** (vec_id, b_idx, band): 2 bands × 8 bits per vector, from 16 hyperplane
-    * sign bits against the shared deterministic ±1 planes
-    * ([[Dedup.hyperplanes]]) — signed integer sums of the quantized
-    * components, exact in both engines.
+  /** (vec_id, b_idx, band): [[BandCount]] bands of `bandBits(corpus size)`
+    * sign bits against the shared deterministic ±1 planes ([[hyperplanes]])
+    * — signed integer sums of the quantized components, exact in both
+    * engines. Oversize buckets (observed population > [[BucketCap]]) are
+    * re-split by [[ReBits]] extra signature bits, so skewed sign-pattern
+    * clusters can't produce a quadratic bucket-local self-join.
+    *
+    * The corpus count that picks the band width is one cheap job over the
+    * (persisted) corpus — the classic stats-then-plan step of an adaptive
+    * index build.
     *
     * Relational formulation (posexplode × broadcast plane table → grouped
-    * sums → ordered re-concat) instead of 16 per-row fold expressions: the
+    * sums → ordered re-concat) instead of per-row fold expressions: the
     * folds are interpreted HOF code and their generated classes dominate
     * cold time (2.2× measured); the grouped-sum shape is codegen'd with
     * map-side partials and produces bit-identical bands.
     */
-  private[ops] def banded(c: DataFrame): DataFrame = {
+  private[ops] def banded(c: DataFrame): DataFrame =
+    bandedWithBits(c, bandBits(c.count()))
+
+  /** [[banded]] at an explicit band width; `applyCap = false` exposes the
+    * pre-re-split banding (spec instrumentation).
+    */
+  private[graft] def bandedWithBits(c: DataFrame, bits: Int,
+      applyCap: Boolean = true): DataFrame = {
     import c.sparkSession.implicits._
-    val planes = Dedup.hyperplanes.zipWithIndex.flatMap { case (w, p) =>
+    val needed = BandCount * bits + ReBits
+    val planes = hyperplanes.take(needed).zipWithIndex.flatMap { case (w, p) =>
       w.zipWithIndex.map { case (v, i) => (p, i, v.toLong) }
     }.toSeq.toDF("p", "i", "w")
-    val bits = c.select(col("vec_id"), posexplode(col("vq")).as(Seq("i", "v")))
+    val bitc = c.select(col("vec_id"), posexplode(col("vq")).as(Seq("i", "v")))
       .join(broadcast(planes), "i")
       .groupBy("vec_id", "p")
       .agg(sum(col("v") * col("w")).as("dot"))
       .select(col("vec_id"), col("p"),
         when(col("dot") >= 0, lit("1")).otherwise(lit("0")).as("c"))
-    bits.groupBy("vec_id")
+    val lng0 = bitc.groupBy("vec_id")
       .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("c")))),
         x => x.getField("c")), "").as("sig"))
       .select(col("vec_id"), explode(array(
-        struct(lit(0).as("b_idx"), substring(col("sig"), 1, 8).as("band")),
-        struct(lit(1).as("b_idx"), substring(col("sig"), 9, 8).as("band")))).as("e"))
-      .select(col("vec_id"), col("e.b_idx").as("b_idx"), col("e.band").as("band"))
+        (0 until BandCount).map(b =>
+          struct(lit(b).as("b_idx"),
+            substring(col("sig"), 1 + b * bits, bits).as("band"))): _*)).as("e"),
+        substring(col("sig"), BandCount * bits + 1, ReBits).as("extra"))
+      .select(col("vec_id"), col("e.b_idx").as("b_idx"), col("e.band").as("band"),
+        col("extra"))
+    if (!applyCap) lng0.drop("extra")
+    else lng0
+      .withColumn("pop", count(lit(1)).over(Window.partitionBy("b_idx", "band")))
+      // extended bands are longer strings than plain ones — no collision
+      .withColumn("band", when(col("pop") > BucketCap,
+        concat(col("band"), col("extra"))).otherwise(col("band")))
+      .select("vec_id", "b_idx", "band")
   }
 
   // ----------------------------------------------------------- sim_lsh_topk
@@ -140,9 +225,10 @@ object Similarity extends QueryModule {
   /** Approximate top-5 for the same query set: candidates are only vectors
     * sharing ≥ 1 LSH band with the query (an equi-join on (b_idx, band) —
     * shuffle-partitioned by bucket, never all-pairs), then exact cosine
-    * re-rank. Bucket population scales as corpus/2^bits per band, so the
-    * candidate set — and the work — stays a small fixed fraction of a 100 TB
-    * corpus; more/narrower bands dial recall vs. candidates.
+    * re-rank. Expected bucket population is pinned near [[TargetBucket]] by
+    * the log-scaled band width (plus the skew cap), so per-query candidates
+    * stay O(BandCount·TargetBucket) at any corpus size; more/narrower bands
+    * dial recall vs. candidates.
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
@@ -171,8 +257,11 @@ object Similarity extends QueryModule {
 
   /** Corpus-wide approximate kNN graph: per-vector top-3 among same-band
     * candidates. The self-join is bucket-local (equi-join on (b_idx, band)),
-    * so total pairs ≈ Σ bucket² — linear in corpus size for fixed bucket
-    * width, not quadratic.
+    * so total pairs ≈ Σ bucket². With a FIXED band width that sum is
+    * quadratic in corpus size (fixed bucket count ⇒ population ∝ n); here
+    * the band width grows with log₂(n) ([[bandBits]]) holding expected
+    * population near [[TargetBucket]], and skew-heavy buckets re-split at
+    * [[BucketCap]] — so Σ bucket² ≈ n·TargetBucket stays linear.
     */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
@@ -202,8 +291,10 @@ object Similarity extends QueryModule {
     * component sums (posexplode → long-sum groupBy — order-independent,
     * partial-aggregated map-side), one double division at the end; then
     * every vector is assigned to its max-cosine centroid (10 centroids →
-    * broadcast, corpus never shuffles). `hit` reports whether the coarse
-    * quantizer recovers the generating label.
+    * broadcast; the argmax is a max_by hash aggregate whose map-side
+    * partial collapses the 10 scored rows per vector before the shuffle).
+    * `hit` reports whether the coarse quantizer recovers the generating
+    * label.
     */
   def ivfAssign(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -224,14 +315,19 @@ object Similarity extends QueryModule {
     val scored = e.join(broadcast(cent))
       .select(col("vec_id"), col("label"), col("c_label"),
         (dot / (sqrt(inorm2(col("vq")).cast("double")) * sqrt(cn2))).as("cos"))
+    // argmax via max_by under a hash aggregate (partial-agg'd map-side, no
+    // Exchange+sort of the 10×corpus scored rows, unlike a row_number
+    // window). Ordering (cos desc, c_label asc) becomes the max of
+    // struct(cos, -c_label) — labels are int32.
     scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_label").asc)))
-      .filter(col("rnk") === 1)
+      .groupBy("vec_id", "label")
+      .agg(max_by(
+        struct(col("c_label"), col("cos")),
+        struct(col("cos"), (-col("c_label")).as("neg"))).as("best"))
       .select(col("vec_id"), col("label"),
-        col("c_label").as("assigned"),
-        (col("label") === col("c_label")).as("hit"),
-        round(col("cos"), 6).as("cos_sim"))
+        col("best.c_label").as("assigned"),
+        (col("label") === col("best.c_label")).as("hit"),
+        round(col("best.cos"), 6).as("cos_sim"))
       .orderBy("vec_id")
   }
 
@@ -249,7 +345,7 @@ object Similarity extends QueryModule {
   private val n2 = "list_sum(list_apply(%s, x -> x * x))"
 
   /** ±1 plane rows as BIGINT lists — same constants as the Spark plan. */
-  private[ops] val planesSql = Dedup.hyperplanes.zipWithIndex.map { case (w, p) =>
+  private[ops] val planesSql = hyperplanes.zipWithIndex.map { case (w, p) =>
     s"($p, [${w.map(v => v.toLong.toString).mkString(", ")}])"
   }.mkString(",\n    ")
 
@@ -258,19 +354,32 @@ object Similarity extends QueryModule {
        |  SELECT vec_id, $vqSql AS vq, ${n2.format(vqSql)} AS nn FROM embeddings
        |)""".stripMargin
 
+  /** The exact SQL twin of [[bandedWithBits]] (cap applied): band width from
+    * the integer [[bandBitsCaseSql]] ladder over count(*), [[BandCount]]
+    * bands + [[ReBits]] extra bits, oversize buckets extended.
+    */
   private[ops] val bandSql =
     s"""w(p, wv) AS (VALUES
        |    $planesSql
+       |), prm AS (
+       |  SELECT $bandBitsCaseSql AS bits FROM (SELECT count(*) AS n FROM e)
        |), bit AS (
        |  SELECT vec_id, p,
        |    CASE WHEN list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT] * wv[(i + 1)::INT])) >= 0
        |      THEN '1' ELSE '0' END AS c
-       |  FROM e, w
+       |  FROM e, w, prm WHERE p < $BandCount * bits + $ReBits
        |), sg AS (
        |  SELECT vec_id, string_agg(c, '' ORDER BY p) AS s FROM bit GROUP BY vec_id
+       |), lng0 AS (
+       |  SELECT vec_id, r.b::INT AS b_idx,
+       |    substr(s, (1 + r.b * bits)::INT, bits::INT) AS band,
+       |    substr(s, ($BandCount * bits + 1)::INT, $ReBits) AS extra
+       |  FROM sg, prm, range($BandCount) r(b)
        |), lng AS (
-       |  SELECT vec_id, 0 AS b_idx, substr(s, 1, 8) AS band FROM sg
-       |  UNION ALL SELECT vec_id, 1, substr(s, 9, 8) FROM sg
+       |  SELECT vec_id, b_idx,
+       |    CASE WHEN count(*) OVER (PARTITION BY b_idx, band) > $BucketCap
+       |      THEN band || extra ELSE band END AS band
+       |  FROM lng0
        |)""".stripMargin
 
   private def rankSql(pairs: String, grp: String, other: String, k: Int) =

@@ -194,11 +194,13 @@ object TextOps extends QueryModule {
     // Zero-token docs → null fp, matching the oracle's string_agg-of-empty-
     // list NULL (md5(NULL) = NULL) instead of Spark's md5(''). `<= 0` also
     // covers NULL text, where size() returns -1 under legacy sizeOfNull.
-    val toks = tokens(col("text"))
+    // toks is its own projection: HOFs get no CSE, so the double reference
+    // inside the guard would otherwise tokenize every row twice.
     val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        when(size(toks) <= 0, lit(null))
-          .otherwise(md5(concat_ws(" ", toks))).as("fp"))
+        when(size(col("toks")) <= 0, lit(null))
+          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
     fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
       .orderBy("doc_id")
   }

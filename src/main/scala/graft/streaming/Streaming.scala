@@ -46,6 +46,40 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Unbounded view of the documents table (same file-stream shape as
+    * [[eventsStream]]): new document files landing under `dir` would stream
+    * in incrementally — the ingest path of a continuously-crawled corpus.
+    */
+  def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming twin of the batch `dd_exact` family: incremental exact dedup
+    * on the md5 token-stream fingerprint via
+    * `dropDuplicatesWithinWatermark` — the first document seen per
+    * fingerprint is emitted, later duplicates are dropped, and fingerprint
+    * state older than the watermark horizon is evicted (bounded state
+    * forever; a duplicate arriving beyond the horizon re-emits — the
+    * documented recall trade of watermarked dedup). The fixture has no
+    * ingest timestamp, so arrival time is synthesized deterministically
+    * from doc_id (1 s apart).
+    */
+  def dedupByFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) <= 0, lit(null))
+          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"),
+        // +1 day: a synthesized arrival of exactly epoch 0 (doc_id 0) is
+        // ≤ the stream's initial watermark and would be discarded as late
+        timestamp_seconds(col("doc_id") + lit(86400)).as("arrival"))
+      .withWatermark("arrival", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming twin of `ev_tumbling`: watermarked 1-hour tumbling windows.
     * The 2-hour watermark lets the state store evict every window older
     * than the stream's high-water mark minus 2 h — bounded state forever.

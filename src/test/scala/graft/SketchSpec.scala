@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Relational
+
+/** Hard gate for the sketch path: `q_approx_distinct` is declared rows-only
+  * (HLL estimates are engine-specific, so no DuckDB hash oracle), so this
+  * spec asserts the accuracy contract instead — the self-reported relative
+  * error of approx_count_distinct(rsd = 0.02) must stay within 2.5× the
+  * requested rsd (HLL++ rsd is a standard deviation, not a hard bound;
+  * 2.5 σ keeps the gate tight without flaking on sketch variance).
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def assertBound(dir: String): Unit = {
+    val rows = Relational.approxDistinct(spark, dir)
+      .select("o_orderpriority", "rel_err").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getDouble(1)
+      assert(err <= 0.05, s"group ${r.getString(0)}: rel_err $err > 0.05")
+    }
+  }
+
+  test("approx_count_distinct rel_err within 2.5x rsd at sf0.001") {
+    assertBound(TestSpark.sfDir)
+  }
+
+  test("approx_count_distinct rel_err within 2.5x rsd at sf0.01") {
+    assertBound("/root/testdata/sf0.01")
+  }
+}

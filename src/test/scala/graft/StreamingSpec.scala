@@ -99,6 +99,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming dedup keeps exactly one document per batch dd_exact fingerprint") {
+    // Which doc_id survives per fingerprint is arrival-order-dependent (the
+    // batch picks min doc_id; the stream picks first-processed), so the pin
+    // is on the fingerprint set: one survivor per fp, and the same fp set
+    // the batch dedup keeps.
+    val got = runToMemory(
+      Streaming.dedupByFingerprint(Streaming.documentsStream(spark, dir)),
+      "t_dedup", "append")
+      .select("fp").collect().map(r => Option(r.getString(0))).toSeq
+    assert(got.size === got.distinct.size, "a fingerprint was emitted twice")
+    val want = graft.ops.Dedup.exactDedup(spark, dir)
+      .select("fp").collect().map(r => Option(r.getString(0))).toSet
+    assert(got.toSet === want)
+  }
+
+  test("streaming dedup drops duplicates arriving in later micro-batches") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.ntile
+    val src = "/tmp/graft-dedup-src"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // chunked by doc_id so arrival time (synthesized from doc_id) advances
+    // monotonically across micro-batches — duplicates landing in a LATER
+    // batch must hit existing state and be dropped
+    val chunked = docs.withColumn("chunk", ntile(4).over(W.orderBy("doc_id")))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val got = runToMemory(Streaming.dedupByFingerprint(stream), "t_dedup_inc", "append")
+      .select("fp").collect().map(r => Option(r.getString(0))).toSeq
+    assert(got.size === got.distinct.size, "a cross-batch duplicate survived")
+    val want = graft.ops.Dedup.exactDedup(spark, dir)
+      .select("fp").collect().map(r => Option(r.getString(0))).toSet
+    assert(got.toSet === want)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
