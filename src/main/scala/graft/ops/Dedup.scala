@@ -57,12 +57,14 @@ object Dedup extends QueryModule {
       i => concat_ws(" ",
         element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
 
-  /** docs → (doc_id, sh: distinct shingle array). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  /** docs → (doc_id, carry..., sh: distinct shingle array). */
+  private def shingled(s: SparkSession, dir: String, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
     Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("toks"))
+      .select(keep :+ toks.as("toks"): _*)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(keep :+ shingles(col("toks")).as("sh"): _*)
+  }
 
   // ------------------------------------------------------------ dd_exact
 
@@ -129,6 +131,21 @@ object Dedup extends QueryModule {
       md5(concat_ws("|", hs: _*)).as(s"b$b")
     }
 
+  /** (doc_id, carry..., b_idx, band) MinHash band rows from a shingled
+    * frame — the shared candidate-generation core of [[minhashNearDup]] and
+    * [[decontaminate]].
+    */
+  private def bandLong(sh: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    sh.withColumn("words", shingleWords)
+      .select(keep ++ sigCols: _*)
+      .select(keep ++ bandCols: _*)
+      .select(keep :+ explode(array(
+        (0 until Bands).map(b =>
+          struct(lit(b).as("b_idx"), col(s"b$b").as("band"))): _*)).as("e"): _*)
+      .select(keep :+ col("e.b_idx").as("b_idx") :+ col("e.band").as("band"): _*)
+  }
+
   /** Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
     * Candidates come ONLY from band-hash equality (an equi-join on
     * (band_idx, band_hash) — shuffle-partitioned, no all-pairs work); the
@@ -140,13 +157,7 @@ object Dedup extends QueryModule {
     // re-tokenizing/re-shingling three times (the ngramJaccard lesson).
     val sh = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh.withColumn("words", shingleWords)
-      .select(col("doc_id") +: sigCols: _*)
-      .select(col("doc_id") +: bandCols: _*)
-    val lng = banded.select(col("doc_id"), explode(array(
-        (0 until Bands).map(b =>
-          struct(lit(b).as("b_idx"), col(s"b$b").as("band"))): _*)).as("e"))
-      .select(col("doc_id"), col("e.b_idx").as("b_idx"), col("e.band").as("band"))
+    val lng = bandLong(sh)
     val cand = lng.as("a").join(lng.as("b"),
         col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -163,6 +174,44 @@ object Dedup extends QueryModule {
       .filter(col("jac") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------- dd_decontaminate
+
+  /** Benchmark sources for [[decontaminate]] — the held-out eval corpus a
+    * pretraining pipeline must scrub from its training split.
+    */
+  private val BenchSources = (0 until 5).map(i => s"src$i")
+
+  /** Benchmark decontamination: training documents (source ∉ BenchSources)
+    * that near-duplicate ANY benchmark document (MinHash band equality →
+    * exact Jaccard ≥ [[JaccardT]] verify) are flagged with their match
+    * count and strongest match. Candidates come only from the band
+    * equi-join of the (large) training side against the (small) benchmark
+    * side — at scale the benchmark bands are the natural broadcast side,
+    * and the training corpus never self-joins.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir, carry = Seq("source"))
+      .withColumn("is_bench", col("source").isin(BenchSources: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lng = bandLong(sh, carry = Seq("is_bench"))
+    val cand = lng.filter(!col("is_bench")).as("t")
+      .join(lng.filter(col("is_bench")).as("b"),
+        col("t.b_idx") === col("b.b_idx") && col("t.band") === col("b.band"))
+      .select(col("t.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
+      .dropDuplicates("doc_id", "bench_id")
+    cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_t")), "doc_id")
+      .join(sh.select(col("doc_id").as("bench_id"), col("sh").as("sh_b")), "bench_id")
+      .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_t")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= JaccardT)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        round(max(col("jac")), 4).as("max_jaccard"))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------- dd_simhash
@@ -299,6 +348,7 @@ object Dedup extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (exactDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
+    "dd_decontaminate" -> (decontaminate(_, _)),
     "dd_simhash" -> (simhash(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccard(_, _)),
     "dd_embed_neardup" -> (embedNearDup(_, _)))
@@ -370,6 +420,46 @@ object Dedup extends QueryModule {
          |)
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM ver
          |WHERE jac >= $JaccardT ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    source IN (${BenchSources.map(x => s"'$x'").mkString(", ")}) AS is_bench,
+         |    list_distinct(list_apply(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+         |  FROM t WHERE len(toks) >= 3
+         |), sw AS (
+         |  SELECT doc_id, is_bench, sh, list_apply(sh, x ->
+         |    [('0x' || substr(md5(x), 1, 8))::BIGINT,
+         |     ('0x' || substr(md5(x), 9, 8))::BIGINT]) AS words
+         |  FROM s
+         |), sig AS (
+         |  SELECT doc_id, is_bench,
+         |    $mhSql
+         |  FROM sw
+         |), banded AS (
+         |  SELECT doc_id, is_bench,
+         |    $bandSql
+         |  FROM sig
+         |), lng AS (
+         |  ${(0 until Bands)
+               .map(b => s"SELECT doc_id, is_bench, $b AS b_idx, b$b AS band FROM banded")
+               .mkString("\n  UNION ALL ")}
+         |), cand AS (
+         |  SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+         |  FROM lng t JOIN lng b ON t.b_idx = b.b_idx AND t.band = b.band
+         |  WHERE NOT t.is_bench AND b.is_bench
+         |), ver AS (
+         |  SELECT cand.doc_id AS doc_id, bench_id,
+         |    len(list_intersect(st.sh, sb.sh))::DOUBLE /
+         |      (len(st.sh) + len(sb.sh) - len(list_intersect(st.sh, sb.sh))) AS jac
+         |  FROM cand
+         |  JOIN s st ON st.doc_id = cand.doc_id
+         |  JOIN s sb ON sb.doc_id = bench_id
+         |)
+         |SELECT doc_id, count(*) AS n_bench_matches, round(max(jac), 4) AS max_jaccard
+         |FROM ver WHERE jac >= $JaccardT GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH d AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

@@ -93,18 +93,27 @@ object Relational extends QueryModule {
     * (group, key) pair through the shuffle. Declared WITHOUT an oracle —
     * sketch estimates are engine-specific, so the driver records a rows-only
     * check; the rel_err column self-reports the sketch error against the
-    * exact count (≤ the 2% rsd requested).
+    * exact count (gated at 2.5× the 2% rsd by SketchSpec).
+    *
+    * The exact and approx aggregates are SEPARATE plans joined on the 5-row
+    * group key: in one agg, Spark's distinct-expansion rewrite would carry
+    * the ~3.3 KB HLL buffer on every (group, custkey) pair through the
+    * shuffle — sketch-bytes × distinct-keys traffic that defeats the entire
+    * point of the sketch. Split, the approx side ships one sketch per group
+    * per map partition and the exact side ships bare (group, key) pairs.
     */
-  def approxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy("o_orderpriority")
-      .agg(
-        countDistinct(col("o_custkey")).as("n_cust_exact"),
-        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_approx"))
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val exact = o.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust_exact"))
+    val approx = o.groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_approx"))
+    exact.join(approx, "o_orderpriority")
       .withColumn("rel_err",
         round(abs(col("n_cust_approx") - col("n_cust_exact"))
           / col("n_cust_exact"), 4))
       .orderBy("o_orderpriority")
+  }
 
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.

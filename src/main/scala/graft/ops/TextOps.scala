@@ -205,6 +205,47 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling — the training-data-mixing op:
+    * downsample the dominant language to 10 % and keep 50 % of the rest.
+    * The per-row uniform derives from md5 of the doc_id decimal string
+    * (identical in both engines) — no RNG, so the sample is reproducible,
+    * partition-count-independent, and stable under re-runs. Pure codegen'd
+    * filter: at 100 TB this is a single scan with no shuffle.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val rate = when(col("lang") === "en", lit(0.10)).otherwise(lit(0.50))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), u.as("u"), rate.as("rate"))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("lang"), round(col("u"), 6).as("u"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: assign each document to a fixed token-budget pack
+    * (2048 tokens) by the "concatenate then chunk" rule — a document's pack
+    * is the chunk its first token lands in. Packing runs per (lang, shard):
+    * the md5-derived 16-way shard keeps the running-sum window parallel (a
+    * per-lang window would hand each language's whole corpus to ONE task —
+    * the txt_term_freq cliff); at scale the shard count grows with the
+    * cluster and each shard's window state is a single running sum.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val Budget = 2048
+    val shard = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(16L))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("shard", shard)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(Budget.toDouble)).cast("long").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_distinct_tokens" -> (distinctTokens(_, _)),
     "txt_token_stats" -> (tokenStats(_, _)),
@@ -214,7 +255,9 @@ object TextOps extends QueryModule {
     "txt_langid" -> (languageId(_, _)),
     "txt_fingerprint" -> (fingerprints(_, _)),
     "txt_token_count" -> (tokenCount(_, _)),
-    "txt_rolling_fp" -> (rollingFingerprint(_, _)))
+    "txt_rolling_fp" -> (rollingFingerprint(_, _)),
+    "txt_sample_stratified" -> (stratifiedSample(_, _)),
+    "txt_pack" -> (packSequences(_, _)))
 
   private val toksSql = graft.OracleSql.toks("lower(text)")
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -295,6 +338,28 @@ object TextOps extends QueryModule {
          |    ELSE round(len(regexp_extract_all(lower(text), '$BpePattern'))::DOUBLE
          |      / len($toksSql), 4) END AS pieces_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_sample_stratified" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u,
+         |    CASE WHEN lang = 'en' THEN 0.10::DOUBLE ELSE 0.50::DOUBLE END AS rate
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, round(u, 6) AS u FROM s
+         |WHERE u < rate ORDER BY doc_id""".stripMargin,
+    "txt_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len($toksSql)::INT AS n_tokens,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
+         |  FROM d
+         |)
+         |SELECT doc_id, lang, shard, n_tokens,
+         |  floor((cum - n_tokens) / 2048.0)::BIGINT AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "txt_rolling_fp" ->
       """WITH h AS (
         |  SELECT doc_id,

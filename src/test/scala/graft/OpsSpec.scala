@@ -81,4 +81,49 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length === rows.length)
     assert(rows.forall { case (_, a) => a >= 0 && a <= 9 })
   }
+
+  test("txt_sample_stratified: deterministic, and strata hit their target rates") {
+    import spark.implicits._
+    val a = TextOps.stratifiedSample(spark, dir).select("doc_id").as[Long].collect().toSeq
+    val b = TextOps.stratifiedSample(spark, dir).select("doc_id").as[Long].collect().toSeq
+    assert(a === b) // hash-derived uniform — no RNG, rerun-stable
+    val totals = Tables.documents(spark, dir).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val kept = TextOps.stratifiedSample(spark, dir).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, n) =>
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      val target = if (lang == "en") 0.10 else 0.50
+      // binomial tolerance at the fixture's stratum sizes (n >= 64)
+      assert(math.abs(rate - target) < 0.2, s"$lang: got $rate want ~$target")
+    }
+  }
+
+  test("txt_pack: packs start below the budget boundary and cover every doc") {
+    import spark.implicits._
+    val Budget = 2048
+    val rows = TextOps.packSequences(spark, dir)
+      .select("lang", "shard", "n_tokens", "pack_id")
+      .as[(String, Long, Int, Long)].collect()
+    assert(rows.length === Tables.documents(spark, dir).count())
+    // reconstruct each (lang, shard) stream: a doc's start offset must lie
+    // inside its pack's [pack_id*B, (pack_id+1)*B) chunk
+    rows.groupBy(r => (r._1, r._2)).values.foreach { g =>
+      var off = 0L
+      // rows within a group arrive in doc_id order via the final orderBy
+      g.foreach { case (_, _, n, pack) =>
+        assert(pack === off / Budget, s"start offset $off landed in pack $pack")
+        off += n
+      }
+    }
+  }
+
+  test("dd_decontaminate flags only training docs, never benchmark docs") {
+    import spark.implicits._
+    val flagged = Dedup.decontaminate(spark, dir).select("doc_id").as[Long].collect().toSet
+    val bench = Tables.documents(spark, dir)
+      .filter(col("source").isin((0 until 5).map(i => s"src$i"): _*))
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.intersect(bench).isEmpty)
+  }
 }
