@@ -84,9 +84,17 @@ object RollingHash {
   * `spark.sql.extensions=graft.functions.GraftExtensions`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) =>
         RollingHash(children.head, RollingHash.DefaultBase, RollingHash.DefaultMod)))
+    e.injectFunction((FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (children: Seq[Expression]) => {
+        val n = children(1).eval().asInstanceOf[Number].intValue
+        NgramHashes(children.head, n,
+          NgramHashes.DefaultBase1, NgramHashes.DefaultBase2, NgramHashes.DefaultMod)
+      }))
+  }
 }

@@ -265,19 +265,24 @@ object Dedup extends QueryModule {
     * is subquadratic.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NgramHashes.register(s)
     val tx = lower(col("text"))
     val g = Tables.documents(s, dir)
       .filter(length(tx) >= 4)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 16).as("lb"),
-        // grams interned to 60-bit ints (first 15 md5 hex chars): the
-        // verify's array_intersect then hashes longs instead of strings and
-        // the candidate shuffle carries 8-byte ids — same set semantics
-        // (collision odds ~n²/2^61), invisible to the string-based oracle.
-        array_distinct(transform(
-          sequence(lit(1), length(tx) - 3),
-          i => conv(substring(md5(substr(tx, i, lit(4))), 1, 15), 16, 10).cast("long")))
-          .as("grams"))
+        // grams interned to 62-bit ints by the native codegen'd
+        // [[graft.functions.NgramHashes]] expression — ONE byte-loop pass
+        // instead of one md5 digest per character position (the digest cost
+        // scaled with document length; the query's floor is set by the two
+        // gram-table shuffles below, but the scan-stage CPU is now a flat
+        // two-level loop). The verify's array_intersect hashes longs
+        // instead of strings and the candidate shuffle carries 8-byte ids —
+        // same set semantics (two-lane collision odds ~n²/2^62). The oracle
+        // deliberately stays on RAW STRING grams: a collision would surface
+        // as a hash-compare mismatch, so the gate checks the semantics, not
+        // the interning.
+        array_distinct(expr("ngram_hashes(lower(text), 4)")).as("grams"))
       .withColumn("n", size(col("grams")))
       // g feeds three DAG branches (prefix build + both verify sides);
       // persisting saves two gram-array rebuilds — ~2.2× on the whole query.
