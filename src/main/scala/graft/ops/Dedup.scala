@@ -146,13 +146,14 @@ object Dedup extends QueryModule {
       .select(keep :+ col("e.b_idx").as("b_idx") :+ col("e.band").as("band"): _*)
   }
 
-  /** Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
-    * Candidates come ONLY from band-hash equality (an equi-join on
-    * (band_idx, band_hash) — shuffle-partitioned, no all-pairs work); the
-    * shingle arrays are re-joined by id afterwards so they cross the shuffle
-    * once per verified candidate, not once per band row.
+  /** Verified MinHash near-dup pairs (doc_a < doc_b, Jaccard ≥ [[JaccardT]])
+    * — the shared core of [[minhashNearDup]] and [[cluster]]. Candidates
+    * come ONLY from band-hash equality (an equi-join on (band_idx,
+    * band_hash) — shuffle-partitioned, no all-pairs work); the shingle
+    * arrays are re-joined by id afterwards so they cross the shuffle once
+    * per verified candidate, not once per band row.
     */
-  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // sh feeds the signature path AND both verify sides — persist to avoid
     // re-tokenizing/re-shingling three times (the ngramJaccard lesson).
     val sh = shingled(s, dir)
@@ -172,8 +173,66 @@ object Dedup extends QueryModule {
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jac") >= JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** Near-dup pairs via MinHash-LSH banding + exact Jaccard verify. */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+
+  // ---------------------------------------------------------- dd_cluster
+
+  /** Duplicate CLUSTERS from the verified near-dup PAIRS — the step a real
+    * dedup pipeline needs between pair detection and document removal:
+    * transitively group pairs into connected components and elect one
+    * canonical doc (the component's min doc_id) per cluster.
+    *
+    * Algorithm: iterative min-label propagation over the symmetric edge
+    * list — each round every node takes the min of its own label and its
+    * neighbors' labels (one equi-join on dst + one groupBy src + one join
+    * back per round, all shuffle-partitioned on high-cardinality ids).
+    * Rounds needed = graph diameter; LSH dedup components are near-cliques
+    * (every member pair usually shares a band), so this converges in 2–3
+    * rounds regardless of corpus size. For adversarial long-chain graphs
+    * the standard upgrade is pointer-doubling / small-star-large-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14 — public literature), which this loop structure accommodates
+    * without changing the driver contract.
+    *
+    * The driver-side loop only *schedules* jobs (one count per round for
+    * the convergence check); all data stays distributed.
+    */
+  def cluster(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
+      .persist(MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node")).agg(min("label").as("nbr_label"))
+      val next = labels.join(viaNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("chg"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.filter(col("chg")).count() // materializes next, THEN...
+      labels.unpersist() // ...the previous round's labels can go
+      labels = next.select("node", "label")
+    }
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------- dd_decontaminate
@@ -353,6 +412,7 @@ object Dedup extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (exactDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
+    "dd_cluster" -> (cluster(_, _)),
     "dd_decontaminate" -> (decontaminate(_, _)),
     "dd_simhash" -> (simhash(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -376,6 +436,46 @@ object Dedup extends QueryModule {
     .map(b => s"SELECT doc_id, $b AS b_idx, b$b AS band FROM banded")
     .mkString("\n  UNION ALL ")
 
+  /** Tokenize → shingle → MinHash → band join → exact-Jaccard verify as a
+    * CTE chain ending in `ver(doc_a, doc_b, jac)` — the exact SQL twin of
+    * [[minhashPairs]] (pre-threshold), shared by the dd_neardup and
+    * dd_cluster oracles.
+    */
+  private val neardupVerSql =
+    s"""t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, list_distinct(list_apply(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+       |  FROM t WHERE len(toks) >= 3
+       |), sw AS (
+       |  SELECT doc_id, sh, list_apply(sh, x ->
+       |    [('0x' || substr(md5(x), 1, 8))::BIGINT,
+       |     ('0x' || substr(md5(x), 9, 8))::BIGINT]) AS words
+       |  FROM s
+       |), sig AS (
+       |  SELECT doc_id, sh,
+       |    $mhSql
+       |  FROM sw
+       |), banded AS (
+       |  SELECT doc_id,
+       |    $bandSql
+       |  FROM sig
+       |), lng AS (
+       |  $bandLongSql
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM lng a JOIN lng b
+       |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.doc_id < b.doc_id
+       |), ver AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+       |  FROM cand
+       |  JOIN s sa ON sa.doc_id = doc_a
+       |  JOIN s sb ON sb.doc_id = doc_b
+       |)""".stripMargin
+
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -390,41 +490,25 @@ object Dedup extends QueryModule {
          |)
          |SELECT doc_id, fp, dup_cnt FROM g WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
     "dd_neardup" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents
-         |), s AS (
-         |  SELECT doc_id, list_distinct(list_apply(range(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
-         |  FROM t WHERE len(toks) >= 3
-         |), sw AS (
-         |  SELECT doc_id, sh, list_apply(sh, x ->
-         |    [('0x' || substr(md5(x), 1, 8))::BIGINT,
-         |     ('0x' || substr(md5(x), 9, 8))::BIGINT]) AS words
-         |  FROM s
-         |), sig AS (
-         |  SELECT doc_id, sh,
-         |    $mhSql
-         |  FROM sw
-         |), banded AS (
-         |  SELECT doc_id,
-         |    $bandSql
-         |  FROM sig
-         |), lng AS (
-         |  $bandLongSql
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM lng a JOIN lng b
-         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.doc_id < b.doc_id
-         |), ver AS (
-         |  SELECT doc_a, doc_b,
-         |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
-         |  FROM cand
-         |  JOIN s sa ON sa.doc_id = doc_a
-         |  JOIN s sb ON sb.doc_id = doc_b
-         |)
+      s"""WITH $neardupVerSql
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM ver
          |WHERE jac >= $JaccardT ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_cluster" ->
+      s"""WITH RECURSIVE $neardupVerSql, pr AS (
+         |  SELECT doc_a, doc_b FROM ver WHERE jac >= $JaccardT
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION SELECT doc_b, doc_a FROM pr
+         |), reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+         |), lab AS (
+         |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+         |)
+         |SELECT node AS doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "dd_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, $toksSql AS toks FROM documents

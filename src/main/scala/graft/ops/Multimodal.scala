@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryModule, Tables}
 
 /** A media asset: opaque payload bytes + typed metadata. The payload column
@@ -100,6 +101,36 @@ object Multimodal extends QueryModule {
         md5(col("frame")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  // --------------------------------------------------------- mm_frame_dedup
+
+  /** Chunk-level binary dedup: every 256-byte frame of every payload is
+    * fingerprinted, and each distinct frame gets one deterministic owner
+    * (min (doc_id, frame_idx)) plus its copy count — the video-segment /
+    * image-tile dedup a multimodal pipeline runs BELOW document granularity
+    * (whole-payload dedup misses assets that share most of their bytes).
+    * The frame fan-out is a generator inside the scan stage; the window
+    * partitions on the high-cardinality frame digest — skew-free, and the
+    * only shuffle carries (digest, doc, idx) rows, never the frame bytes.
+    */
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    val fr = assets(s, dir)
+      .select(col("doc_id"), col("payload"),
+        posexplode(sequence(lit(0),
+          ceil(length(col("payload")).cast("double") / FrameBytes).cast("int") - 1))
+          .as(Seq("pos", "frame_idx")))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+          .as("frame_md5"))
+    val w = Window.partitionBy("frame_md5")
+    fr.withColumn("rnk",
+        row_number().over(w.orderBy(col("doc_id"), col("frame_idx"))))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("rnk") === 1)
+      .select(col("frame_md5"), col("doc_id").as("first_doc"),
+        col("frame_idx").as("first_idx"), col("n_copies"))
+      .orderBy("first_doc", "first_idx")
+  }
+
   // ------------------------------------------------------------- mm_resize
 
   /** "Resize" stub: stride-4 byte downsampling — the deterministic stand-in
@@ -158,6 +189,7 @@ object Multimodal extends QueryModule {
     "mm_meta_stats" -> (metaStats(_, _)),
     "mm_decode_features" -> (decodeFeatures(_, _)),
     "mm_frame_sample" -> (frameSample(_, _)),
+    "mm_frame_dedup" -> (frameDedup(_, _)),
     "mm_resize" -> (resize(_, _)),
     "mm_typed_decode" -> (typedDecode(_, _)))
 
@@ -193,6 +225,24 @@ object Multimodal extends QueryModule {
          |SELECT doc_id, media_type, frame_idx,
          |  octet_length(frame::BLOB)::INT AS frame_bytes, md5(frame) AS frame_md5
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_frame_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    unnest(range(CAST(ceil(length(text)::DOUBLE / $FrameBytes) AS BIGINT))) AS i,
+         |    text
+         |  FROM documents
+         |), fr AS (
+         |  SELECT doc_id, i::INT AS frame_idx,
+         |    md5(substr(text, (i * $FrameBytes + 1)::INT, $FrameBytes)) AS frame_md5
+         |  FROM f
+         |), g AS (
+         |  SELECT frame_md5, doc_id, frame_idx,
+         |    row_number() OVER (PARTITION BY frame_md5 ORDER BY doc_id, frame_idx) AS rnk,
+         |    count(*) OVER (PARTITION BY frame_md5) AS n_copies
+         |  FROM fr
+         |)
+         |SELECT frame_md5, doc_id AS first_doc, frame_idx AS first_idx, n_copies
+         |FROM g WHERE rnk = 1 ORDER BY first_doc, first_idx""".stripMargin,
     "mm_resize" ->
       s"""WITH r AS (
          |  SELECT doc_id, $mtSql AS media_type, length(text) AS orig_bytes,

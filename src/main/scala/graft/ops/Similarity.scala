@@ -296,7 +296,12 @@ object Similarity extends QueryModule {
     * `hit` reports whether the coarse quantizer recovers the generating
     * label.
     */
-  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, label, vq, assigned, cos) — nearest-centroid assignment, the
+    * shared core of [[ivfAssign]] and [[kmeansStep]]: per-label centroids
+    * from exact integer component sums, broadcast, max-cosine argmax via a
+    * max_by hash aggregate.
+    */
+  private def assignments(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("vq"))
     val cent = e.select(col("label"), posexplode(col("vq")).as(Seq("pos", "v")))
@@ -313,7 +318,7 @@ object Similarity extends QueryModule {
       (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val cn2 = aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)
     val scored = e.join(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("c_label"),
+      .select(col("vec_id"), col("label"), col("vq"), col("c_label"),
         (dot / (sqrt(inorm2(col("vq")).cast("double")) * sqrt(cn2))).as("cos"))
     // argmax via max_by under a hash aggregate (partial-agg'd map-side, no
     // Exchange+sort of the 10×corpus scored rows, unlike a row_number
@@ -323,19 +328,47 @@ object Similarity extends QueryModule {
       .groupBy("vec_id", "label")
       .agg(max_by(
         struct(col("c_label"), col("cos")),
-        struct(col("cos"), (-col("c_label")).as("neg"))).as("best"))
-      .select(col("vec_id"), col("label"),
-        col("best.c_label").as("assigned"),
-        (col("label") === col("best.c_label")).as("hit"),
-        round(col("best.cos"), 6).as("cos_sim"))
-      .orderBy("vec_id")
+        struct(col("cos"), (-col("c_label")).as("neg"))).as("best"),
+        first(col("vq")).as("vq"))
+      .select(col("vec_id"), col("label"), col("vq"),
+        col("best.c_label").as("assigned"), col("best.cos").as("cos"))
   }
+
+  def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    assignments(s, dir)
+      .select(col("vec_id"), col("label"), col("assigned"),
+        (col("label") === col("assigned")).as("hit"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id")
+
+  // -------------------------------------------------------- sim_kmeans_step
+
+  /** One exact Lloyd iteration on top of the coarse quantizer: re-assign
+    * every vector to its max-cosine centroid ([[assignments]]), then emit
+    * the NEW per-cluster statistics — exact integer component sums + member
+    * counts, one row per (cluster, dim) — from which the next centroids are
+    * `sum_v / n_members`. Keeping the output in integer sums (not double
+    * means) keeps the whole step order-independent and bit-reproducible.
+    *
+    * Scale shape: posexplode fans each vector into [[Dim]] rows whose
+    * (cluster, pos) groupBy is partial-aggregated map-side — the shuffle
+    * carries at most |clusters|·Dim·partitions rows, independent of corpus
+    * size. This is exactly how a distributed k-means trainer folds a 100 TB
+    * corpus into kB of sufficient statistics per round.
+    */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame =
+    assignments(s, dir)
+      .select(col("assigned").as("cluster"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n_members"))
+      .orderBy("cluster", "pos")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> (bruteTopK(_, _)),
     "sim_lsh_topk" -> (lshTopK(_, _)),
     "sim_knn_graph" -> (knnGraph(_, _)),
-    "sim_ivf_assign" -> (ivfAssign(_, _)))
+    "sim_ivf_assign" -> (ivfAssign(_, _)),
+    "sim_kmeans_step" -> (kmeansStep(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -395,6 +428,30 @@ object Similarity extends QueryModule {
        |SELECT $grp, $other, rnk, round(cos, 6) AS cos_sim FROM ranked
        |WHERE rnk <= $k ORDER BY $grp, rnk""".stripMargin
 
+  /** Centroid build + nearest-centroid ranking as a CTE chain ending in
+    * `ranked(vec_id, label, vq, c_label, cos, rnk)` — the exact SQL twin of
+    * [[assignments]], shared by the sim_ivf_assign and sim_kmeans_step
+    * oracles.
+    */
+  private val assignSql =
+    s"""eq AS (
+       |  SELECT vec_id, label, $vqSql AS vq FROM embeddings
+       |), comp AS (
+       |  SELECT label, i, sum(vq[(i + 1)::INT]) AS sv, count(*) AS cnt
+       |  FROM eq, range($Dim) r(i) GROUP BY label, i
+       |), cent AS (
+       |  SELECT label AS c_label, list(sv::DOUBLE / cnt ORDER BY i) AS cv FROM comp GROUP BY label
+       |), scored AS (
+       |  SELECT vec_id, label, vq, c_label,
+       |    list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT]::DOUBLE * cv[(i + 1)::INT])) /
+       |      (sqrt(${n2.format("vq")}::DOUBLE) * sqrt(list_sum(list_apply(cv, x -> x * x)))) AS cos
+       |  FROM eq, cent
+       |), ranked AS (
+       |  SELECT vec_id, label, vq, c_label, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS rnk
+       |  FROM scored
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" ->
       s"""WITH $corpusSql, pairs AS (
@@ -425,24 +482,16 @@ object Similarity extends QueryModule {
          |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
          |), ${rankSql("pairs", "vec_id", "nbr_id", GraphK)}""".stripMargin,
     "sim_ivf_assign" ->
-      s"""WITH eq AS (
-         |  SELECT vec_id, label, $vqSql AS vq FROM embeddings
-         |), comp AS (
-         |  SELECT label, i, sum(vq[(i + 1)::INT]) AS sv, count(*) AS cnt
-         |  FROM eq, range($Dim) r(i) GROUP BY label, i
-         |), cent AS (
-         |  SELECT label AS c_label, list(sv::DOUBLE / cnt ORDER BY i) AS cv FROM comp GROUP BY label
-         |), scored AS (
-         |  SELECT vec_id, label, c_label,
-         |    list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT]::DOUBLE * cv[(i + 1)::INT])) /
-         |      (sqrt(${n2.format("vq")}::DOUBLE) * sqrt(list_sum(list_apply(cv, x -> x * x)))) AS cos
-         |  FROM eq, cent
-         |), ranked AS (
-         |  SELECT vec_id, label, c_label, cos,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS rnk
-         |  FROM scored
-         |)
+      s"""WITH $assignSql
          |SELECT vec_id, label, c_label AS assigned, label = c_label AS hit,
          |  round(cos, 6) AS cos_sim
-         |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin)
+         |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "sim_kmeans_step" ->
+      s"""WITH $assignSql, asg AS (
+         |  SELECT vec_id, c_label AS cluster, vq FROM ranked WHERE rnk = 1
+         |)
+         |SELECT cluster, i::INT AS pos,
+         |  sum(vq[(i + 1)::INT])::BIGINT AS sum_v, count(*) AS n_members
+         |FROM asg, range($Dim) r(i)
+         |GROUP BY cluster, i ORDER BY cluster, pos""".stripMargin)
 }

@@ -205,6 +205,39 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Top-3 terms per document by TF-IDF, with a DIVISION-ONLY idf:
+    * score = tf · (N / df). Rationale: `ln()` is not bit-reproducible
+    * across engines (java.lang.Math vs libm differ in the last ulp), while
+    * IEEE division and multiplication of integer-valued inputs are
+    * correctly rounded — so the score, and therefore the ranking, is
+    * bit-identical in Spark and DuckDB and the oracle can hash-compare.
+    * Monotonicity in (tf, 1/df) — all an extractive ranker uses — is
+    * unchanged.
+    *
+    * Scale shape: tf is a (doc_id, term) groupBy with map-side partials; df
+    * reduces tf again by term. The tf⋈df join keys on `term`, whose
+    * stopword skew is the textbook AQE-skew-join case (OptimizeSkewedJoin
+    * splits the hot partitions; df's build side stays small relative to
+    * tf). The per-doc top-3 window partitions on high-cardinality doc_id —
+    * no salting needed (≤ vocabulary-per-doc rows per partition). N comes
+    * from one count job at plan-build time (stats-then-plan, as in
+    * [[Similarity.banded]]).
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count().toDouble
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score", col("tf") * (lit(n) / col("df")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Deterministic stratified sampling — the training-data-mixing op:
     * downsample the dominant language to 10 % and keep 50 % of the rest.
     * The per-row uniform derives from md5 of the doc_id decimal string
@@ -256,6 +289,7 @@ object TextOps extends QueryModule {
     "txt_fingerprint" -> (fingerprints(_, _)),
     "txt_token_count" -> (tokenCount(_, _)),
     "txt_rolling_fp" -> (rollingFingerprint(_, _)),
+    "txt_tfidf" -> (tfidf(_, _)),
     "txt_sample_stratified" -> (stratifiedSample(_, _)),
     "txt_pack" -> (packSequences(_, _)))
 
@@ -338,6 +372,24 @@ object TextOps extends QueryModule {
          |    ELSE round(len(regexp_extract_all(lower(text), '$BpePattern'))::DOUBLE
          |      / len($toksSql), 4) END AS pieces_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+         |  GROUP BY doc_id, t
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), n AS (
+         |  SELECT count(*)::DOUBLE AS n FROM documents
+         |), ranked AS (
+         |  SELECT doc_id, term, tf, df,
+         |    tf * (n / df) AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * (n / df) DESC, term ASC)::INT AS rnk
+         |  FROM tf JOIN df USING (term), n
+         |)
+         |SELECT doc_id, term, tf, df, rnk, round(score, 6) AS tfidf
+         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "txt_sample_stratified" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang,

@@ -118,6 +118,95 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_cluster: components agree with the pair graph and elect min-id winners") {
+    import spark.implicits._
+    val pairs = Dedup.minhashNearDup(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val clusters = Dedup.cluster(spark, dir)
+      .select("doc_id", "cluster_id", "cluster_size").as[(Long, Long, Long)].collect()
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // exactly the paired docs are clustered, once each
+    assert(clusters.map(_._1).distinct.length === clusters.length)
+    assert(label.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // every edge's endpoints share a component
+    pairs.foreach { case (a, b) => assert(label(a) === label(b), s"edge ($a,$b) split") }
+    // the label IS the component min, and sizes match the grouping
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.forall(_._3 === members.length))
+    }
+    // reference union-find over the same edges → identical components
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = label.keySet.groupBy(find)
+      .map { case (_, m) => m.min -> m }.toMap
+    assert(clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap === expected)
+  }
+
+  test("sim_kmeans_step: sufficient statistics are exactly the per-cluster integer sums") {
+    import spark.implicits._
+    val assigned = Similarity.ivfAssign(spark, dir)
+      .select("vec_id", "assigned").as[(Long, Int)].collect().toMap
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val expect = scala.collection.mutable.Map[(Int, Int), (Long, Long)]() // (cluster,pos) -> (sum, n)
+    vecs.foreach { case (id, emb) =>
+      val c = assigned(id)
+      emb.zipWithIndex.foreach { case (x, pos) =>
+        val q = math.floor(x * (1L << 20)).toLong
+        val (s0, n0) = expect.getOrElse((c, pos), (0L, 0L))
+        expect((c, pos)) = (s0 + q, n0 + 1L)
+      }
+    }
+    val got = Similarity.kmeansStep(spark, dir)
+      .select("cluster", "pos", "sum_v", "n_members")
+      .as[(Int, Int, Long, Long)].collect()
+    assert(got.length === expect.size)
+    got.foreach { case (c, p, sv, n) =>
+      val (es, en) = expect((c, p))
+      assert(sv === es, s"cluster $c pos $p sum")
+      assert(n === en, s"cluster $c pos $p count")
+    }
+  }
+
+  test("txt_tfidf: ranks are 1..3 per doc with scores descending and tf·N/df exact") {
+    import spark.implicits._
+    val n = Tables.documents(spark, dir).count().toDouble
+    val rows = TextOps.tfidf(spark, dir)
+      .select("doc_id", "tf", "df", "rnk", "tfidf")
+      .as[(Long, Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, tf, df, _, score) =>
+      assert(math.abs(score - BigDecimal(tf * (n / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to byRank.length))
+      assert(byRank.length <= 3)
+      val scores = byRank.map(_._5)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("mm_frame_dedup: copy counts cover every frame and owners are unique digests") {
+    import spark.implicits._
+    val frames = Tables.documents(spark, dir)
+      .select(ceil(length(col("text")).cast("double") / 256).cast("long").as("nf"))
+      .agg(sum("nf")).head.getLong(0)
+    val rows = graft.ops.Multimodal.frameDedup(spark, dir)
+      .select("frame_md5", "n_copies").as[(String, Long)].collect()
+    assert(rows.map(_._1).distinct.length === rows.length) // one owner per digest
+    assert(rows.map(_._2).sum === frames) // every frame accounted for
+    assert(rows.exists(_._2 > 1)) // the fixture really has duplicate frames
+  }
+
   test("dd_decontaminate flags only training docs, never benchmark docs") {
     import spark.implicits._
     val flagged = Dedup.decontaminate(spark, dir).select("doc_id").as[Long].collect().toSet
