@@ -106,6 +106,32 @@ object Streaming {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Watermarked stream-stream INNER join (a self-join of the event
+    * stream): every purchase is attributed to the same user's clicks in the
+    * preceding hour — the funnel/attribution join. Both inputs carry
+    * watermarks and the join condition bounds event time from both sides,
+    * which is what lets the state store EVICT: a click older than
+    * (watermark − 1 h) can never match a future purchase, so join state
+    * stays bounded on an unbounded stream. Without the time bound the
+    * buffered sides grow forever — the canonical stream-join mistake.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("c_ts"), col("p_ts"), col("value"))
+  }
+
   private val GapUs = 30L * 60 * 1000000
 
   /** Hand-rolled sessionization through `flatMapGroupsWithState` — the

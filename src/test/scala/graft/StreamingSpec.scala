@@ -140,6 +140,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet === want)
   }
 
+  test("watermarked stream-stream join equals the batch interval self-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val got = runToMemory(
+      Streaming.clickPurchaseJoin(Streaming.eventsStream(spark, dir)),
+      "t_ssjoin", "append")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length, "a pair was emitted twice")
+    val ev = Tables.events(spark, dir)
+    val want = ev.filter(col("event_type") === "purchase").as("p")
+      .join(ev.filter(col("event_type") === "click").as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.ts") <= col("p.ts") &&
+          col("c.ts") >= col("p.ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p.event_id"), col("c.event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got.toSet === want)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
