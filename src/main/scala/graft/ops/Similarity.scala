@@ -106,23 +106,33 @@ object Similarity extends QueryModule {
     transform(emb.cast("array<double>"), x => floor(x * Scale))
 
   /** Exact integer dot product (sequential fold, but order-independent
-    * anyway since integer addition is associative).
+    * anyway since integer addition is associative). Backed by the native
+    * codegen'd [[graft.functions.ArrayDot]] expression — the HOF
+    * `aggregate(zip_with(...))` construction it replaces is CodegenFallback
+    * (interpreted lambda dispatch per candidate pair, plus an intermediate
+    * product array); identical null semantics and fold order, so oracle
+    * hashes are unchanged. Callers must hold a session where
+    * [[graft.functions.ArrayDot.register]] has run ([[corpus]] /
+    * [[assignments]] do this).
     */
   private[ops] def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function("array_dot", a, b)
 
+  /** Squared norm = `array_dot(a, a)` (see [[idot]]). */
   private[ops] def inorm2(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+    call_function("array_dot", a, a)
 
   /** cosine from integer dot/norms — one deterministic double expression. */
   private[ops] def cosine(dot: Column, na2: Column, nb2: Column): Column =
     dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
 
   /** (vec_id, vq, n2) — quantized corpus with precomputed squared norm. */
-  private[ops] def corpus(s: SparkSession, dir: String): DataFrame =
+  private[ops] def corpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayDot.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("vq"))
       .withColumn("n2", inorm2(col("vq")))
+  }
 
   /** Salted two-phase top-k per group: phase 1 takes a local top-k inside
     * each of 64 salt buckets (64·|groups| parallel window partitions),
@@ -302,6 +312,7 @@ object Similarity extends QueryModule {
     * max_by hash aggregate.
     */
   private def assignments(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayDot.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("vq"))
     val cent = e.select(col("label"), posexplode(col("vq")).as(Seq("pos", "v")))
@@ -313,10 +324,10 @@ object Similarity extends QueryModule {
         x => x.getField("c")).as("cv"))
       .select(col("label").as("c_label"), col("cv"))
     // double-vs-double cosine: both sides fold sequentially over 64 elements
-    // in both engines — deterministic.
-    val dot = aggregate(zip_with(col("vq").cast("array<double>"), col("cv"),
-      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val cn2 = aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)
+    // in both engines — deterministic (array_dot reproduces the HOF fold's
+    // sequential IEEE order exactly).
+    val dot = call_function("array_dot", col("vq").cast("array<double>"), col("cv"))
+    val cn2 = call_function("array_dot", col("cv"), col("cv"))
     val scored = e.join(broadcast(cent))
       .select(col("vec_id"), col("label"), col("vq"), col("c_label"),
         (dot / (sqrt(inorm2(col("vq")).cast("double")) * sqrt(cn2))).as("cos"))
