@@ -279,6 +279,110 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals: the fraction of tokens consumed by the
+    * single most frequent token, and the fraction of duplicate trigrams —
+    * the two cheapest filters against degenerate boilerplate / looping text.
+    *
+    * Scale shape: the trigram stats are per-row expressions (one scan, no
+    * shuffle — `array_distinct` is linear in doc length); the top-token count
+    * is relational (explode → (doc, token) groupBy with map-side partials →
+    * per-doc max) because a per-row O(len²) fold would blow up on long
+    * documents. Flags are computed from the ROUNDED ratios in both engines,
+    * so a boundary value can never split Spark from the oracle.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(s, dir))
+
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
+    def base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // trigrams = zip of the three shifted slices; slice length clamps at 0
+    // so docs with < 3 tokens yield an empty list, not an error
+    val triLen = greatest(size(col("toks")) - 2, lit(0))
+    val tri = zip_with(
+      zip_with(slice(col("toks"), lit(1), triLen),
+        slice(col("toks"), lit(2), triLen), (a, b) => concat_ws(" ", a, b)),
+      slice(col("toks"), lit(3), triLen), (ab, c) => concat_ws(" ", ab, c))
+    val perDoc = base
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), tri.as("tris"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("tris")).as("n_tri"),
+        size(array_distinct(col("tris"))).as("n_tri_distinct"))
+    val top = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_cnt"))
+    perDoc.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(coalesce(col("top_cnt"), lit(0L)).cast("double")
+          / greatest(col("n_tokens"), lit(1)), 4).as("top_token_frac"),
+        col("n_tri"),
+        when(col("n_tri") === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri"), 4))
+          .as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        col("top_token_frac") > 0.2 || col("dup_trigram_frac") > 0.3)
+      .orderBy("doc_id")
+  }
+
+  // PII patterns restricted to syntax Java regex and RE2 share (explicit
+  // character classes, no \d/\b/backrefs) so Spark and DuckDB match the
+  // same spans. Redaction order: emails first (their local parts can embed
+  // digit runs), then IPs, then phone shapes over the already-redacted text.
+  private[ops] val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[ops] val IpPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[ops] val PhonePat = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** PII scrubbing — per-document match counts for email / IPv4 / phone
+    * patterns plus the md5 of the fully redacted text (the downstream
+    * training corpus would persist the redacted text itself; the fingerprint
+    * keeps the oracle row narrow). Pure codegen'd regex expressions: at
+    * 100 TB this is a single scan, no shuffle, trivially partition-parallel.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables.documents(s, dir))
+
+  private[graft] def piiRedactOf(docs: DataFrame): DataFrame = {
+    val tx = lower(col("text"))
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(tx, lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(tx, lit(IpPat), lit(0))).as("n_ips"),
+        size(regexp_extract_all(tx, lit(PhonePat), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(tx,
+          EmailPat, "<EMAIL>"), IpPat, "<IP>"), PhonePat, "<PHONE>")).as("red_fp"))
+      .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** C4-style document filter battery: per-document heuristic flags (too
+    * short, implausible mean word length, code/boilerplate markers) and the
+    * resulting keep decision — the gate a pretraining pipeline applies
+    * before dedup. One scan, all flags codegen'd expressions; the keep
+    * decision is recomputed from the same flag expressions in the oracle so
+    * the two engines cannot disagree on the boundary.
+    */
+  def c4Filter(s: SparkSession, dir: String): DataFrame =
+    c4FilterOf(Tables.documents(s, dir))
+
+  private[graft] def c4FilterOf(docs: DataFrame): DataFrame = {
+    val f = docs
+      .select(col("doc_id"), lower(col("text")).as("tx"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(when(size(col("toks")) <= 0, lit(0.0)).otherwise(
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("toks"))), 4).as("mean_token_len"),
+        col("tx").contains("{").as("has_brace"),
+        col("tx").contains("javascript").as("has_js"),
+        col("tx").contains("lorem ipsum").as("has_lorem"))
+    f.withColumn("too_short", col("n_tokens") < 50)
+      .withColumn("bad_word_len",
+        col("mean_token_len") < 3.0 || col("mean_token_len") > 10.0)
+      .withColumn("keep",
+        !col("too_short") && !col("bad_word_len") &&
+          !col("has_brace") && !col("has_js") && !col("has_lorem"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_distinct_tokens" -> (distinctTokens(_, _)),
     "txt_token_stats" -> (tokenStats(_, _)),
@@ -291,7 +395,10 @@ object TextOps extends QueryModule {
     "txt_rolling_fp" -> (rollingFingerprint(_, _)),
     "txt_tfidf" -> (tfidf(_, _)),
     "txt_sample_stratified" -> (stratifiedSample(_, _)),
-    "txt_pack" -> (packSequences(_, _)))
+    "txt_pack" -> (packSequences(_, _)),
+    "txt_repetition" -> (repetition(_, _)),
+    "txt_pii_redact" -> (piiRedact(_, _)),
+    "txt_c4_filter" -> (c4Filter(_, _)))
 
   private val toksSql = graft.OracleSql.toks("lower(text)")
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -412,6 +519,66 @@ object TextOps extends QueryModule {
          |SELECT doc_id, lang, shard, n_tokens,
          |  floor((cum - n_tokens) / 2048.0)::BIGINT AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    "txt_repetition" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), per AS (
+         |  SELECT doc_id, len(toks)::INT AS n_tokens,
+         |    len(tris)::INT AS n_tri, len(list_distinct(tris))::INT AS n_tri_distinct
+         |  FROM (
+         |    SELECT doc_id, toks,
+         |      list_apply(range(1, greatest(len(toks) - 1, 1)),
+         |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tris
+         |    FROM d
+         |  )
+         |), top AS (
+         |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+         |    SELECT doc_id, t, count(*) AS cnt
+         |    FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY doc_id, t
+         |  ) GROUP BY doc_id
+         |), r AS (
+         |  SELECT per.doc_id, n_tokens,
+         |    round(coalesce(top_cnt, 0)::DOUBLE / greatest(n_tokens, 1), 4) AS top_token_frac,
+         |    n_tri,
+         |    CASE WHEN n_tri = 0 THEN 0.0
+         |      ELSE round(1.0 - n_tri_distinct::DOUBLE / n_tri, 4) END AS dup_trigram_frac
+         |  FROM per LEFT JOIN top ON per.doc_id = top.doc_id
+         |)
+         |SELECT doc_id, n_tokens, top_token_frac, n_tri, dup_trigram_frac,
+         |  (top_token_frac > 0.2 OR dup_trigram_frac > 0.3) AS repetitive
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "txt_pii_redact" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(lower(text), '$EmailPat'))::INT AS n_emails,
+         |    len(regexp_extract_all(lower(text), '$IpPat'))::INT AS n_ips,
+         |    len(regexp_extract_all(lower(text), '$PhonePat'))::INT AS n_phones,
+         |    md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |      '$EmailPat', '<EMAIL>', 'g'), '$IpPat', '<IP>', 'g'),
+         |      '$PhonePat', '<PHONE>', 'g')) AS red_fp
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_emails, n_ips, n_phones, red_fp,
+         |  n_emails + n_ips + n_phones AS n_pii
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "txt_c4_filter" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(toks)::INT AS n_tokens,
+         |    round(CASE WHEN len(toks) <= 0 THEN 0.0
+         |      ELSE list_sum(list_apply(toks, t -> length(t)))::DOUBLE / len(toks) END, 4)
+         |      AS mean_token_len,
+         |    contains(tx, '{') AS has_brace,
+         |    contains(tx, 'javascript') AS has_js,
+         |    contains(tx, 'lorem ipsum') AS has_lorem
+         |  FROM (SELECT doc_id, lower(text) AS tx, $toksSql AS toks FROM documents)
+         |)
+         |SELECT doc_id, n_tokens, mean_token_len, has_brace, has_js, has_lorem,
+         |  n_tokens < 50 AS too_short,
+         |  (mean_token_len < 3.0 OR mean_token_len > 10.0) AS bad_word_len,
+         |  (NOT (n_tokens < 50) AND NOT (mean_token_len < 3.0 OR mean_token_len > 10.0)
+         |    AND NOT has_brace AND NOT has_js AND NOT has_lorem) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "txt_rolling_fp" ->
       """WITH h AS (
         |  SELECT doc_id,
