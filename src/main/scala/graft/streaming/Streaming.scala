@@ -132,6 +132,25 @@ object Streaming {
         col("c_ts"), col("p_ts"), col("value"))
   }
 
+  /** Stream-static enrichment join: every purchase event is decorated with
+    * the (static) customer dimension — market segment and nation name via
+    * customer ⋈ nation. The stream side needs no watermark (static rows
+    * never expire) and the dimension is broadcast, so each micro-batch pays
+    * a map-side hash join with ZERO shuffle of the stream — the shape a
+    * 100 TB/day event feed needs when the dimension fits in executor
+    * memory. Left join keeps purchases from users outside the dimension
+    * (nulls flag referential gaps instead of silently dropping revenue).
+    */
+  def enrichedPurchases(s: SparkSession, dir: String, events: DataFrame): DataFrame = {
+    val dim = graft.Tables.customer(s, dir)
+      .join(graft.Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_name").as("nation"))
+    events.filter(col("event_type") === "purchase")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("c_mktsegment"), col("nation"))
+  }
+
   private val GapUs = 30L * 60 * 1000000
 
   /** Hand-rolled sessionization through `flatMapGroupsWithState` — the

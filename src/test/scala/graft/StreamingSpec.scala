@@ -160,6 +160,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet === want)
   }
 
+  test("stream-static enrichment join equals the batch dimension join") {
+    import spark.implicits._
+    val got = runToMemory(
+      Streaming.enrichedPurchases(spark, dir, Streaming.eventsStream(spark, dir)),
+      "t_enrich", "append")
+      .select("event_id", "user_id", "c_mktsegment", "nation")
+      .as[(Long, Long, Option[String], Option[String])].collect().toSet
+    val dim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_name").as("nation"))
+    val want = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .select("event_id", "user_id", "c_mktsegment", "nation")
+      .as[(Long, Long, Option[String], Option[String])].collect().toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    // the dimension actually enriched something (join keys overlap)
+    assert(got.exists(_._3.isDefined))
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
