@@ -44,7 +44,11 @@ object Bench {
     // 1.4 s), so the reported per-query number is the minimum over N runs —
     // the best observable floor — with every sample emitted for audit.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Optional comma-separated subset (hotspot iteration); default = all.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -374,12 +374,67 @@ object Similarity extends QueryModule {
       .agg(sum("v").as("sum_v"), count(lit(1)).as("n_members"))
       .orderBy("cluster", "pos")
 
+  // -------------------------------------------------------- sim_pq_encode
+
+  private val PqM = 8 // subspaces
+  private val PqSubDim = Dim / PqM
+
+  /** Product-quantization encoding — the compression half of an IVF-PQ ANN
+    * index: each vector splits into [[PqM]] contiguous subvectors, and each
+    * subvector is coded as the id of its nearest sub-codeword (min L2, ties
+    * to the lower label). The sub-codebooks here are the exact per-label
+    * centroids of [[assignments]] restricted to each subspace — the
+    * deterministic stand-in for a trained codebook (a Lloyd-trained one
+    * plugs into the same plan via [[kmeansStep]]).
+    *
+    * Scale shape: the 80 sub-codewords broadcast; the corpus expands ×M
+    * inside the scan stage (posexplode of slices — no shuffle) and the
+    * argmin is a min_by hash aggregate with map-side partials, so the only
+    * shuffle carries one (vec, m) row per subvector. Distances stay in the
+    * fixed-point domain: long components vs double centroids, squared-diff
+    * folded sequentially — bit-identical in both engines.
+    */
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("vq"))
+    val cent = Tables.embeddings(s, dir)
+      .select(col("label"), quantize(col("embedding")).as("vq"))
+      .select(col("label"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("c", col("sv").cast("double") / col("cnt"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+    def subSlices(arr: Column) = array(
+      (0 until PqM).map(m => slice(arr, m * PqSubDim + 1, PqSubDim)): _*)
+    val sub = e.select(col("vec_id"), posexplode(subSlices(col("vq"))).as(Seq("m", "sv")))
+    val csub = cent.select(col("c_label"),
+      posexplode(subSlices(col("cv"))).as(Seq("m", "cs")))
+    val dist = aggregate(
+      zip_with(col("sv").cast("array<double>"), col("cs"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    sub.join(broadcast(csub), "m")
+      .select(col("vec_id"), col("m"), col("c_label"), dist.as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("c_label"), col("dist")),
+        struct(col("dist"), col("c_label"))).as("best"))
+      // dist is in the squared fixed-point domain (~1e11) where a 4-decimal
+      // round is not engine-stable; dividing by Scale² = 2^40 is an EXACT
+      // exponent shift back to the unit domain, where round(·, 6) is.
+      .select(col("vec_id"), col("m"), col("best.c_label").as("code"),
+        round(col("best.dist") / lit(Scale.toDouble * Scale), 6).as("dist"))
+      .orderBy("vec_id", "m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> (bruteTopK(_, _)),
     "sim_lsh_topk" -> (lshTopK(_, _)),
     "sim_knn_graph" -> (knnGraph(_, _)),
     "sim_ivf_assign" -> (ivfAssign(_, _)),
-    "sim_kmeans_step" -> (kmeansStep(_, _)))
+    "sim_kmeans_step" -> (kmeansStep(_, _)),
+    "sim_pq_encode" -> (pqEncode(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -497,6 +552,36 @@ object Similarity extends QueryModule {
          |SELECT vec_id, label, c_label AS assigned, label = c_label AS hit,
          |  round(cos, 6) AS cos_sim
          |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "sim_pq_encode" ->
+      s"""WITH eq AS (
+         |  SELECT vec_id, label, $vqSql AS vq FROM embeddings
+         |), comp AS (
+         |  SELECT label, i, sum(vq[(i + 1)::INT]) AS sv, count(*) AS cnt
+         |  FROM eq, range($Dim) r(i) GROUP BY label, i
+         |), cent AS (
+         |  SELECT label AS c_label, list(sv::DOUBLE / cnt ORDER BY i) AS cv FROM comp GROUP BY label
+         |), sub AS (
+         |  SELECT vec_id, m,
+         |    list_apply(range($PqSubDim), i -> vq[(m * $PqSubDim + i + 1)::INT]) AS sv
+         |  FROM eq, range($PqM) r(m)
+         |), csub AS (
+         |  SELECT c_label, m,
+         |    list_apply(range($PqSubDim), i -> cv[(m * $PqSubDim + i + 1)::INT]) AS cs
+         |  FROM cent, range($PqM) r(m)
+         |), scored AS (
+         |  SELECT vec_id, sub.m, c_label,
+         |    list_sum(list_apply(
+         |      list_apply(range($PqSubDim), i -> sv[(i + 1)::INT]::DOUBLE - cs[(i + 1)::INT]),
+         |      d -> d * d)) AS dist
+         |  FROM sub JOIN csub ON sub.m = csub.m
+         |), ranked AS (
+         |  SELECT vec_id, m, c_label, dist,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c_label) AS rnk
+         |  FROM scored
+         |)
+         |SELECT vec_id, m::INT AS m, c_label AS code,
+         |  round(dist / ${Scale.toDouble * Scale}, 6) AS dist
+         |FROM ranked WHERE rnk = 1 ORDER BY vec_id, m""".stripMargin,
     "sim_kmeans_step" ->
       s"""WITH $assignSql, asg AS (
          |  SELECT vec_id, c_label AS cluster, vq FROM ranked WHERE rnk = 1

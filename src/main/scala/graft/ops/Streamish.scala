@@ -148,13 +148,52 @@ object Streamish extends QueryModule {
       .na.fill(0, EventTypes)
       .orderBy("day")
 
+  // --------------------------------------------------------------- ev_funnel
+
+  /** Ordered conversion funnel per user: first `view`, then the first
+    * `click` strictly after it, then the first `purchase` strictly after
+    * that — the classic product-analytics sequence query. `stage` is how
+    * far the user got (0–3).
+    *
+    * Scale shape: three filtered min-aggregates over the event log, each a
+    * scan with map-side partials down to one row per user, chained by
+    * broadcast joins of those per-user timestamps back onto the (filtered)
+    * stream — the corpus itself never shuffles, so the plan holds at
+    * 100 TB/day regardless of user cardinality (the per-user frames are
+    * the small side by construction).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val tView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val tClick = ev.filter(col("event_type") === "click")
+      .join(broadcast(tView), "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val tPurchase = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(tClick), "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    ev.select("user_id").distinct()
+      .join(tView, Seq("user_id"), "left")
+      .join(tClick, Seq("user_id"), "left")
+      .join(tPurchase, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_tumbling" -> (tumbling(_, _)),
     "ev_sliding" -> (sliding(_, _)),
     "ev_session" -> (sessions(_, _)),
     "ev_json" -> (jsonProps(_, _)),
-    "ev_asof" -> (asofJoin(_, _)))
+    "ev_asof" -> (asofJoin(_, _)),
+    "ev_funnel" -> (funnel(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -219,6 +258,31 @@ object Streamish extends QueryModule {
         |SELECT event_id, user_id, ts AS error_ts, last_click_ts,
         |  (epoch_us(ts) - epoch_us(last_click_ts))::DOUBLE / 1000000.0 AS gap_sec
         |FROM lk WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "ev_funnel" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts::TIMESTAMP) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT u.user_id, t_view, t_click, t_purchase,
+        |  CASE WHEN t_purchase IS NOT NULL THEN 3
+        |       WHEN t_click IS NOT NULL THEN 2
+        |       WHEN t_view IS NOT NULL THEN 1
+        |       ELSE 0 END AS stage
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "ev_json" ->
       """WITH e AS (
         |  SELECT user_id, value, json_extract_string(props, '$.k')::INT AS k FROM events

@@ -294,28 +294,34 @@ object TextOps extends QueryModule {
     repetitionOf(Tables.documents(s, dir))
 
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
-    def base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    // trigrams = zip of the three shifted slices; slice length clamps at 0
-    // so docs with < 3 tokens yield an empty list, not an error
-    val triLen = greatest(size(col("toks")) - 2, lit(0))
-    val tri = zip_with(
-      zip_with(slice(col("toks"), lit(1), triLen),
-        slice(col("toks"), lit(2), triLen), (a, b) => concat_ws(" ", a, b)),
-      slice(col("toks"), lit(3), triLen), (ab, c) => concat_ws(" ", ab, c))
-    val perDoc = base
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"), tri.as("tris"))
-      .select(col("doc_id"), col("n_tokens"),
-        size(col("tris")).as("n_tri"),
-        size(array_distinct(col("tris"))).as("n_tri_distinct"))
-    val top = base.select(col("doc_id"), explode(col("toks")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("top_cnt"))
-    perDoc.join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
+    // Fully relational: one posexplode feeds BOTH signal branches (persisted
+    // — the minhashPairs lesson). A per-row formulation (nested zip_with of
+    // shifted slices + array_distinct) was 4× slower measured at sf0.1:
+    // higher-order functions are CodegenFallback, so every token paid
+    // interpreted lambda dispatch; lead/groupBy stay inside codegen and the
+    // per-doc window partitions on high-cardinality doc_id.
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val triStats = tok
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t2"), col("t3")).as("tri"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), countDistinct("tri").as("n_tri_distinct"))
+    val top = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_cnt"), sum("cnt").as("n_tokens"))
+    docs.select("doc_id").distinct()
+      .join(top, Seq("doc_id"), "left")
+      .join(triStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).cast("int").as("n_tokens"),
         round(coalesce(col("top_cnt"), lit(0L)).cast("double")
-          / greatest(col("n_tokens"), lit(1)), 4).as("top_token_frac"),
-        col("n_tri"),
-        when(col("n_tri") === 0, lit(0.0)).otherwise(
+          / greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)), 4).as("top_token_frac"),
+        coalesce(col("n_tri"), lit(0L)).cast("int").as("n_tri"),
+        when(coalesce(col("n_tri"), lit(0L)) === 0, lit(0.0)).otherwise(
           round(lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri"), 4))
           .as("dup_trigram_frac"))
       .withColumn("repetitive",
