@@ -50,6 +50,15 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
+      // Queries that persist() intermediates leave them registered in the
+      // CacheManager after the write completes; across 60+ queries the
+      // leaked entries build memory pressure that inflates whichever
+      // queries run last (measured: txt_term_freq 3.3 s polluted vs 0.50 s
+      // clean). Dropping the cache BETWEEN queries keeps each measurement
+      // independent; reps of the SAME query share their cache (the plans
+      // are identical, so re-persist reuses the entry) — min-of-N measures
+      // the query's own warm path, not its neighbors' leftovers.
+      spark.catalog.clearCache()
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val err =
