@@ -92,6 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
       (children: Seq[Expression]) => {
+        require(children.length == 2, "ngram_hashes(text, n) takes 2 arguments")
+        require(children(1).foldable,
+          "ngram_hashes window size must be a literal")
         val n = children(1).eval().asInstanceOf[Number].intValue
         NgramHashes(children.head, n,
           NgramHashes.DefaultBase1, NgramHashes.DefaultBase2, NgramHashes.DefaultMod)

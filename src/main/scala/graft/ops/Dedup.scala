@@ -211,9 +211,14 @@ object Dedup extends QueryModule {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
+    // `cached` is always the frame persist() was called on; unpersisting a
+    // DERIVED projection (e.g. next.select(...)) silently no-ops (cascade-
+    // false unpersist requires sameResult), leaking one cached plan per
+    // round. Track the persisted handle separately from the working frame.
+    var cached = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .persist(MEMORY_AND_DISK)
+    var labels = cached
     var changed = 1L
     while (changed > 0) {
       val viaNbr = edges
@@ -225,7 +230,8 @@ object Dedup extends QueryModule {
           (col("nbr_label") < col("label")).as("chg"))
         .persist(MEMORY_AND_DISK)
       changed = next.filter(col("chg")).count() // materializes next, THEN...
-      labels.unpersist() // ...the previous round's labels can go
+      cached.unpersist() // ...the previous round's cached frame can go
+      cached = next
       labels = next.select("node", "label")
     }
     labels

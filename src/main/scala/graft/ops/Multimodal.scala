@@ -89,6 +89,10 @@ object Multimodal extends QueryModule {
     */
   def frameSample(s: SparkSession, dir: String): DataFrame =
     assets(s, dir)
+      // Empty payloads must emit zero frames: sequence(0, -1) defaults to
+      // step -1 and yields [0, -1] — two phantom frames the oracle's
+      // range(0) never generates. Filter them out before the generator.
+      .filter(length(col("payload")) > 0)
       .select(col("doc_id"), col("media_type"), col("payload"),
         posexplode(sequence(lit(0),
           ceil(length(col("payload")).cast("double") / FrameBytes).cast("int") - 1))
@@ -114,6 +118,9 @@ object Multimodal extends QueryModule {
     */
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
     val fr = assets(s, dir)
+      // Same empty-payload guard as frameSample: keep sequence() from
+      // emitting [0, -1] phantom frames on zero-length blobs.
+      .filter(length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"),
         posexplode(sequence(lit(0),
           ceil(length(col("payload")).cast("double") / FrameBytes).cast("int") - 1))

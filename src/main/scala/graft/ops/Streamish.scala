@@ -156,22 +156,23 @@ object Streamish extends QueryModule {
     * far the user got (0–3).
     *
     * Scale shape: three filtered min-aggregates over the event log, each a
-    * scan with map-side partials down to one row per user, chained by
-    * broadcast joins of those per-user timestamps back onto the (filtered)
-    * stream — the corpus itself never shuffles, so the plan holds at
-    * 100 TB/day regardless of user cardinality (the per-user frames are
-    * the small side by construction).
+    * scan with map-side partials down to one row per user, joined back onto
+    * the (filtered) stream on `user_id`. No broadcast hint: the per-user
+    * frames are one row per user, so at high user cardinality a forced
+    * broadcast would blow driver/executor memory — AQE picks broadcast when
+    * a side actually fits and a shuffled hash join (on the same high-
+    * cardinality user_id both sides already aggregate on) when it doesn't.
     */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
     val tView = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t_view"))
     val tClick = ev.filter(col("event_type") === "click")
-      .join(broadcast(tView), "user_id")
+      .join(tView, "user_id")
       .filter(col("ts") > col("t_view"))
       .groupBy("user_id").agg(min("ts").as("t_click"))
     val tPurchase = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(tClick), "user_id")
+      .join(tClick, "user_id")
       .filter(col("ts") > col("t_click"))
       .groupBy("user_id").agg(min("ts").as("t_purchase"))
     ev.select("user_id").distinct()
