@@ -415,6 +415,44 @@ object Dedup extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------------------------------------------- dd_passage_overlap
+
+  private val PassW = 5 // passage shingle width (tokens)
+
+  /** Cross-document duplicated-passage fraction — the "duplicate n-gram
+    * fraction" signal of C4/RefinedWeb-style corpus QA, and the passage
+    * granularity BELOW whole-document dedup: for each doc, the share of its
+    * distinct [[PassW]]-token shingles that also appear in at least one
+    * OTHER document (distinct-per-doc, so within-doc repetition — already
+    * measured by txt_repetition — cannot inflate it).
+    *
+    * Scale shape: shingles are md5-interned inside the scan stage (the
+    * shuffle carries fixed 32-byte digests, never token text), the
+    * cross-doc frequency is one hash groupBy on the high-cardinality
+    * digest with map-side partials, and the join back is an equi-join on
+    * that same digest — two shuffles total, both skew-free, no all-pairs
+    * work at any corpus size.
+    */
+  def passageOverlap(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= PassW)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - PassW),
+        i => md5(concat_ws(" ",
+          (0 until PassW).map(j => element_at(col("toks"), i + j + 1)): _*)))).as("ghs"))
+      .select(col("doc_id"), explode(col("ghs")).as("gh"))
+    // shingles are distinct per doc, so count(*) per digest = #docs holding it
+    val freq = g.groupBy("gh").agg(count(lit(1)).as("n_docs"))
+    g.join(freq, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (exactDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
@@ -422,7 +460,8 @@ object Dedup extends QueryModule {
     "dd_decontaminate" -> (decontaminate(_, _)),
     "dd_simhash" -> (simhash(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccard(_, _)),
-    "dd_embed_neardup" -> (embedNearDup(_, _)))
+    "dd_embed_neardup" -> (embedNearDup(_, _)),
+    "dd_passage_overlap" -> (passageOverlap(_, _)))
 
   // ---------------------------------------------------------- oracle SQL
 
