@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Small shared Column combinators used across operator modules. */
+object Exprs {
+
+  /** `sequence(from, to)` guarded for the degenerate range.
+    *
+    * Spark's `sequence()` defaults its step to -1 whenever `to < from`, so
+    * the natural "0 until n" generator `sequence(0, n - 1)` silently yields
+    * `[0, -1]` — two phantom elements — when `n == 0`. That bug class bit
+    * twice (Multimodal frame generators, commit ac425a4) because each call
+    * site carried its own guard five lines from the generator. This helper
+    * fuses guard and generator: `to < from` returns an EMPTY int array, so
+    * `posexplode` fans out zero rows and `transform` maps to an empty array
+    * — matching what DuckDB's half-open `range(n)` does for `n = 0`.
+    */
+  def boundedSequence(from: Column, to: Column): Column =
+    when(to >= from, sequence(from, to)).otherwise(array().cast("array<int>"))
+}

@@ -48,12 +48,13 @@ object Dedup extends QueryModule {
 
   private def toks: Column = TextOps.tokens(col("text"))
 
-  /** Distinct 3-token shingles. Caller must pre-filter size(toks) >= 3 —
-    * sequence() with end < start would count backwards.
+  /** Distinct 3-token shingles. Callers pre-filter size(toks) >= 3 (short
+    * docs are excluded from dedup output by contract); boundedSequence makes
+    * the generator itself safe regardless.
     */
   private def shingles(t: Column): Column =
     array_distinct(transform(
-      sequence(lit(1), size(t) - 2),
+      graft.functions.Exprs.boundedSequence(lit(1), size(t) - 2),
       i => concat_ws(" ",
         element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
 
@@ -426,22 +427,39 @@ object Dedup extends QueryModule {
     * OTHER document (distinct-per-doc, so within-doc repetition — already
     * measured by txt_repetition — cannot inflate it).
     *
-    * Scale shape: shingles are md5-interned inside the scan stage (the
-    * shuffle carries fixed 32-byte digests, never token text), the
-    * cross-doc frequency is one hash groupBy on the high-cardinality
-    * digest with map-side partials, and the join back is an equi-join on
-    * that same digest — two shuffles total, both skew-free, no all-pairs
-    * work at any corpus size.
+    * Scale shape: tokens posexplode once and shingle digests are built by a
+    * codegen'd md5 projection over lead() windows partitioned on the
+    * high-cardinality doc_id (skew-free); the per-doc distinct reuses that
+    * same partitioning (no extra exchange — hashpartitioning(doc_id)
+    * satisfies the (doc_id, gh) clustering); cross-doc frequency is one hash
+    * groupBy on the digest with map-side partials, and the join back is an
+    * equi-join on that digest. All shuffles carry fixed 32-byte digests,
+    * never token text; no all-pairs work at any corpus size.
     */
-  def passageOverlap(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= PassW)
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(0), size(col("toks")) - PassW),
-        i => md5(concat_ws(" ",
-          (0 until PassW).map(j => element_at(col("toks"), i + j + 1)): _*)))).as("ghs"))
-      .select(col("doc_id"), explode(col("ghs")).as("gh"))
+  def passageOverlap(s: SparkSession, dir: String): DataFrame =
+    passageOverlapOf(Tables.documents(s, dir))
+
+  private[graft] def passageOverlapOf(docs: DataFrame): DataFrame = {
+    // Fully relational shingle build (the txt_repetition shape, measured 15×
+    // over the md5-in-transform HOF formulation it replaces): posexplode
+    // once, lead(1..4) over the per-doc position window, then ONE codegen'd
+    // md5(concat_ws(...)) projection per shingle — no interpreted lambda
+    // dispatch, no per-row digest-array materialization. Docs shorter than
+    // PassW tokens drop out at the t5-null filter (same contract as the old
+    // size(toks) >= PassW guard). groupBy(doc_id, gh) gives the
+    // distinct-per-doc contract.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val g = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+      .withColumn("t4", lead("t", 3).over(w))
+      .withColumn("t5", lead("t", 4).over(w))
+      .filter(col("t5").isNotNull)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("t"), col("t2"), col("t3"), col("t4"), col("t5"))).as("gh"))
+      .distinct() // per-doc distinctness: within-doc repetition must not inflate dup_frac
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles are distinct per doc, so count(*) per digest = #docs holding it
     val freq = g.groupBy("gh").agg(count(lit(1)).as("n_docs"))
     g.join(freq, "gh")
@@ -625,6 +643,24 @@ object Dedup extends QueryModule {
          |)
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM pairs
          |WHERE jac >= $GramJaccardT ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_passage_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(list_apply(range(1, len(toks) - ${PassW - 2}),
+         |    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+         |             toks[i + 3] || ' ' || toks[i + 4]))) AS ghs
+         |  FROM t WHERE len(toks) >= $PassW
+         |), g AS (
+         |  SELECT doc_id, unnest(ghs) AS gh FROM s
+         |), freq AS (
+         |  SELECT gh, count(*) AS n_docs FROM g GROUP BY gh
+         |)
+         |SELECT g.doc_id, count(*) AS n_shingles,
+         |  sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+         |  round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+         |FROM g JOIN freq f ON g.gh = f.gh
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "dd_embed_neardup" ->
       s"""WITH ${Similarity.corpusSql}, ${Similarity.bandSql}, cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -89,12 +89,12 @@ object Multimodal extends QueryModule {
     */
   def frameSample(s: SparkSession, dir: String): DataFrame =
     assets(s, dir)
-      // Empty payloads must emit zero frames: sequence(0, -1) defaults to
-      // step -1 and yields [0, -1] — two phantom frames the oracle's
-      // range(0) never generates. Filter them out before the generator.
+      // Empty payloads must emit zero frames (the oracle's range(0) is
+      // empty): boundedSequence yields an empty array for them, and the
+      // filter prunes the blobs before the generator even runs.
       .filter(length(col("payload")) > 0)
       .select(col("doc_id"), col("media_type"), col("payload"),
-        posexplode(sequence(lit(0),
+        posexplode(graft.functions.Exprs.boundedSequence(lit(0),
           ceil(length(col("payload")).cast("double") / FrameBytes).cast("int") - 1))
           .as(Seq("pos", "frame_idx")))
       .filter(col("frame_idx") % FrameStride === 0)
@@ -118,11 +118,10 @@ object Multimodal extends QueryModule {
     */
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
     val fr = assets(s, dir)
-      // Same empty-payload guard as frameSample: keep sequence() from
-      // emitting [0, -1] phantom frames on zero-length blobs.
+      // Same empty-payload guard as frameSample.
       .filter(length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"),
-        posexplode(sequence(lit(0),
+        posexplode(graft.functions.Exprs.boundedSequence(lit(0),
           ceil(length(col("payload")).cast("double") / FrameBytes).cast("int") - 1))
           .as(Seq("pos", "frame_idx")))
       .select(col("doc_id"), col("frame_idx"),
@@ -150,7 +149,8 @@ object Multimodal extends QueryModule {
   def resize(s: SparkSession, dir: String): DataFrame = {
     val tx = col("text")
     val resized = array_join(transform(
-      sequence(lit(0), ceil(length(tx).cast("double") / FrameStride).cast("int") - 1),
+      graft.functions.Exprs.boundedSequence(
+        lit(0), ceil(length(tx).cast("double") / FrameStride).cast("int") - 1),
       i => substr(tx, i * FrameStride + 1, lit(1))), "")
     Tables.documents(s, dir)
       .select(col("doc_id"), mediaType(col("source")).as("media_type"),

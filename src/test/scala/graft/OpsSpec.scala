@@ -207,6 +207,27 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.exists(_._2 > 1)) // the fixture really has duplicate frames
   }
 
+  test("dd_passage_overlap: cross-doc shingles flag, within-doc repetition does not inflate dup_frac") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1 and 2 share the 5-token passage "alpha beta gamma delta epsilon"
+      (1L, "Alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon omega"),
+      // 3 repeats its own 5-token passage internally — must read as clean
+      (3L, "rep one two three four rep one two three four"),
+      // 4 is shorter than the passage width — excluded entirely
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageOverlapOf(docs)
+      .select("doc_id", "n_shingles", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0) === ((1L, 2L, 1L, 0.5))) // 2 distinct shingles, 1 shared
+    assert(out(1) === ((2L, 2L, 1L, 0.5)))
+    // 6 positional shingles but 5 distinct; the repeated one is NOT a dup
+    assert(out(2) === ((3L, 5L, 0L, 0.0)))
+  }
+
   test("dd_decontaminate flags only training docs, never benchmark docs") {
     import spark.implicits._
     val flagged = Dedup.decontaminate(spark, dir).select("doc_id").as[Long].collect().toSet
