@@ -242,6 +242,31 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- dd_survivors
+
+  /** THE dedup pipeline's terminal output: the keep-list. One canonical doc
+    * per near-dup cluster (the component's min doc_id, [[cluster]]'s
+    * winner) plus every document that matched no near-dup pair, each with
+    * the number of documents it stands for. `sum(n_merged)` = corpus size —
+    * the keep-list plus its merge counts is exactly the information a
+    * downstream training run needs (what to read, and how to re-weight if
+    * duplicates carry signal).
+    *
+    * Scale shape: [[cluster]]'s label propagation plus one left-anti join
+    * of the corpus ids against the (much smaller) clustered-node set —
+    * shuffle on high-cardinality doc_id, and at scale AQE broadcasts the
+    * clustered side.
+    */
+  def survivors(s: SparkSession, dir: String): DataFrame = {
+    val cl = cluster(s, dir)
+    val winners = cl.filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_size").as("n_merged"))
+    val singles = Tables.documents(s, dir).select("doc_id")
+      .join(cl.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("n_merged"))
+    winners.union(singles).orderBy("doc_id")
+  }
+
   // ---------------------------------------------- dd_decontaminate
 
   /** Benchmark sources for [[decontaminate]] — the held-out eval corpus a
@@ -475,6 +500,7 @@ object Dedup extends QueryModule {
     "dd_exact" -> (exactDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
     "dd_cluster" -> (cluster(_, _)),
+    "dd_survivors" -> (survivors(_, _)),
     "dd_decontaminate" -> (decontaminate(_, _)),
     "dd_simhash" -> (simhash(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -572,6 +598,27 @@ object Dedup extends QueryModule {
          |SELECT node AS doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+    "dd_survivors" ->
+      s"""WITH RECURSIVE $neardupVerSql, pr AS (
+         |  SELECT doc_a, doc_b FROM ver WHERE jac >= $JaccardT
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION SELECT doc_b, doc_a FROM pr
+         |), reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+         |), lab AS (
+         |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+         |), win AS (
+         |  SELECT cluster_id AS doc_id, count(*)::BIGINT AS n_merged
+         |  FROM lab GROUP BY cluster_id
+         |)
+         |SELECT doc_id, n_merged FROM win
+         |UNION ALL
+         |SELECT doc_id, 1::BIGINT AS n_merged FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM lab)
+         |ORDER BY doc_id""".stripMargin,
     "dd_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, $toksSql AS toks FROM documents

@@ -311,7 +311,11 @@ object Similarity extends QueryModule {
     * from exact integer component sums, broadcast, max-cosine argmax via a
     * max_by hash aggregate.
     */
-  private def assignments(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, label, vq, c_label, cos): every corpus vector scored against
+    * every (broadcast) centroid — the pre-argmax frame [[assignments]] and
+    * [[ivfTopK]]'s probe ranking both reduce.
+    */
+  private def scoredCentroids(s: SparkSession, dir: String): DataFrame = {
     graft.functions.ArrayDot.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("vq"))
@@ -328,14 +332,17 @@ object Similarity extends QueryModule {
     // sequential IEEE order exactly).
     val dot = call_function("array_dot", col("vq").cast("array<double>"), col("cv"))
     val cn2 = call_function("array_dot", col("cv"), col("cv"))
-    val scored = e.join(broadcast(cent))
+    e.join(broadcast(cent))
       .select(col("vec_id"), col("label"), col("vq"), col("c_label"),
         (dot / (sqrt(inorm2(col("vq")).cast("double")) * sqrt(cn2))).as("cos"))
+  }
+
+  private def assignments(s: SparkSession, dir: String): DataFrame = {
     // argmax via max_by under a hash aggregate (partial-agg'd map-side, no
     // Exchange+sort of the 10×corpus scored rows, unlike a row_number
     // window). Ordering (cos desc, c_label asc) becomes the max of
     // struct(cos, -c_label) — labels are int32.
-    scored
+    scoredCentroids(s, dir)
       .groupBy("vec_id", "label")
       .agg(max_by(
         struct(col("c_label"), col("cos")),
@@ -351,6 +358,53 @@ object Similarity extends QueryModule {
         (col("label") === col("assigned")).as("hit"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_id")
+
+  // ---------------------------------------------------------- sim_ivf_topk
+
+  private val NProbe = 3 // centroid lists each query probes
+
+  /** IVF search — the query half of the IVF index whose build half is
+    * [[ivfAssign]] (coarse quantizer) and [[pqEncode]] (compression): each
+    * query probes its [[NProbe]] nearest centroids' inverted lists and
+    * exact-cosine re-ranks only the vectors filed there. With balanced
+    * lists this scans ~NProbe/|centroids| of the corpus per query — the
+    * recall-vs-work dial of a production ANN serving path.
+    *
+    * Scale shape: centroids broadcast (|labels| rows); the corpus is filed
+    * into lists by the same map-side max_by argmax as [[ivfAssign]] (one
+    * shuffle of (vec, list) rows); the probe table is |Q|·NProbe rows —
+    * broadcast onto the lists as an equi-join on the list id (each corpus
+    * vector lives in exactly ONE list, so candidates need no dedup); the
+    * re-rank is the salted two-phase top-k. No stage ever holds more than a
+    * list's slice of the corpus.
+    */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val scored = scoredCentroids(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // inverted lists: every corpus vector under its argmax centroid
+    val lists = scored
+      .groupBy("vec_id")
+      .agg(max_by(col("c_label"), struct(col("cos"), (-col("c_label")).as("neg"))).as("cl"),
+        first(col("vq")).as("vq"))
+      .withColumn("n2", inorm2(col("vq")))
+    // probe set: the demo queries' NProbe best centroids (tiny: |Q|×|labels|
+    // rows reach the window, |Q|·NProbe survive)
+    val probe = scored.filter(col("vec_id") < NumQueries)
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_label").asc)))
+      .filter(col("prnk") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("c_label").as("cl"), col("vq").as("qv"))
+      .withColumn("qn2", inorm2(col("qv")))
+    val cand = lists.join(broadcast(probe), "cl")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(idot(col("vq"), col("qv")), col("n2"), col("qn2")).as("cos"))
+    topKPerGroup(cand, Seq("q_id"), "vec_id", TopK,
+        col("cos").desc, col("vec_id").asc)
+      .select(col("q_id"), col("vec_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
 
   // -------------------------------------------------------- sim_kmeans_step
 
@@ -433,6 +487,7 @@ object Similarity extends QueryModule {
     "sim_lsh_topk" -> (lshTopK(_, _)),
     "sim_knn_graph" -> (knnGraph(_, _)),
     "sim_ivf_assign" -> (ivfAssign(_, _)),
+    "sim_ivf_topk" -> (ivfTopK(_, _)),
     "sim_kmeans_step" -> (kmeansStep(_, _)),
     "sim_pq_encode" -> (pqEncode(_, _)))
 
@@ -481,17 +536,21 @@ object Similarity extends QueryModule {
        |  FROM lng0
        |)""".stripMargin
 
-  private def rankSql(pairs: String, grp: String, other: String, k: Int) =
-    s"""scored AS (
+  /** `pfx` disambiguates the CTE names when composed after a chain (e.g.
+    * [[assignSql]]) that already defines `scored` / `ranked`.
+    */
+  private def rankSql(pairs: String, grp: String, other: String, k: Int,
+      pfx: String = "") =
+    s"""${pfx}scored AS (
        |  SELECT $grp, $other,
        |    $dotSql::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) AS cos
        |  FROM $pairs
-       |), ranked AS (
+       |), ${pfx}ranked AS (
        |  SELECT $grp, $other, cos,
        |    row_number() OVER (PARTITION BY $grp ORDER BY cos DESC, $other ASC)::INT AS rnk
-       |  FROM scored
+       |  FROM ${pfx}scored
        |)
-       |SELECT $grp, $other, rnk, round(cos, 6) AS cos_sim FROM ranked
+       |SELECT $grp, $other, rnk, round(cos, 6) AS cos_sim FROM ${pfx}ranked
        |WHERE rnk <= $k ORDER BY $grp, rnk""".stripMargin
 
   /** Centroid build + nearest-centroid ranking as a CTE chain ending in
@@ -552,6 +611,17 @@ object Similarity extends QueryModule {
          |SELECT vec_id, label, c_label AS assigned, label = c_label AS hit,
          |  round(cos, 6) AS cos_sim
          |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH $assignSql, asg AS (
+         |  SELECT vec_id, c_label AS cl, vq FROM ranked WHERE rnk = 1
+         |), probe AS (
+         |  SELECT vec_id AS q_id, c_label AS cl, vq AS qv FROM ranked
+         |  WHERE vec_id < $NumQueries AND rnk <= $NProbe
+         |), pairs AS (
+         |  SELECT q_id, asg.vec_id, probe.qv AS va, asg.vq AS vb,
+         |    ${n2.format("probe.qv")} AS na, ${n2.format("asg.vq")} AS nb
+         |  FROM probe JOIN asg ON asg.cl = probe.cl AND asg.vec_id <> probe.q_id
+         |), ${rankSql("pairs", "q_id", "vec_id", TopK, pfx = "rr_")}""".stripMargin,
     "sim_pq_encode" ->
       s"""WITH eq AS (
          |  SELECT vec_id, label, $vqSql AS vq FROM embeddings

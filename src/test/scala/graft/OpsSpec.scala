@@ -228,6 +228,42 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 5L, 0L, 0.0)))
   }
 
+  test("dd_survivors: keep-list covers the corpus exactly once via merge counts") {
+    import spark.implicits._
+    val total = Tables.documents(spark, dir).count()
+    val surv = Dedup.survivors(spark, dir)
+      .select("doc_id", "n_merged").as[(Long, Long)].collect()
+    assert(surv.map(_._1).distinct.length === surv.length) // no doc kept twice
+    assert(surv.map(_._2).sum === total) // every doc stood-for exactly once
+    val clustered = Dedup.cluster(spark, dir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val kept = surv.map(_._1).toSet
+    clustered.foreach { case (doc, cid) =>
+      assert(kept.contains(doc) === (doc == cid)) // winners kept, members dropped
+    }
+  }
+
+  test("sim_ivf_topk: exact cosines agree with brute force on shared pairs") {
+    import spark.implicits._
+    val ivf = Similarity.ivfTopK(spark, dir)
+      .select("q_id", "vec_id", "rnk", "cos_sim").as[(Long, Long, Int, Double)].collect()
+    val brute = Similarity.bruteTopK(spark, dir)
+      .select("q_id", "vec_id", "cos_sim").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.size === 8)
+    byQ.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === (1 to g.length)) // dense ranks
+      val cs = g.sortBy(_._3).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }) // monotone
+    }
+    // both operators compute EXACT cosine over the same quantized vectors,
+    // so any pair surfaced by both must score identically
+    val shared = ivf.flatMap { case (q, v, _, c) => brute.get((q, v)).map(bc => (c, bc)) }
+    assert(shared.nonEmpty)
+    shared.foreach { case (ivfCos, bruteCos) => assert(ivfCos === bruteCos) }
+  }
+
   test("dd_decontaminate flags only training docs, never benchmark docs") {
     import spark.implicits._
     val flagged = Dedup.decontaminate(spark, dir).select("doc_id").as[Long].collect().toSet
