@@ -131,6 +131,21 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("n_orders"), sumd2(col("o_totalprice")).as("total"),
         grouping_id().as("gid"))
 
+  /** GROUPING SETS — arbitrary subtotal combinations in one shuffle,
+    * including the non-hierarchical one neither ROLLUP nor CUBE expresses
+    * here: the lone (linestatus) subtotal without its (returnflag, ...)
+    * parent, plus the grand total. Same single-Expand-plus-one-aggregate
+    * plan shape as rollup/cube — no per-set re-scan.
+    */
+  def groupingSetsPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sumd2(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+
   // ---------------------------------------------------------------- joins
 
   /** Star join with broadcast dims: lineitem (fact) joined to supplier,
@@ -325,6 +340,7 @@ object Relational extends QueryModule {
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
     "q_cube" -> (cubeOrders(_, _)),
+    "q_grouping_sets" -> (groupingSetsPricing(_, _)),
     "q_join_bcast" -> (joinBroadcast(_, _)),
     "q_join_stats" -> (joinStats(_, _)),
     "q_join_left" -> (joinLeft(_, _)),
@@ -376,6 +392,12 @@ object Relational extends QueryModule {
          |  ${sum2("o_totalprice")} AS total,
          |  grouping(o_orderstatus, o_orderpriority) AS gid
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+         |  ${sum2("l_quantity")} AS sum_qty,
+         |  grouping(l_returnflag, l_linestatus) AS gid
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
     "q_join_bcast" ->
       s"""SELECT n_name,
          |  CAST(sum($discSql) AS DOUBLE) AS revenue,

@@ -187,8 +187,38 @@ object Streamish extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------------------------ ev_retention
+
+  /** Daily cohort retention — the canonical product-analytics rollup: users
+    * cohorted by first-active day, then for every (cohort, day-offset) the
+    * count and share of the cohort active that day.
+    *
+    * Scale shape: the (user, day) activity set collapses first (partial-agg
+    * distinct — shuffle carries one row per user-day, not per event); first-
+    * active day is a map-side-combined min per user; the activity-to-cohort
+    * join keys on high-cardinality user_id (skew-free, AQE may broadcast
+    * the cohort side); the final (cohort, offset) aggregate is tiny. No
+    * stage ever groups by a low-cardinality key over raw events.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+    act.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active")) // act is distinct per (user, day)
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_n"),
+        round(col("n_active").cast("double") / col("cohort_n"), 4).as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_pivot" -> (pivotDaily(_, _)),
+    "ev_retention" -> (retention(_, _)),
     "ev_tumbling" -> (tumbling(_, _)),
     "ev_sliding" -> (sliding(_, _)),
     "ev_session" -> (sessions(_, _)),
@@ -205,6 +235,23 @@ object Streamish extends QueryModule {
           s"  count(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n") +
         """
           |FROM events GROUP BY day ORDER BY day""").stripMargin,
+    "ev_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+        |), sizes AS (
+        |  SELECT cohort_day, count(*) AS cohort_n FROM cohort GROUP BY cohort_day
+        |), a AS (
+        |  SELECT cohort_day, (day - cohort_day)::INT AS day_offset,
+        |    count(*) AS n_active
+        |  FROM act JOIN cohort USING (user_id)
+        |  GROUP BY cohort_day, day_offset
+        |)
+        |SELECT cohort_day, day_offset, n_active, cohort_n,
+        |  round(n_active::DOUBLE / cohort_n, 4) AS retention
+        |FROM a JOIN sizes USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "ev_tumbling" ->
       """WITH b AS (
         |  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 3600000000) * 3600000000) AS w_start,
