@@ -189,57 +189,80 @@ object Dedup extends QueryModule {
     * dedup pipeline needs between pair detection and document removal:
     * transitively group pairs into connected components and elect one
     * canonical doc (the component's min doc_id) per cluster.
-    *
-    * Algorithm: iterative min-label propagation over the symmetric edge
-    * list — each round every node takes the min of its own label and its
-    * neighbors' labels (one equi-join on dst + one groupBy src + one join
-    * back per round, all shuffle-partitioned on high-cardinality ids).
-    * Rounds needed = graph diameter; LSH dedup components are near-cliques
-    * (every member pair usually shares a band), so this converges in 2–3
-    * rounds regardless of corpus size. For adversarial long-chain graphs
-    * the standard upgrade is pointer-doubling / small-star-large-star
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SOCC'14 — public literature), which this loop structure accommodates
-    * without changing the driver contract.
-    *
-    * The driver-side loop only *schedules* jobs (one count per round for
-    * the convergence check); all data stays distributed.
+    * [[labelPropagate]] carries the algorithm; the driver-side loop only
+    * *schedules* jobs (one count per round for the convergence check) —
+    * all data stays distributed.
     */
   def cluster(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
-      .persist(MEMORY_AND_DISK)
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .persist(MEMORY_AND_DISK)
-    // `cached` is always the frame persist() was called on; unpersisting a
-    // DERIVED projection (e.g. next.select(...)) silently no-ops (cascade-
-    // false unpersist requires sameResult), leaking one cached plan per
-    // round. Track the persisted handle separately from the working frame.
-    var cached = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .persist(MEMORY_AND_DISK)
-    var labels = cached
-    var changed = 1L
-    while (changed > 0) {
-      val viaNbr = edges
-        .join(labels.select(col("node").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("node")).agg(min("label").as("nbr_label"))
-      val next = labels.join(viaNbr, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("chg"))
-        .persist(MEMORY_AND_DISK)
-      changed = next.filter(col("chg")).count() // materializes next, THEN...
-      cached.unpersist() // ...the previous round's cached frame can go
-      cached = next
-      labels = next.select("node", "label")
-    }
-    labels
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labelPropagate(pairs)._1
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
       .orderBy("doc_id")
+  }
+
+  /** Min-label connected components with POINTER DOUBLING, over an
+    * undirected pair list `(doc_a, doc_b)`. Returns (labels(node, label),
+    * rounds-to-converge).
+    *
+    * Each round does two monotone steps:
+    *  1. neighbor min — every node takes `min(own, neighbors')` (equi-join
+    *     on dst + groupBy src + join back, all shuffle-partitioned on
+    *     high-cardinality ids);
+    *  2. pointer jump — `label ← label[label]` (one self-equi-join on the
+    *     label value). Labels are always node ids, so the indirection is
+    *     total; jumping halves the remaining label-chain depth, cutting
+    *     rounds from O(diameter) to O(log diameter) — the hop-doubling
+    *     idea of Kiveris et al., "Connected Components in MapReduce and
+    *     Beyond" (SOCC'14, public literature).
+    *
+    * LSH dedup components are near-cliques and converge in 2–3 rounds
+    * either way; the jump is what keeps adversarial long chains (a 1000-doc
+    * plagiarism chain) from needing 1000 barriers. Both steps only ever
+    * LOWER labels toward the component minimum, so the fixpoint — nobody
+    * changes — is exactly "every node holds its component's min id".
+    */
+  private[graft] def labelPropagate(pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(MEMORY_AND_DISK)
+    // localCheckpoint (eager) per round: materializes the labels AND
+    // truncates plan lineage to a LogicalRDD. Without it each round's plan
+    // embeds the previous round's TWICE (stepped feeds both sides of the
+    // jump join) — exponential plan growth that OOMs the driver around
+    // round 8. Old rounds' blocks are freed by the ContextCleaner once
+    // unreferenced. (On a real cluster with executor churn, swap for
+    // reliable checkpoint() to a cluster store — localCheckpoint trades
+    // fault tolerance for speed.)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      val viaNbr = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node")).agg(min("label").as("nbr_label"))
+      val stepped = labels.join(viaNbr, Seq("node"), "left")
+        .select(col("node"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid"))
+      // node → mid mapping, re-keyed so joining on v.mid yields mid[mid[v]]
+      val ptr = stepped.select(col("node").as("ptr_node"), col("mid").as("ptr_label"))
+      val next = stepped
+        .join(ptr, stepped("mid") === ptr("ptr_node"), "left")
+        .select(col("node"),
+          least(col("mid"), coalesce(col("ptr_label"), col("mid"))).as("label"),
+          (least(col("mid"), coalesce(col("ptr_label"), col("mid")))
+            < col("old_label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select("node", "label")
+    }
+    (labels, rounds)
   }
 
   // ---------------------------------------------------------- dd_survivors

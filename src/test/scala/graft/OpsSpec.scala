@@ -228,6 +228,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 5L, 0L, 0.0)))
   }
 
+  test("labelPropagate: pointer doubling converges in O(log n) rounds on an adversarial chain") {
+    import spark.implicits._
+    // a 64-node path (the LSH-near-clique assumption's worst case) plus a
+    // second component to prove labels don't bleed across components
+    val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.labelPropagate(pairs)
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert((0L to 63L).forall(m(_) == 0L))
+    assert((100L to 110L).forall(m(_) == 100L))
+    // plain neighbor-min needs ~diameter (63) rounds here; the jump makes
+    // label-chain depth halve per round
+    assert(rounds <= 12, s"expected logarithmic convergence, took $rounds rounds")
+  }
+
   test("dd_survivors: keep-list covers the corpus exactly once via merge counts") {
     import spark.implicits._
     val total = Tables.documents(spark, dir).count()
