@@ -148,10 +148,13 @@ object Multimodal extends QueryModule {
     */
   def resize(s: SparkSession, dir: String): DataFrame = {
     val tx = col("text")
-    val resized = array_join(transform(
-      graft.functions.Exprs.boundedSequence(
-        lit(0), ceil(length(tx).cast("double") / FrameStride).cast("int") - 1),
-      i => substr(tx, i * FrameStride + 1, lit(1))), "")
+    // stride-4 sampling as ONE codegen'd regex pass: each greedy match
+    // consumes up to FrameStride chars and keeps the first ((?s): the dot
+    // must cross newlines). The transform(sequence(...), substr)
+    // formulation this replaces ran an interpreted lambda + string probe
+    // per kept char (HOFs are CodegenFallback) — measured ~2× slower at
+    // sf0.1 (1.26 s vs 0.64 s min-of-3).
+    val resized = regexp_replace(tx, s"(?s)(.).{0,${FrameStride - 1}}", "$1")
     Tables.documents(s, dir)
       .select(col("doc_id"), mediaType(col("source")).as("media_type"),
         length(tx).as("orig_bytes"),
