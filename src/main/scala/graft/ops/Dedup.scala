@@ -487,26 +487,32 @@ object Dedup extends QueryModule {
   def passageOverlap(s: SparkSession, dir: String): DataFrame =
     passageOverlapOf(Tables.documents(s, dir))
 
-  private[graft] def passageOverlapOf(docs: DataFrame): DataFrame = {
-    // Fully relational shingle build (the txt_repetition shape, measured 15×
-    // over the md5-in-transform HOF formulation it replaces): posexplode
-    // once, lead(1..4) over the per-doc position window, then ONE codegen'd
-    // md5(concat_ws(...)) projection per shingle — no interpreted lambda
-    // dispatch, no per-row digest-array materialization. Docs shorter than
-    // PassW tokens drop out at the t5-null filter (same contract as the old
-    // size(toks) >= PassW guard). groupBy(doc_id, gh) gives the
-    // distinct-per-doc contract.
+  /** Distinct [[PassW]]-token passage-shingle digests per doc:
+    * (doc_id, carry..., gh). Fully relational (the txt_repetition shape,
+    * measured 15× over the md5-in-transform HOF formulation it replaced):
+    * posexplode once, lead(1..4) over the per-doc position window, then ONE
+    * codegen'd md5(concat_ws(...)) projection per shingle — no interpreted
+    * lambda dispatch, no per-row digest-array materialization. Docs shorter
+    * than PassW tokens drop out at the last-lead-null filter. The distinct
+    * reuses the window's doc_id hash partitioning (no extra exchange) and
+    * gives the distinct-per-doc contract: within-doc repetition cannot
+    * inflate any downstream count.
+    */
+  private def passageShingles(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val g = docs
-      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
-      .withColumn("t2", lead("t", 1).over(w))
-      .withColumn("t3", lead("t", 2).over(w))
-      .withColumn("t4", lead("t", 3).over(w))
-      .withColumn("t5", lead("t", 4).over(w))
-      .filter(col("t5").isNotNull)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", col("t"), col("t2"), col("t3"), col("t4"), col("t5"))).as("gh"))
-      .distinct() // per-doc distinctness: within-doc repetition must not inflate dup_frac
+    val leads = (2 to PassW).map(i => lead("t", i - 1).over(w).as(s"t$i"))
+    docs
+      .select(keep :+ posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")): _*)
+      .select(keep ++ (col("t") +: leads): _*)
+      .filter(col(s"t$PassW").isNotNull)
+      .select(keep :+ md5(concat_ws(" ",
+        col("t") +: (2 to PassW).map(i => col(s"t$i")): _*)).as("gh"): _*)
+      .distinct()
+  }
+
+  private[graft] def passageOverlapOf(docs: DataFrame): DataFrame = {
+    val g = passageShingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles are distinct per doc, so count(*) per digest = #docs holding it
     val freq = g.groupBy("gh").agg(count(lit(1)).as("n_docs"))
@@ -519,6 +525,37 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------- dd_passage_decontaminate
+
+  /** Passage-level benchmark decontamination — the GPT-3/PaLM-style n-gram
+    * collision scrub, one granularity FINER than [[decontaminate]]'s
+    * whole-document MinHash: a training document is contaminated if any of
+    * its [[PassW]]-token shingles appears verbatim in any benchmark
+    * document. Reports every contaminated training doc with its collision
+    * count and contaminated-shingle fraction (the retain-vs-drop dial).
+    *
+    * Scale shape: both sides reduce to distinct (doc, digest) rows inside
+    * [[passageShingles]]; the benchmark digest set collapses to DISTINCT
+    * digests (tiny — the eval corpus) and the flagging is one equi-join of
+    * the training digests against it (at scale AQE broadcasts the bench
+    * side), followed by one per-doc aggregate. The training corpus never
+    * self-joins, and no shuffle carries token text.
+    */
+  def passageDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val g = passageShingles(Tables.documents(s, dir), carry = Seq("source"))
+      .withColumn("is_bench", col("source").isin(BenchSources: _*))
+    val benchSet = g.filter(col("is_bench")).select("gh").distinct()
+    g.filter(!col("is_bench"))
+      .join(benchSet.withColumn("hit", lit(1L)), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .filter(col("n_contaminated") >= 1)
+      .withColumn("contam_frac",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (exactDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
@@ -528,7 +565,8 @@ object Dedup extends QueryModule {
     "dd_simhash" -> (simhash(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccard(_, _)),
     "dd_embed_neardup" -> (embedNearDup(_, _)),
-    "dd_passage_overlap" -> (passageOverlap(_, _)))
+    "dd_passage_overlap" -> (passageOverlap(_, _)),
+    "dd_passage_decontaminate" -> (passageDecontaminate(_, _)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -731,6 +769,28 @@ object Dedup extends QueryModule {
          |  round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
          |FROM g JOIN freq f ON g.gh = f.gh
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "dd_passage_decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, source IN (${BenchSources.map(x => s"'$x'").mkString(", ")}) AS is_bench,
+         |    list_distinct(list_apply(range(1, len(toks) - ${PassW - 2}),
+         |    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+         |             toks[i + 3] || ' ' || toks[i + 4]))) AS ghs
+         |  FROM t WHERE len(toks) >= $PassW
+         |), g AS (
+         |  SELECT doc_id, is_bench, unnest(ghs) AS gh FROM s
+         |), bench AS (
+         |  SELECT DISTINCT gh FROM g WHERE is_bench
+         |)
+         |SELECT g.doc_id, count(*) AS n_shingles,
+         |  sum(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+         |  round(sum(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS contam_frac
+         |FROM g LEFT JOIN bench ON g.gh = bench.gh
+         |WHERE NOT g.is_bench
+         |GROUP BY g.doc_id HAVING n_contaminated >= 1
+         |ORDER BY g.doc_id""".stripMargin,
     "dd_embed_neardup" ->
       s"""WITH ${Similarity.corpusSql}, ${Similarity.bandSql}, cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -287,4 +287,16 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(flagged.intersect(bench).isEmpty)
   }
+
+  test("dd_passage_decontaminate flags only training docs and bounds contam_frac") {
+    import spark.implicits._
+    val rows = graft.ops.Dedup.passageDecontaminate(spark, dir)
+      .select("doc_id", "contam_frac").as[(Long, Double)].collect()
+    assert(rows.nonEmpty) // the fixture really has cross-source passage reuse
+    val bench = Tables.documents(spark, dir)
+      .filter(col("source").isin((0 until 5).map(i => s"src$i"): _*))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet.intersect(bench).isEmpty)
+    assert(rows.forall { case (_, f) => f > 0.0 && f <= 1.0 })
+  }
 }
