@@ -216,9 +216,44 @@ object Streamish extends QueryModule {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // ------------------------------------------------------------- ev_anomaly
+
+  /** Daily traffic anomalies per event_type: z-score of each day's event
+    * count against that type's 30-day distribution, flagged at |z| > 2 —
+    * the basic ops-monitoring query every event pipeline runs.
+    *
+    * Determinism: mean and variance come from EXACT integer sufficient
+    * statistics (Σn, Σn² as BIGINTs — order-independent) with population
+    * variance computed in one fixed double expression at the end, so Spark
+    * and DuckDB can never disagree on an aggregation order. A
+    * stddev_samp-style streaming accumulation would not be cross-engine
+    * reproducible.
+    *
+    * Scale shape: the daily rollup partial-aggregates map-side (shuffle
+    * carries (type, day, partial) rows, not events); the per-type stats
+    * frame is |types| rows — broadcast onto the dailies.
+    */
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("days"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("sn2"))
+    val mean = col("sn").cast("double") / col("days")
+    val variance = col("sn2").cast("double") / col("days") - mean * mean
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        when(variance > 0, (col("n") - mean) / sqrt(variance)).otherwise(lit(0.0)))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("z"), 4).as("z"), (abs(col("z")) > 2).as("anomalous"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
+    "ev_anomaly" -> (anomaly(_, _)),
     "ev_tumbling" -> (tumbling(_, _)),
     "ev_sliding" -> (sliding(_, _)),
     "ev_session" -> (sessions(_, _)),
@@ -235,6 +270,24 @@ object Streamish extends QueryModule {
           s"  count(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n") +
         """
           |FROM events GROUP BY day ORDER BY day""").stripMargin,
+    "ev_anomaly" ->
+      """WITH daily AS (
+        |  SELECT ts::TIMESTAMP::DATE AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY day, event_type
+        |), stats AS (
+        |  SELECT event_type, count(*) AS days, sum(n)::BIGINT AS sn,
+        |    sum(n * n)::BIGINT AS sn2
+        |  FROM daily GROUP BY event_type
+        |), z AS (
+        |  SELECT event_type, day, n,
+        |    CASE WHEN sn2::DOUBLE / days - (sn::DOUBLE / days) * (sn::DOUBLE / days) > 0
+        |      THEN (n - sn::DOUBLE / days) /
+        |        sqrt(sn2::DOUBLE / days - (sn::DOUBLE / days) * (sn::DOUBLE / days))
+        |      ELSE 0.0 END AS z
+        |  FROM daily JOIN stats USING (event_type)
+        |)
+        |SELECT event_type, day, n, round(z, 4) AS z, abs(z) > 2 AS anomalous
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "ev_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day FROM events
