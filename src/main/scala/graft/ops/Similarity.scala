@@ -315,26 +315,38 @@ object Similarity extends QueryModule {
     * every (broadcast) centroid — the pre-argmax frame [[assignments]] and
     * [[ivfTopK]]'s probe ranking both reduce.
     */
+  /** Per-group exact centroids from a (grp, vq) frame: integer component
+    * sums (order-independent, partial-aggregated map-side), one double
+    * division at the end → (c_label, cv).
+    */
+  private def centroidsBy(vecs: DataFrame, grp: String): DataFrame =
+    vecs.select(col(grp).as("g"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy("g", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("c", col("sv").cast("double") / col("cnt"))
+      .groupBy("g")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .select(col("g").as("c_label"), col("cv"))
+
+  /** Score every vector of `e` against every (broadcast) centroid.
+    * double-vs-double cosine: both sides fold sequentially over 64 elements
+    * in both engines — deterministic (array_dot reproduces the HOF fold's
+    * sequential IEEE order exactly).
+    */
+  private def scoreAgainst(e: DataFrame, cent: DataFrame): DataFrame = {
+    val dot = call_function("array_dot", col("vq").cast("array<double>"), col("cv"))
+    val cn2 = call_function("array_dot", col("cv"), col("cv"))
+    e.join(broadcast(cent))
+      .select(e.columns.map(col) :+ col("c_label") :+
+        (dot / (sqrt(inorm2(col("vq")).cast("double")) * sqrt(cn2))).as("cos"): _*)
+  }
+
   private def scoredCentroids(s: SparkSession, dir: String): DataFrame = {
     graft.functions.ArrayDot.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("vq"))
-    val cent = e.select(col("label"), posexplode(col("vq")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
-      .withColumn("c", col("sv").cast("double") / col("cnt"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("cv"))
-      .select(col("label").as("c_label"), col("cv"))
-    // double-vs-double cosine: both sides fold sequentially over 64 elements
-    // in both engines — deterministic (array_dot reproduces the HOF fold's
-    // sequential IEEE order exactly).
-    val dot = call_function("array_dot", col("vq").cast("array<double>"), col("cv"))
-    val cn2 = call_function("array_dot", col("cv"), col("cv"))
-    e.join(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("vq"), col("c_label"),
-        (dot / (sqrt(inorm2(col("vq")).cast("double")) * sqrt(cn2))).as("cos"))
+    scoreAgainst(e, centroidsBy(e, "label"))
   }
 
   private def assignments(s: SparkSession, dir: String): DataFrame = {
@@ -428,6 +440,47 @@ object Similarity extends QueryModule {
       .agg(sum("v").as("sum_v"), count(lit(1)).as("n_members"))
       .orderBy("cluster", "pos")
 
+  // ------------------------------------------------------- sim_kmeans_train
+
+  private val TrainIters = 2 // assignment rounds (centroids refit between)
+
+  /** The full Lloyd TRAINING LOOP ([[kmeansStep]] is one link of it):
+    * [[TrainIters]] assignment rounds with an exact-integer centroid refit
+    * between — assign under the label-seeded centroids, refit from the new
+    * clusters, re-assign. Emits the final per-vector cluster + cosine.
+    *
+    * Scale shape per round: centroids broadcast (|clusters| rows); the
+    * argmax is a map-side-partial max_by hash aggregate; the refit folds
+    * the corpus into |clusters|·Dim integer sufficient statistics. Nothing
+    * driver-side grows with the corpus, and with only a handful of rounds
+    * plan lineage stays trivially bounded (contrast
+    * [[Dedup.labelPropagate]], whose unbounded loop needs localCheckpoint).
+    */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayDot.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("vq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eLab = Tables.embeddings(s, dir)
+      .select(col("label"), quantize(col("embedding")).as("vq"))
+    var cent = centroidsBy(eLab, "label")
+    var asg: DataFrame = null
+    for (_ <- 1 to TrainIters) {
+      asg = scoreAgainst(e, cent)
+        .groupBy("vec_id")
+        .agg(max_by(
+          struct(col("c_label"), col("cos")),
+          struct(col("cos"), (-col("c_label")).as("neg"))).as("best"),
+          first(col("vq")).as("vq"))
+        .select(col("vec_id"), col("vq"),
+          col("best.c_label").as("assigned"), col("best.cos").as("cos"))
+      cent = centroidsBy(asg.select(col("assigned"), col("vq")), "assigned")
+    }
+    asg.select(col("vec_id"), col("assigned").as("cluster"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
   // -------------------------------------------------------- sim_pq_encode
 
   private val PqM = 8 // subspaces
@@ -489,6 +542,7 @@ object Similarity extends QueryModule {
     "sim_ivf_assign" -> (ivfAssign(_, _)),
     "sim_ivf_topk" -> (ivfTopK(_, _)),
     "sim_kmeans_step" -> (kmeansStep(_, _)),
+    "sim_kmeans_train" -> (kmeansTrain(_, _)),
     "sim_pq_encode" -> (pqEncode(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
@@ -652,6 +706,26 @@ object Similarity extends QueryModule {
          |SELECT vec_id, m::INT AS m, c_label AS code,
          |  round(dist / ${Scale.toDouble * Scale}, 6) AS dist
          |FROM ranked WHERE rnk = 1 ORDER BY vec_id, m""".stripMargin,
+    "sim_kmeans_train" ->
+      s"""WITH $assignSql, asg1 AS (
+         |  SELECT vec_id, c_label AS cl, vq FROM ranked WHERE rnk = 1
+         |), comp2 AS (
+         |  SELECT cl, i, sum(vq[(i + 1)::INT]) AS sv, count(*) AS cnt
+         |  FROM asg1, range($Dim) r(i) GROUP BY cl, i
+         |), cent2 AS (
+         |  SELECT cl AS c_label, list(sv::DOUBLE / cnt ORDER BY i) AS cv FROM comp2 GROUP BY cl
+         |), scored2 AS (
+         |  SELECT vec_id, c_label,
+         |    list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT]::DOUBLE * cv[(i + 1)::INT])) /
+         |      (sqrt(${n2.format("vq")}::DOUBLE) * sqrt(list_sum(list_apply(cv, x -> x * x)))) AS cos
+         |  FROM eq, cent2
+         |), ranked2 AS (
+         |  SELECT vec_id, c_label, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS rnk
+         |  FROM scored2
+         |)
+         |SELECT vec_id, c_label AS cluster, round(cos, 6) AS cos_sim
+         |FROM ranked2 WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "sim_kmeans_step" ->
       s"""WITH $assignSql, asg AS (
          |  SELECT vec_id, c_label AS cluster, vq FROM ranked WHERE rnk = 1
