@@ -498,30 +498,32 @@ object Similarity extends QueryModule {
     * inside the scan stage (posexplode of slices — no shuffle) and the
     * argmin is a min_by hash aggregate with map-side partials, so the only
     * shuffle carries one (vec, m) row per subvector. Distances stay in the
-    * fixed-point domain: long components vs double centroids, squared-diff
-    * folded sequentially — bit-identical in both engines.
+    * fixed-point domain and expand via the dot identity
+    * |a−b|² = a·a − 2·a·b + b·b over three native codegen'd [[idot]]-style
+    * folds — the `aggregate(zip_with(...))` squared-diff fold it replaces
+    * was CodegenFallback, an interpreted lambda per (vec, m, codeword)
+    * candidate (the plan's hot inner loop). Each dot folds sequentially in
+    * IEEE order and the oracle computes the SAME expression, so the two
+    * engines remain bit-identical.
     */
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayDot.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("vq"))
-    val cent = Tables.embeddings(s, dir)
-      .select(col("label"), quantize(col("embedding")).as("vq"))
-      .select(col("label"), posexplode(col("vq")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
-      .withColumn("c", col("sv").cast("double") / col("cnt"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("cv"))
-      .select(col("label").as("c_label"), col("cv"))
+    val cent = centroidsBy(
+      Tables.embeddings(s, dir)
+        .select(col("label"), quantize(col("embedding")).as("vq")), "label")
     def subSlices(arr: Column) = array(
       (0 until PqM).map(m => slice(arr, m * PqSubDim + 1, PqSubDim)): _*)
     val sub = e.select(col("vec_id"), posexplode(subSlices(col("vq"))).as(Seq("m", "sv")))
+      // per-subvector squared norm once per (vec, m), not per codeword
+      .withColumn("svd", col("sv").cast("array<double>"))
+      .withColumn("sn2", call_function("array_dot", col("svd"), col("svd")))
     val csub = cent.select(col("c_label"),
       posexplode(subSlices(col("cv"))).as(Seq("m", "cs")))
-    val dist = aggregate(
-      zip_with(col("sv").cast("array<double>"), col("cs"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+      .withColumn("cn2", call_function("array_dot", col("cs"), col("cs")))
+    val dist = col("sn2") - lit(2.0) * call_function("array_dot", col("svd"), col("cs")) +
+      col("cn2")
     sub.join(broadcast(csub), "m")
       .select(col("vec_id"), col("m"), col("c_label"), dist.as("dist"))
       .groupBy("vec_id", "m")
@@ -694,9 +696,9 @@ object Similarity extends QueryModule {
          |  FROM cent, range($PqM) r(m)
          |), scored AS (
          |  SELECT vec_id, sub.m, c_label,
-         |    list_sum(list_apply(
-         |      list_apply(range($PqSubDim), i -> sv[(i + 1)::INT]::DOUBLE - cs[(i + 1)::INT]),
-         |      d -> d * d)) AS dist
+         |    list_sum(list_apply(sv, x -> x::DOUBLE * x))
+         |      - 2 * list_sum(list_apply(range($PqSubDim), i -> sv[(i + 1)::INT]::DOUBLE * cs[(i + 1)::INT]))
+         |      + list_sum(list_apply(cs, x -> x * x)) AS dist
          |  FROM sub JOIN csub ON sub.m = csub.m
          |), ranked AS (
          |  SELECT vec_id, m, c_label, dist,
