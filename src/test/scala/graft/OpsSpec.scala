@@ -82,6 +82,32 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall { case (_, a) => a >= 0 && a <= 9 })
   }
 
+  test("sim_kmeans_train: refit never lowers the assigned cosine (Lloyd monotonicity)") {
+    import spark.implicits._
+    // mean cosine to the assigned centroid must not DECREASE after the
+    // trained re-assignment vs the initial label-centroid assignment — the
+    // cosine analogue of Lloyd's SSE monotonicity on this fixture
+    val init = Similarity.ivfAssign(spark, dir)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toMap
+    val trained = Similarity.kmeansTrain(spark, dir)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toMap
+    assert(trained.keySet === init.keySet)
+    val meanInit = init.values.sum / init.size
+    val meanTrained = trained.values.sum / trained.size
+    assert(meanTrained >= meanInit - 1e-9,
+      s"trained mean cos $meanTrained < initial $meanInit")
+  }
+
+  test("sim_ivf_topk: probing 3 of 10 lists recovers a sane share of brute-force truth") {
+    import spark.implicits._
+    val ivf = Similarity.ivfTopK(spark, dir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteTopK(spark, dir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall under nprobe=3/10") // deterministic fixture
+  }
+
   test("txt_sample_stratified: deterministic, and strata hit their target rates") {
     import spark.implicits._
     val a = TextOps.stratifiedSample(spark, dir).select("doc_id").as[Long].collect().toSeq
