@@ -250,10 +250,56 @@ object Streamish extends QueryModule {
       .orderBy("event_type", "day")
   }
 
+  // ---------------------------------------------------------- ev_range_join
+
+  private val HourUs = 3600L * 1000000
+  private val WinPreUs = HourUs / 2 // window opens 30 min before the hot hour
+  private val WinLenUs = 2 * HourUs // and spans 2 h — NOT hour-aligned
+
+  /** Interval (range) join without an equi key — the operator Spark has no
+    * native physical plan for (SparkStrategy would otherwise pick
+    * BroadcastNestedLoopJoin): count every event falling inside each "hot
+    * window" ([hot hour − 30 min, +90 min) around hours whose traffic
+    * exceeds 1.5× the average — windows deliberately straddle hour
+    * boundaries so the join cannot degenerate into an hour equi-join).
+    *
+    * Scale shape — the standard bucketed range join: time is binned at the
+    * maximum interval length, intervals replicate into each bucket they
+    * touch (≤ 2 here), probes map to exactly one bucket, and the join is a
+    * plain EQUI-join on the bucket id followed by the exact range filter —
+    * shuffle-partitioned by time bucket, no nested-loop product at any
+    * size. Works big-big: neither side needs to broadcast (though AQE will
+    * broadcast the window side when, as here, it is small).
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val hourly = ev.groupBy(floor(col("us") / HourUs).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val thresh = hourly.agg((avg(col("n")) * 1.5).as("t")) // 1 row
+    val win = hourly.join(broadcast(thresh)).filter(col("n") > col("t"))
+      .select((col("h") * HourUs - WinPreUs).as("ws"))
+      .withColumn("we", col("ws") + WinLenUs)
+    // replicate each window into the (≤ 2) buckets it overlaps
+    val wb = win.select(col("ws"), col("we"), explode(array(
+        floor(col("ws") / WinLenUs), floor((col("we") - 1) / WinLenUs))).as("bkt"))
+      .distinct()
+    ev.withColumn("bkt", floor(col("us") / WinLenUs))
+      .join(wb, "bkt")
+      .filter(col("us") >= col("ws") && col("us") < col("we"))
+      .groupBy("ws")
+      .agg(count(lit(1)).as("n_events"), sumd2(col("value")).as("sum_value"))
+      .select(timestamp_micros(col("ws")).as("w_start"), col("n_events"),
+        col("sum_value"))
+      .orderBy("w_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
     "ev_anomaly" -> (anomaly(_, _)),
+    "ev_range_join" -> (rangeJoin(_, _)),
     "ev_tumbling" -> (tumbling(_, _)),
     "ev_sliding" -> (sliding(_, _)),
     "ev_session" -> (sessions(_, _)),
@@ -270,6 +316,19 @@ object Streamish extends QueryModule {
           s"  count(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n") +
         """
           |FROM events GROUP BY day ORDER BY day""").stripMargin,
+    "ev_range_join" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, value, epoch_us(ts::TIMESTAMP) AS us FROM events
+         |), hourly AS (
+         |  SELECT us // $HourUs AS h, count(*) AS n FROM ev GROUP BY h
+         |), win AS (
+         |  SELECT h * $HourUs - $WinPreUs AS ws, h * $HourUs - $WinPreUs + $WinLenUs AS we
+         |  FROM hourly WHERE n > (SELECT avg(n) * 1.5 FROM hourly)
+         |)
+         |SELECT make_timestamp(ws) AS w_start, count(*) AS n_events,
+         |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+         |FROM ev JOIN win ON ev.us >= win.ws AND ev.us < win.we
+         |GROUP BY ws ORDER BY w_start""".stripMargin,
     "ev_anomaly" ->
       """WITH daily AS (
         |  SELECT ts::TIMESTAMP::DATE AS day, event_type, count(*) AS n
