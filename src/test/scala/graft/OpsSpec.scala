@@ -108,6 +108,44 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall under nprobe=3/10") // deterministic fixture
   }
 
+  test("ev_retention: offset 0 is total by definition and retention never exceeds 1") {
+    import spark.implicits._
+    val rows = graft.ops.Streamish.retention(spark, dir)
+      .select("day_offset", "n_active", "cohort_n", "retention")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.filter(_._1 == 0).foreach { case (_, a, n, r) =>
+      assert(a === n); assert(r === 1.0) // every member is active on day 0
+    }
+    assert(rows.forall { case (_, a, n, r) => a <= n && r <= 1.0 })
+  }
+
+  test("ev_anomaly: per-type z-scores are centered and flags match |z| > 2") {
+    import spark.implicits._
+    val rows = graft.ops.Streamish.anomaly(spark, dir)
+      .select("event_type", "z", "anomalous").as[(String, Double, Boolean)].collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      val mean = g.map(_._2).sum / g.length
+      assert(math.abs(mean) < 0.01) // sum of (n - mean) is 0 by construction
+    }
+    assert(rows.forall { case (_, z, f) => f === (math.abs(z) > 2) })
+  }
+
+  test("ev_range_join: bucketed equi-join result equals the naive interval filter") {
+    import spark.implicits._
+    // windows straddle hour boundaries, so equality with a brute-force
+    // range filter proves the bucket replication loses/duplicates nothing
+    val got = graft.ops.Streamish.rangeJoin(spark, dir)
+      .select("w_start", "n_events").as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts").cast("timestamp")).as("us")).as[Long].collect()
+    got.foreach { case (ws, n) =>
+      val w0 = ws.getTime * 1000
+      assert(ev.count(u => u >= w0 && u < w0 + 2L * 3600 * 1000000) === n)
+    }
+  }
+
   test("txt_sample_stratified: deterministic, and strata hit their target rates") {
     import spark.implicits._
     val a = TextOps.stratifiedSample(spark, dir).select("doc_id").as[Long].collect().toSeq
