@@ -13,10 +13,13 @@ object Exprs {
     * `[0, -1]` — two phantom elements — when `n == 0`. That bug class bit
     * twice (Multimodal frame generators, commit ac425a4) because each call
     * site carried its own guard five lines from the generator. This helper
-    * fuses guard and generator: `to < from` returns an EMPTY int array, so
-    * `posexplode` fans out zero rows and `transform` maps to an empty array
-    * — matching what DuckDB's half-open `range(n)` does for `n = 0`.
+    * fuses guard and generator: `to < from` returns an EMPTY array (typed
+    * by the inputs — `slice(sequence(from, from), 1, 0)` — so int and long
+    * bounds both work), so `posexplode` fans out zero rows and `transform`
+    * maps to an empty array — matching what DuckDB's half-open `range(n)`
+    * does for `n = 0`.
     */
   def boundedSequence(from: Column, to: Column): Column =
-    when(to >= from, sequence(from, to)).otherwise(array().cast("array<int>"))
+    when(to >= from, sequence(from, to))
+      .otherwise(slice(sequence(from, from), 1, 0))
 }

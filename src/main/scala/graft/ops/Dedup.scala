@@ -233,13 +233,20 @@ object Dedup extends QueryModule {
     // truncates plan lineage to a LogicalRDD. Without it each round's plan
     // embeds the previous round's TWICE (stepped feeds both sides of the
     // jump join) — exponential plan growth that OOMs the driver around
-    // round 8. Old rounds' blocks are freed by the ContextCleaner once
-    // unreferenced. (On a real cluster with executor churn, swap for
-    // reliable checkpoint() to a cluster store — localCheckpoint trades
-    // fault tolerance for speed.)
-    var labels = edges.select(col("src").as("node")).distinct()
+    // round 8. The previous round's checkpoint blocks are unpersisted
+    // explicitly once the next round is materialized (catalog.clearCache
+    // can't see them, and waiting for the ContextCleaner would let one
+    // full label-table copy per round accumulate on a long convergence).
+    // (On a real cluster with executor churn, swap for reliable
+    // checkpoint() to a cluster store — localCheckpoint trades fault
+    // tolerance for speed.)
+    def chkRdds(df: DataFrame) = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    var chk = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    var labels = chk
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -259,7 +266,9 @@ object Dedup extends QueryModule {
           (least(col("mid"), coalesce(col("ptr_label"), col("mid")))
             < col("old_label")).as("chg"))
         .localCheckpoint(true)
-      changed = next.filter(col("chg")).count()
+      changed = next.filter(col("chg")).count() // next materialized, THEN...
+      chkRdds(chk).foreach(_.unpersist(false)) // ...last round's blocks go
+      chk = next
       labels = next.select("node", "label")
     }
     (labels, rounds)
@@ -542,8 +551,12 @@ object Dedup extends QueryModule {
     * self-joins, and no shuffle carries token text.
     */
   def passageDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    // both the bench-set and training branches sit above the shingle
+    // pipeline — persist it or the window + digest work runs twice (the
+    // passageOverlapOf lesson)
     val g = passageShingles(Tables.documents(s, dir), carry = Seq("source"))
       .withColumn("is_bench", col("source").isin(BenchSources: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchSet = g.filter(col("is_bench")).select("gh").distinct()
     g.filter(!col("is_bench"))
       .join(benchSet.withColumn("hit", lit(1L)), Seq("gh"), "left")

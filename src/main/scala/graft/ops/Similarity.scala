@@ -297,24 +297,6 @@ object Similarity extends QueryModule {
 
   // -------------------------------------------------------- sim_ivf_assign
 
-  /** IVF coarse quantizer: per-label centroids from the EXACT integer
-    * component sums (posexplode → long-sum groupBy — order-independent,
-    * partial-aggregated map-side), one double division at the end; then
-    * every vector is assigned to its max-cosine centroid (10 centroids →
-    * broadcast; the argmax is a max_by hash aggregate whose map-side
-    * partial collapses the 10 scored rows per vector before the shuffle).
-    * `hit` reports whether the coarse quantizer recovers the generating
-    * label.
-    */
-  /** (vec_id, label, vq, assigned, cos) — nearest-centroid assignment, the
-    * shared core of [[ivfAssign]] and [[kmeansStep]]: per-label centroids
-    * from exact integer component sums, broadcast, max-cosine argmax via a
-    * max_by hash aggregate.
-    */
-  /** (vec_id, label, vq, c_label, cos): every corpus vector scored against
-    * every (broadcast) centroid — the pre-argmax frame [[assignments]] and
-    * [[ivfTopK]]'s probe ranking both reduce.
-    */
   /** Per-group exact centroids from a (grp, vq) frame: integer component
     * sums (order-independent, partial-aggregated map-side), one double
     * division at the end → (c_label, cv).
@@ -342,6 +324,10 @@ object Similarity extends QueryModule {
         (dot / (sqrt(inorm2(col("vq")).cast("double")) * sqrt(cn2))).as("cos"): _*)
   }
 
+  /** (vec_id, label, vq, c_label, cos): every corpus vector scored against
+    * every label-seeded centroid — the pre-argmax frame [[assignments]] and
+    * [[ivfTopK]]'s probe ranking both reduce.
+    */
   private def scoredCentroids(s: SparkSession, dir: String): DataFrame = {
     graft.functions.ArrayDot.register(s)
     val e = Tables.embeddings(s, dir)
@@ -349,6 +335,10 @@ object Similarity extends QueryModule {
     scoreAgainst(e, centroidsBy(e, "label"))
   }
 
+  /** (vec_id, label, vq, assigned, cos) — nearest-centroid assignment, the
+    * shared core of [[ivfAssign]] and [[kmeansStep]]: label-seeded
+    * centroids broadcast, max-cosine argmax via a max_by hash aggregate.
+    */
   private def assignments(s: SparkSession, dir: String): DataFrame = {
     // argmax via max_by under a hash aggregate (partial-agg'd map-side, no
     // Exchange+sort of the 10×corpus scored rows, unlike a row_number
@@ -364,6 +354,10 @@ object Similarity extends QueryModule {
         col("best.c_label").as("assigned"), col("best.cos").as("cos"))
   }
 
+  /** IVF coarse quantizer: every vector assigned to its max-cosine
+    * label-seeded centroid; `hit` reports whether the quantizer recovers
+    * the generating label.
+    */
   def ivfAssign(s: SparkSession, dir: String): DataFrame =
     assignments(s, dir)
       .select(col("vec_id"), col("label"), col("assigned"),
@@ -463,10 +457,8 @@ object Similarity extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eLab = Tables.embeddings(s, dir)
       .select(col("label"), quantize(col("embedding")).as("vq"))
-    var cent = centroidsBy(eLab, "label")
-    var asg: DataFrame = null
-    for (_ <- 1 to TrainIters) {
-      asg = scoreAgainst(e, cent)
+    def assignUnder(cent: DataFrame): DataFrame =
+      scoreAgainst(e, cent)
         .groupBy("vec_id")
         .agg(max_by(
           struct(col("c_label"), col("cos")),
@@ -474,8 +466,10 @@ object Similarity extends QueryModule {
           first(col("vq")).as("vq"))
         .select(col("vec_id"), col("vq"),
           col("best.c_label").as("assigned"), col("best.cos").as("cos"))
-      cent = centroidsBy(asg.select(col("assigned"), col("vq")), "assigned")
-    }
+    // TrainIters assignment rounds ⇒ TrainIters − 1 refits BETWEEN them
+    var asg = assignUnder(centroidsBy(eLab, "label"))
+    for (_ <- 2 to TrainIters)
+      asg = assignUnder(centroidsBy(asg.select(col("assigned"), col("vq")), "assigned"))
     asg.select(col("vec_id"), col("assigned").as("cluster"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_id")
