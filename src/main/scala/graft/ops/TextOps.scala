@@ -389,7 +389,49 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ txt_entropy
+
+  /** Per-document token Shannon entropy (nats) — the CCNet-style quality
+    * signal separating natural prose from boilerplate and keyword stuffing:
+    * H = ln(n) − (Σ cnt·ln(cnt)) / n over per-token occurrence counts.
+    *
+    * Also emits Simpson diversity 1 − Σ(cnt/n)² — the collision-probability
+    * complement — which needs no transcendental at all (BIGINT-exact until
+    * one final division).
+    *
+    * Cross-engine determinism trick: a raw double Σ cnt·ln(cnt) would sum
+    * in partition order (not reproducible between Spark and DuckDB), so
+    * each term is rounded to 8 decimals FIRST and summed as an exact
+    * DECIMAL — order-independent — with the one unavoidable double
+    * division done in the final projection. (ln itself is libm-dependent
+    * at 1 ulp; the 8-decimal pre-round plus the 6-decimal output round
+    * gives ~1e-2 headroom per term, and the sf0.01 gate data passes
+    * hash-exact — see the oracle.)
+    *
+    * Scale shape: explode → (doc, token) count is the [[repetitionOf]]
+    * groupBy (map-side partials, high-cardinality keys); the entropy fold
+    * is a second per-doc hash aggregate over (doc, cnt) rows.
+    */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    val lnTerm = (round(log(col("cnt")), 8) * col("cnt"))
+      .cast(org.apache.spark.sql.types.DecimalType(28, 8))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n"), sum(lnTerm).as("sum_clnc"),
+        sum(col("cnt") * col("cnt")).as("sum_c2")) // BIGINT-exact
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        round(log(col("n")) - col("sum_clnc").cast("double") / col("n"), 6)
+          .as("entropy"),
+        // Simpson diversity 1 − Σ(cnt/n)² — all-integer until one division
+        round(lit(1.0) - col("sum_c2").cast("double") / (col("n") * col("n")), 6)
+          .as("simpson"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_entropy" -> (entropy(_, _)),
     "txt_distinct_tokens" -> (distinctTokens(_, _)),
     "txt_token_stats" -> (tokenStats(_, _)),
     "txt_term_freq" -> (termFrequency(_, _)),
@@ -410,6 +452,21 @@ object TextOps extends QueryModule {
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "txt_entropy" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM documents
+         |), c AS (
+         |  SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t
+         |), a AS (
+         |  SELECT doc_id, sum(cnt)::BIGINT AS n,
+         |    sum(round(ln(cnt), 8)::DECIMAL(28,8) * cnt) AS sum_clnc,
+         |    sum(cnt * cnt)::BIGINT AS sum_c2
+         |  FROM c GROUP BY doc_id
+         |)
+         |SELECT doc_id, n::INT AS n_tokens,
+         |  round(ln(n) - sum_clnc::DOUBLE / n, 6) AS entropy,
+         |  round(1.0 - sum_c2::DOUBLE / (n * n), 6) AS simpson
+         |FROM a ORDER BY doc_id""".stripMargin,
     "txt_distinct_tokens" ->
       s"""SELECT DISTINCT token FROM (
          |  SELECT unnest($toksSql) AS token FROM documents
