@@ -18,7 +18,8 @@ object SparkEntry {
     Dedup,
     Similarity,
     Streamish,
-    Multimodal)
+    Multimodal,
+    Pipeline)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Sorted distinct tokens — the reference's canonical workload (SURVEY §2.3)

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** The composed end-to-end training-corpus pipeline — the reason the other
+  * operator families exist. One declarative job chains the stages a
+  * pretraining data pipeline runs over raw documents:
+  *
+  *  1. quality gate        — [[TextOps.c4Filter]] keep-decision
+  *  2. exact dedup         — [[Dedup.exactDedup]] canonical winner per
+  *                           token-stream fingerprint
+  *  3. near-dup dedup      — [[Dedup.survivors]] keep-list (one canonical
+  *                           doc per MinHash cluster)
+  *  4. decontamination     — drop docs sharing any verbatim 5-token passage
+  *                           with the benchmark sources
+  *                           ([[Dedup.passageDecontaminate]])
+  *
+  * Because every stage is a DataFrame, Catalyst fuses the whole thing into
+  * one DAG: the gates are semi/anti equi-joins on high-cardinality doc_id
+  * (AQE broadcasts the small keep-lists), so adding the composition costs
+  * no new scan of the corpus per stage beyond what the stages themselves
+  * need. The DuckDB oracle composes the same stage oracles as derived
+  * tables — the gate proves the COMPOSITION, not just the parts.
+  */
+object Pipeline extends QueryModule {
+
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val keep = TextOps.c4Filter(s, dir).filter(col("keep")).select("doc_id")
+    val exactWinners = Dedup.exactDedup(s, dir).select("doc_id")
+    val nearSurvivors = Dedup.survivors(s, dir).select("doc_id")
+    val contaminated = Dedup.passageDecontaminate(s, dir).select("doc_id")
+    Tables.documents(s, dir)
+      .join(keep, "doc_id")
+      .join(exactWinners, "doc_id")
+      .join(nearSurvivors, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_corpus" -> (corpus(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "pipe_corpus" ->
+      s"""WITH keepq AS (
+         |  SELECT doc_id FROM (${TextOps.oracles("txt_c4_filter")}) WHERE keep
+         |), winners AS (
+         |  SELECT doc_id FROM (${Dedup.oracles("dd_exact")})
+         |), surv AS (
+         |  SELECT doc_id FROM (${Dedup.oracles("dd_survivors")})
+         |), contam AS (
+         |  SELECT doc_id FROM (${Dedup.oracles("dd_passage_decontaminate")})
+         |)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |JOIN keepq USING (doc_id)
+         |JOIN winners USING (doc_id)
+         |JOIN surv USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+         |ORDER BY d.doc_id""".stripMargin)
+}

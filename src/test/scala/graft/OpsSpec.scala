@@ -110,6 +110,19 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall under nprobe=3/10") // deterministic fixture
   }
 
+  test("pipe_corpus: composed pipeline output is the intersection of its gates") {
+    import spark.implicits._
+    val out = graft.ops.Pipeline.corpus(spark, dir).select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    val keep = TextOps.c4Filter(spark, dir).filter(col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val winners = Dedup.exactDedup(spark, dir).select("doc_id").as[Long].collect().toSet
+    val surv = Dedup.survivors(spark, dir).select("doc_id").as[Long].collect().toSet
+    val contam = Dedup.passageDecontaminate(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === (keep & winners & surv) -- contam)
+  }
+
   test("boundedSequence: empty for inverted bounds and typed by its inputs") {
     val r = spark.range(1).select(
       graft.functions.Exprs.boundedSequence(lit(1), lit(0)).as("e"),
