@@ -19,7 +19,12 @@ object Exprs {
     * maps to an empty array — matching what DuckDB's half-open `range(n)`
     * does for `n = 0`.
     */
-  def boundedSequence(from: Column, to: Column): Column =
+  def boundedSequence(from: Column, to: Column): Column = {
+    // null-safe empty branch: a null `from` must still yield an empty
+    // array (not NULL — transform(NULL) propagates the phantom behavior
+    // this helper closes)
+    val f0 = coalesce(from, lit(0))
     when(to >= from, sequence(from, to))
-      .otherwise(slice(sequence(from, from), 1, 0))
+      .otherwise(slice(sequence(f0, f0), 1, 0))
+  }
 }

@@ -304,7 +304,7 @@ object Dedup extends QueryModule {
   /** Benchmark sources for [[decontaminate]] — the held-out eval corpus a
     * pretraining pipeline must scrub from its training split.
     */
-  private val BenchSources = (0 until 5).map(i => s"src$i")
+  private[ops] val BenchSources = (0 until 5).map(i => s"src$i")
 
   /** Benchmark decontamination: training documents (source ∉ BenchSources)
     * that near-duplicate ANY benchmark document (MinHash band equality →

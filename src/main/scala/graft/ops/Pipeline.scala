@@ -17,6 +17,15 @@ import graft.{QueryModule, Tables}
   *                           with the benchmark sources
   *                           ([[Dedup.passageDecontaminate]])
   *
+  * The benchmark sources themselves are EXCLUDED from the output (a
+  * training corpus must never contain the eval set). The dedup winner
+  * election deliberately runs corpus-WIDE (bench included): a training doc
+  * that exactly or nearly duplicates a bench doc then loses the winner
+  * election to the (lower-id or clustered) bench copy, and the bench copy
+  * is removed by the source filter — i.e. the whole contaminated
+  * duplicate-cluster disappears, which is exactly what document-level
+  * decontamination wants; the passage gate then catches partial overlaps.
+  *
   * Because every stage is a DataFrame, Catalyst fuses the whole thing into
   * one DAG: the gates are semi/anti equi-joins on high-cardinality doc_id
   * (AQE broadcasts the small keep-lists), so adding the composition costs
@@ -32,6 +41,7 @@ object Pipeline extends QueryModule {
     val nearSurvivors = Dedup.survivors(s, dir).select("doc_id")
     val contaminated = Dedup.passageDecontaminate(s, dir).select("doc_id")
     Tables.documents(s, dir)
+      .filter(!col("source").isin(Dedup.BenchSources: _*))
       .join(keep, "doc_id")
       .join(exactWinners, "doc_id")
       .join(nearSurvivors, "doc_id")
@@ -59,6 +69,7 @@ object Pipeline extends QueryModule {
          |JOIN keepq USING (doc_id)
          |JOIN winners USING (doc_id)
          |JOIN surv USING (doc_id)
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+         |WHERE d.source NOT IN (${Dedup.BenchSources.map(x => s"'$x'").mkString(", ")})
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
          |ORDER BY d.doc_id""".stripMargin)
 }

@@ -275,8 +275,11 @@ object Streamish extends QueryModule {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("value"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
+    // hourly feeds both the threshold scalar and the window build — persist
+    // the tiny rollup so the events scan behind it runs once, not twice
     val hourly = ev.groupBy(floor(col("us") / HourUs).as("h"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thresh = hourly.agg((avg(col("n")) * 1.5).as("t")) // 1 row
     val win = hourly.join(broadcast(thresh)).filter(col("n") > col("t"))
       .select((col("h") * HourUs - WinPreUs).as("ws"))

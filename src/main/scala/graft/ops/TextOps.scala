@@ -413,8 +413,14 @@ object TextOps extends QueryModule {
     * is a second per-doc hash aggregate over (doc, cnt) rows.
     */
   def entropy(s: SparkSession, dir: String): DataFrame = {
-    val lnTerm = (round(log(col("cnt")), 8) * col("cnt"))
-      .cast(org.apache.spark.sql.types.DecimalType(28, 8))
+    // cast the rounded ln to DECIMAL BEFORE multiplying by cnt (exact
+    // DECIMAL×DECIMAL, mirroring the oracle); a double product first would
+    // carry ~cnt·ulp error past the cast's 0.5e-8 slack at large counts.
+    // Precisions bounded so (18,8)×(10,0) → (29,8) stays under Spark's
+    // 38-digit cap — an unbounded product triggers silent scale reduction.
+    import org.apache.spark.sql.types.DecimalType
+    val lnTerm = round(log(col("cnt")), 8).cast(DecimalType(18, 8)) *
+      col("cnt").cast(DecimalType(10, 0))
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
@@ -459,7 +465,7 @@ object TextOps extends QueryModule {
          |  SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t
          |), a AS (
          |  SELECT doc_id, sum(cnt)::BIGINT AS n,
-         |    sum(round(ln(cnt), 8)::DECIMAL(28,8) * cnt) AS sum_clnc,
+         |    sum(round(ln(cnt), 8)::DECIMAL(18,8) * cnt::DECIMAL(10,0)) AS sum_clnc,
          |    sum(cnt * cnt)::BIGINT AS sum_c2
          |  FROM c GROUP BY doc_id
          |)

@@ -120,7 +120,11 @@ class OpsSpec extends AnyFunSuite {
     val surv = Dedup.survivors(spark, dir).select("doc_id").as[Long].collect().toSet
     val contam = Dedup.passageDecontaminate(spark, dir)
       .select("doc_id").as[Long].collect().toSet
-    assert(out === (keep & winners & surv) -- contam)
+    val bench = Tables.documents(spark, dir)
+      .filter(col("source").isin((0 until 5).map(i => s"src$i"): _*))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === (keep & winners & surv) -- contam -- bench)
+    assert(out.intersect(bench).isEmpty) // the eval set never trains
   }
 
   test("boundedSequence: empty for inverted bounds and typed by its inputs") {
@@ -162,13 +166,20 @@ class OpsSpec extends AnyFunSuite {
     // windows straddle hour boundaries, so equality with a brute-force
     // range filter proves the bucket replication loses/duplicates nothing
     val got = graft.ops.Streamish.rangeJoin(spark, dir)
-      .select("w_start", "n_events").as[(java.sql.Timestamp, Long)].collect().toMap
+      .select("w_start", "n_events").as[(java.sql.Timestamp, Long)].collect()
+      .map { case (ts, n) => ts.getTime * 1000 -> n }.toMap
     assert(got.nonEmpty)
+    val hourUs = 3600L * 1000000
     val ev = Tables.events(spark, dir)
       .select(unix_micros(col("ts").cast("timestamp")).as("us")).as[Long].collect()
-    got.foreach { case (ws, n) =>
-      val w0 = ws.getTime * 1000
-      assert(ev.count(u => u >= w0 && u < w0 + 2L * 3600 * 1000000) === n)
+    // independently derive the expected hot-window SET (catches a lost
+    // window, which a per-emitted-window count check alone would not)
+    val hourly = ev.groupBy(_ / hourUs).view.mapValues(_.size).toMap
+    val thresh = 1.5 * hourly.values.sum.toDouble / hourly.size
+    val expect = hourly.collect { case (h, n) if n > thresh => h * hourUs - hourUs / 2 }
+    assert(got.keySet === expect.toSet)
+    got.foreach { case (w0, n) =>
+      assert(ev.count(u => u >= w0 && u < w0 + 2 * hourUs) === n)
     }
   }
 
