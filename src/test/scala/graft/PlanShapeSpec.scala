@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Standing anti-pattern gate over EVERY registered query's physical plan:
+  * at 100 TB a CartesianProduct is fatal and a BroadcastNestedLoopJoin is
+  * only survivable when one side is bounded by construction. Running the
+  * whole battery through the planner here means a future operator that
+  * accidentally plans a product (a dropped join key, a non-equi condition
+  * Spark can't hash) fails CI instead of the bench.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  /** Queries whose plans intentionally contain a BroadcastNestedLoopJoin
+    * against a side that is SMALL BY CONSTRUCTION (not merely small at this
+    * SF): the ≤ 10-row centroid/codebook tables (sim_*), and the 1-row
+    * threshold scalar (ev_range_join).
+    */
+  private val bnljByDesign = Set(
+    "sim_brute_topk", "sim_lsh_topk", // broadcast 8-query set joins are equi,
+    //                                   but the scored cross with queries is
+    //                                   a non-equi (=!=) bounded broadcast
+    "sim_ivf_assign", "sim_ivf_topk", "sim_kmeans_step", "sim_kmeans_train",
+    "sim_pq_encode", "ev_range_join")
+
+  test("no cartesian products anywhere; nested-loop joins only where bounded by design") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name)
+      if (cartesian) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
