@@ -500,7 +500,20 @@ object Similarity extends QueryModule {
     * IEEE order and the oracle computes the SAME expression, so the two
     * engines remain bit-identical.
     */
-  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+  def pqEncode(s: SparkSession, dir: String): DataFrame =
+    pqCodes(pqScored(s, dir))
+      // dist is in the squared fixed-point domain (~1e11) where a 4-decimal
+      // round is not engine-stable; dividing by Scale² = 2^40 is an EXACT
+      // exponent shift back to the unit domain, where round(·, 6) is.
+      .select(col("vec_id"), col("m"), col("code"),
+        round(col("dist") / lit(Scale.toDouble * Scale), 6).as("dist"))
+      .orderBy("vec_id", "m")
+
+  /** (vec_id, m, c_label, dist): every (vector, subspace) scored against
+    * every sub-codeword — the pre-argmin frame [[pqEncode]]'s codes and
+    * [[pqTopK]]'s lookup tables both reduce.
+    */
+  private def pqScored(s: SparkSession, dir: String): DataFrame = {
     graft.functions.ArrayDot.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("vq"))
@@ -520,15 +533,62 @@ object Similarity extends QueryModule {
       col("cn2")
     sub.join(broadcast(csub), "m")
       .select(col("vec_id"), col("m"), col("c_label"), dist.as("dist"))
+  }
+
+  /** Per-(vector, subspace) nearest sub-codeword (min L2, ties to the lower
+    * label) via a min_by hash aggregate — map-side partials, so the only
+    * shuffle carries one (vec, m) row per subvector.
+    */
+  private def pqCodes(scored: DataFrame): DataFrame =
+    scored
       .groupBy("vec_id", "m")
       .agg(min_by(struct(col("c_label"), col("dist")),
         struct(col("dist"), col("c_label"))).as("best"))
-      // dist is in the squared fixed-point domain (~1e11) where a 4-decimal
-      // round is not engine-stable; dividing by Scale² = 2^40 is an EXACT
-      // exponent shift back to the unit domain, where round(·, 6) is.
-      .select(col("vec_id"), col("m"), col("best.c_label").as("code"),
-        round(col("best.dist") / lit(Scale.toDouble * Scale), 6).as("dist"))
-      .orderBy("vec_id", "m")
+      .select(col("vec_id"), col("m"),
+        col("best.c_label").as("code"), col("best.dist").as("dist"))
+
+  // ---------------------------------------------------------- sim_pq_topk
+
+  /** PQ asymmetric-distance (ADC) search — the QUERY half of the PQ index
+    * whose build half is [[pqEncode]]: each query's exact subvectors score
+    * against every sub-codeword once, producing a |Q|·M·K lookup table; a
+    * corpus vector's approximate distance is then the sum over subspaces of
+    * the LUT entry its stored code selects — the corpus is never touched
+    * beyond its M single-byte codes. This is the Jégou et al. (TPAMI'11)
+    * ADC scan every production PQ/IVF-PQ index serves queries with.
+    *
+    * Scale shape: the LUT is |Q|·M·K rows (tiny, broadcast); the code table
+    * is M rows per corpus vector (the 256×-compressed index — the ONLY
+    * per-corpus state the scan reads); the per-(query, vector) sum is a
+    * hash aggregate with map-side partials, and the final top-k is the
+    * salted two-phase pattern. No stage ever materializes a full-precision
+    * corpus vector — at 100 TB of raw embeddings the ADC scan reads ~0.4 %
+    * of the bytes an exact re-rank would.
+    *
+    * Cross-engine determinism: summing M raw double LUT entries would
+    * reduce in engine-chosen order, so each entry is exponent-shifted back
+    * to the unit domain (exact — Scale² is a power of two), rounded to 6
+    * decimals, and summed as an exact DECIMAL — the txt_entropy pre-round
+    * trick — making the ADC distance order-independent in both engines.
+    */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val scored = pqScored(s, dir)
+    val codes = pqCodes(scored).select("vec_id", "m", "code")
+    val lut = scored.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("m").as("lm"), col("c_label"),
+        round(col("dist") / lit(Scale.toDouble * Scale), 6)
+          .cast(DecimalType(18, 6)).as("d6"))
+    codes.join(broadcast(lut),
+        codes("m") === lut("lm") && codes("code") === lut("c_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("d6")).as("adc"))
+      .transform(topKPerGroup(_, Seq("q_id"), "vec_id", TopK,
+        col("adc").asc, col("vec_id").asc))
+      .select(col("q_id"), col("vec_id"), col("rnk"),
+        round(col("adc").cast("double"), 6).as("adc_dist"))
+      .orderBy("q_id", "rnk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -539,7 +599,8 @@ object Similarity extends QueryModule {
     "sim_ivf_topk" -> (ivfTopK(_, _)),
     "sim_kmeans_step" -> (kmeansStep(_, _)),
     "sim_kmeans_train" -> (kmeansTrain(_, _)),
-    "sim_pq_encode" -> (pqEncode(_, _)))
+    "sim_pq_encode" -> (pqEncode(_, _)),
+    "sim_pq_topk" -> (pqTopK(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -627,6 +688,38 @@ object Similarity extends QueryModule {
        |  FROM scored
        |)""".stripMargin
 
+  /** The exact SQL twin of [[pqScored]] + the per-(vec, m) argmin ranking —
+    * CTE chain ending in `scored(vec_id, m, c_label, dist)` and
+    * `ranked(…, rnk)`, shared by the sim_pq_encode and sim_pq_topk oracles.
+    */
+  private val pqChainSql =
+    s"""eq AS (
+       |  SELECT vec_id, label, $vqSql AS vq FROM embeddings
+       |), comp AS (
+       |  SELECT label, i, sum(vq[(i + 1)::INT]) AS sv, count(*) AS cnt
+       |  FROM eq, range($Dim) r(i) GROUP BY label, i
+       |), cent AS (
+       |  SELECT label AS c_label, list(sv::DOUBLE / cnt ORDER BY i) AS cv FROM comp GROUP BY label
+       |), sub AS (
+       |  SELECT vec_id, m,
+       |    list_apply(range($PqSubDim), i -> vq[(m * $PqSubDim + i + 1)::INT]) AS sv
+       |  FROM eq, range($PqM) r(m)
+       |), csub AS (
+       |  SELECT c_label, m,
+       |    list_apply(range($PqSubDim), i -> cv[(m * $PqSubDim + i + 1)::INT]) AS cs
+       |  FROM cent, range($PqM) r(m)
+       |), scored AS (
+       |  SELECT vec_id, sub.m, c_label,
+       |    list_sum(list_apply(sv, x -> x::DOUBLE * x))
+       |      - 2 * list_sum(list_apply(range($PqSubDim), i -> sv[(i + 1)::INT]::DOUBLE * cs[(i + 1)::INT]))
+       |      + list_sum(list_apply(cs, x -> x * x)) AS dist
+       |  FROM sub JOIN csub ON sub.m = csub.m
+       |), ranked AS (
+       |  SELECT vec_id, m, c_label, dist,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c_label) AS rnk
+       |  FROM scored
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_brute_topk" ->
       s"""WITH $corpusSql, pairs AS (
@@ -673,35 +766,29 @@ object Similarity extends QueryModule {
          |  FROM probe JOIN asg ON asg.cl = probe.cl AND asg.vec_id <> probe.q_id
          |), ${rankSql("pairs", "q_id", "vec_id", TopK, pfx = "rr_")}""".stripMargin,
     "sim_pq_encode" ->
-      s"""WITH eq AS (
-         |  SELECT vec_id, label, $vqSql AS vq FROM embeddings
-         |), comp AS (
-         |  SELECT label, i, sum(vq[(i + 1)::INT]) AS sv, count(*) AS cnt
-         |  FROM eq, range($Dim) r(i) GROUP BY label, i
-         |), cent AS (
-         |  SELECT label AS c_label, list(sv::DOUBLE / cnt ORDER BY i) AS cv FROM comp GROUP BY label
-         |), sub AS (
-         |  SELECT vec_id, m,
-         |    list_apply(range($PqSubDim), i -> vq[(m * $PqSubDim + i + 1)::INT]) AS sv
-         |  FROM eq, range($PqM) r(m)
-         |), csub AS (
-         |  SELECT c_label, m,
-         |    list_apply(range($PqSubDim), i -> cv[(m * $PqSubDim + i + 1)::INT]) AS cs
-         |  FROM cent, range($PqM) r(m)
-         |), scored AS (
-         |  SELECT vec_id, sub.m, c_label,
-         |    list_sum(list_apply(sv, x -> x::DOUBLE * x))
-         |      - 2 * list_sum(list_apply(range($PqSubDim), i -> sv[(i + 1)::INT]::DOUBLE * cs[(i + 1)::INT]))
-         |      + list_sum(list_apply(cs, x -> x * x)) AS dist
-         |  FROM sub JOIN csub ON sub.m = csub.m
-         |), ranked AS (
-         |  SELECT vec_id, m, c_label, dist,
-         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c_label) AS rnk
-         |  FROM scored
-         |)
+      s"""WITH $pqChainSql
          |SELECT vec_id, m::INT AS m, c_label AS code,
          |  round(dist / ${Scale.toDouble * Scale}, 6) AS dist
          |FROM ranked WHERE rnk = 1 ORDER BY vec_id, m""".stripMargin,
+    "sim_pq_topk" ->
+      s"""WITH $pqChainSql, codes AS (
+         |  SELECT vec_id, m, c_label AS code FROM ranked WHERE rnk = 1
+         |), lut AS (
+         |  SELECT vec_id AS q_id, m, c_label,
+         |    round(dist / ${Scale.toDouble * Scale}, 6)::DECIMAL(18,6) AS d6
+         |  FROM scored WHERE vec_id < $NumQueries
+         |), adc AS (
+         |  SELECT l.q_id, c.vec_id, sum(l.d6) AS adc
+         |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.c_label
+         |  WHERE c.vec_id <> l.q_id
+         |  GROUP BY l.q_id, c.vec_id
+         |), rq AS (
+         |  SELECT q_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)::INT AS rnk
+         |  FROM adc
+         |)
+         |SELECT q_id, vec_id, rnk, round(adc::DOUBLE, 6) AS adc_dist
+         |FROM rq WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     "sim_kmeans_train" ->
       s"""WITH $assignSql, asg1 AS (
          |  SELECT vec_id, c_label AS cl, vq FROM ranked WHERE rnk = 1
