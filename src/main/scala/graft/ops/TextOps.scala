@@ -436,7 +436,128 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ txt_shuffle_shard
+
+  private val NShards = 8 // serving shards per epoch (a config, not a semantic)
+
+  /** Deterministic epoch shuffle + sharding — the training-data ordering op:
+    * every document draws a pseudo-random but reproducible sort key from the
+    * md5 of its salted doc_id, is hash-assigned to one of [[NShards]]
+    * shards, and gets its within-shard serving position. A new epoch is a
+    * new salt — the whole order reshuffles with zero state carried over,
+    * and any worker can recompute any shard's order independently (no RNG,
+    * no stored permutation).
+    *
+    * Scale shape: the key + shard assignment is one codegen'd md5
+    * projection inside the scan; the only shuffle is the NShards-way hash
+    * partition, and each shard's row_number window sorts ONLY its own
+    * shard — parallel across shards, which at 100 TB grow with the cluster.
+    * No global total-order window ever exists (the txt_term_freq cliff).
+    */
+  def shuffleShard(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit("ep0:"), col("doc_id").cast("string")))
+    val shard = pmod(
+      conv(substring(col("skey"), 1, 8), 16, 10).cast("long"), lit(NShards.toLong))
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), key.as("skey"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"), col("skey"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ txt_lm_perplexity
+
+  /** Bigram language-model scoring — the CCNet-style perplexity quality
+    * filter: train add-one-smoothed bigram statistics ON the corpus itself,
+    * then score every document by its mean bigram log-probability
+    * ln((c(w1,w2)+1) / (c(w1,·)+V)) and the implied perplexity
+    * exp(−logprob). Boilerplate and template text score high-probability;
+    * keyword stuffing and shuffled text score low.
+    *
+    * Scale shape: training IS aggregation — bigram and continuation counts
+    * are groupBys with map-side partials; scoring joins each doc's DISTINCT
+    * bigrams (multiplicity pre-folded, so a looping doc joins once per
+    * distinct bigram, not per instance) against the count table on the
+    * bigram key — an equi-join AQE skew-handles on hot bigrams; the vocab
+    * scalar broadcasts. Per-term ln values are pre-rounded and summed as
+    * exact DECIMAL (the txt_entropy trick) so the per-doc fold is
+    * order-independent in both engines.
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val big = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val docBig = big.groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+    val cb = big.groupBy("bg").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cs = cb.groupBy("w1").agg(sum("cb").as("cstart"))
+    val vocab = docs
+      .select(explode(col("toks")).as("t")).agg(countDistinct("t").as("v"))
+    // exact-integer probability inputs → ONE correctly-rounded double
+    // division → ln pre-rounded to 8 decimals, summed as exact DECIMAL
+    val lnTerm = round(log((col("cb") + lit(1)).cast("double") /
+        (col("cstart") + col("v")).cast("double")), 8)
+      .cast(DecimalType(18, 8)) * col("k").cast(DecimalType(10, 0))
+    val avg = col("slp").cast("double") / col("n_bigrams")
+    docBig.join(cb, "bg")
+      .join(cs, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"), sum(lnTerm).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(avg, 6).as("logprob"),
+        round(exp(-avg), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- txt_mix_weights
+
+  private val MixAlpha = 0.3 // temperature exponent (Pile/mT5-style mixing)
+
+  /** Temperature-scaled corpus mixing weights — the sampling-mix op that
+    * turns per-(lang, source) token shares into training sampling weights
+    * w ∝ share^α (α = [[MixAlpha]]): α < 1 upsamples the tail so
+    * low-resource slices aren't drowned by the head. `epochs` = weight /
+    * share is the implied per-slice repetition factor.
+    *
+    * Scale shape: one scan folds the corpus into |lang×source| token
+    * counts (map-side partials); everything after operates on that
+    * handful of rows with broadcast scalars — driver never sees data.
+    * The share^α terms are pre-rounded and summed as exact DECIMAL so the
+    * normalizer is order-independent in both engines.
+    */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), size(tokens(col("text"))).as("n"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    val tot = g.agg(sum("n_tokens").as("tot"))
+    val shared = g.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("tot"))
+      .withColumn("w8",
+        round(pow(col("share"), lit(MixAlpha)), 8).cast(DecimalType(18, 8)))
+    val z = shared.agg(sum("w8").as("z"))
+    val weight = col("w8").cast("double") / col("z").cast("double")
+    shared.crossJoin(broadcast(z))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(weight, 6).as("weight"),
+        round(weight / col("share"), 4).as("epochs"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_shuffle_shard" -> (shuffleShard(_, _)),
+    "txt_lm_perplexity" -> (lmPerplexity(_, _)),
+    "txt_mix_weights" -> (mixWeights(_, _)),
     "txt_entropy" -> (entropy(_, _)),
     "txt_distinct_tokens" -> (distinctTokens(_, _)),
     "txt_token_stats" -> (tokenStats(_, _)),
@@ -458,6 +579,69 @@ object TextOps extends QueryModule {
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "txt_shuffle_shard" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, md5('ep0:' || doc_id::VARCHAR) AS skey FROM documents
+         |), s AS (
+         |  SELECT doc_id, skey,
+         |    ('0x' || substr(skey, 1, 8))::BIGINT % $NShards AS shard
+         |  FROM k
+         |)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::INT AS pos,
+         |  skey
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "txt_lm_perplexity" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), big AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+         |  FROM docs, unnest(range(1, len(toks))) AS r(i)
+         |  WHERE len(toks) >= 2
+         |), doc_big AS (
+         |  SELECT doc_id, bg, count(*) AS k FROM big GROUP BY doc_id, bg
+         |), cb AS (
+         |  SELECT bg, split_part(bg, ' ', 1) AS w1, count(*) AS cb
+         |  FROM big GROUP BY bg
+         |), cs AS (
+         |  SELECT w1, sum(cb)::BIGINT AS cstart FROM cb GROUP BY w1
+         |), vocab AS (
+         |  SELECT count(DISTINCT t)::BIGINT AS v
+         |  FROM (SELECT unnest(toks) AS t FROM docs)
+         |), terms AS (
+         |  SELECT doc_id, k,
+         |    round(ln((cb + 1)::DOUBLE / (cstart + v)::DOUBLE), 8)::DECIMAL(18,8)
+         |      * k::DECIMAL(10,0) AS lnk
+         |  FROM doc_big JOIN cb USING (bg) JOIN cs USING (w1), vocab
+         |), agg AS (
+         |  SELECT doc_id, sum(k)::BIGINT AS n_bigrams, sum(lnk) AS slp
+         |  FROM terms GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_bigrams,
+         |  round(slp::DOUBLE / n_bigrams, 6) AS logprob,
+         |  round(exp(-(slp::DOUBLE / n_bigrams)), 4) AS ppl
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "txt_mix_weights" ->
+      s"""WITH d AS (
+         |  SELECT lang, source, len($toksSql)::BIGINT AS n FROM documents
+         |), g AS (
+         |  SELECT lang, source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
+         |  FROM d GROUP BY lang, source
+         |), t AS (
+         |  SELECT sum(n_tokens)::BIGINT AS tot FROM g
+         |), sh AS (
+         |  SELECT lang, source, n_docs, n_tokens,
+         |    n_tokens::DOUBLE / tot AS share,
+         |    round(pow(n_tokens::DOUBLE / tot, $MixAlpha), 8)::DECIMAL(18,8) AS w8
+         |  FROM g, t
+         |), z AS (
+         |  SELECT sum(w8) AS z FROM sh
+         |)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  round(share, 6) AS share,
+         |  round(w8::DOUBLE / z::DOUBLE, 6) AS weight,
+         |  round((w8::DOUBLE / z::DOUBLE) / share, 4) AS epochs
+         |FROM sh, z ORDER BY lang, source""".stripMargin,
     "txt_entropy" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS t FROM documents
