@@ -517,18 +517,32 @@ object Similarity extends QueryModule {
     graft.functions.ArrayDot.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("vq"))
-    val cent = centroidsBy(
+    pqScoredAgainst(e, pqCsub(s, dir))
+  }
+
+  /** The vector split into [[PqM]] contiguous [[PqSubDim]]-wide slices. */
+  private def subSlices(arr: Column): Column = array(
+    (0 until PqM).map(m => slice(arr, m * PqSubDim + 1, PqSubDim)): _*)
+
+  /** The sub-codebook: per-subspace codeword slices + their squared norms
+    * (|clusters|·M rows — tiny, broadcastable, and REUSABLE: [[pqTopK]]
+    * persists it so the centroid aggregation under it runs once, not once
+    * per consumer branch).
+    */
+  private def pqCsub(s: SparkSession, dir: String): DataFrame =
+    centroidsBy(
       Tables.embeddings(s, dir)
         .select(col("label"), quantize(col("embedding")).as("vq")), "label")
-    def subSlices(arr: Column) = array(
-      (0 until PqM).map(m => slice(arr, m * PqSubDim + 1, PqSubDim)): _*)
+      .select(col("c_label"),
+        posexplode(subSlices(col("cv"))).as(Seq("m", "cs")))
+      .withColumn("cn2", call_function("array_dot", col("cs"), col("cs")))
+
+  /** Scores a (vec_id, vq) frame's subvectors against a sub-codebook. */
+  private def pqScoredAgainst(e: DataFrame, csub: DataFrame): DataFrame = {
     val sub = e.select(col("vec_id"), posexplode(subSlices(col("vq"))).as(Seq("m", "sv")))
       // per-subvector squared norm once per (vec, m), not per codeword
       .withColumn("svd", col("sv").cast("array<double>"))
       .withColumn("sn2", call_function("array_dot", col("svd"), col("svd")))
-    val csub = cent.select(col("c_label"),
-      posexplode(subSlices(col("cv"))).as(Seq("m", "cs")))
-      .withColumn("cn2", call_function("array_dot", col("cs"), col("cs")))
     val dist = col("sn2") - lit(2.0) * call_function("array_dot", col("svd"), col("cs")) +
       col("cn2")
     sub.join(broadcast(csub), "m")
@@ -573,9 +587,17 @@ object Similarity extends QueryModule {
     */
   def pqTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val scored = pqScored(s, dir)
-    val codes = pqCodes(scored).select("vec_id", "m", "code")
-    val lut = scored.filter(col("vec_id") < NumQueries)
+    graft.functions.ArrayDot.register(s)
+    // the centroid aggregation feeds BOTH consumer branches (codes + LUT);
+    // persisting the tiny |clusters|·M sub-codebook keeps it to one run
+    val csub = pqCsub(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("vq"))
+    val codes = pqCodes(pqScoredAgainst(e, csub)).select("vec_id", "m", "code")
+    // source-filtered query frame: the LUT branch scans only the query
+    // vectors by construction instead of relying on pushdown pruning
+    val lut = pqScoredAgainst(e.filter(col("vec_id") < NumQueries), csub)
       .select(col("vec_id").as("q_id"), col("m").as("lm"), col("c_label"),
         round(col("dist") / lit(Scale.toDouble * Scale), 6)
           .cast(DecimalType(18, 6)).as("d6"))
