@@ -283,6 +283,51 @@ object Relational extends QueryModule {
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc)
 
+  /** TPC-H Q10 (returned-item reporting), adapted to the fixture schema:
+    * which customers returned the most revenue in a quarter. The quarter
+    * filter prunes orders at the scan; orders⋈lineitem is the one big
+    * shuffle (the R-flag filter pushes into the lineitem scan); customer
+    * and nation ride broadcasts; top-20 via TakeOrderedAndProject with
+    * c_custkey as the deterministic tie-break.
+    */
+  def tpchQ10(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-04-01")
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  private val Q18Qty = 300 // large-order quantity threshold (TPC-H uses 300)
+
+  /** TPC-H Q18 (large-volume customer): the HAVING-driven semi-join — find
+    * orders whose total quantity clears [[Q18Qty]], then report them with
+    * their customer. The qualifying-key set is a lineitem self-aggregation
+    * (map-side partials; output is a tiny fraction of orders) that joins
+    * back as a LEFT SEMI; quantities fold in exact DECIMAL so the HAVING
+    * boundary cannot flip between engines.
+    */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bigOrders = li.groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > Q18Qty)
+      .select(col("l_orderkey").as("big_okey"))
+    Tables.orders(s, dir)
+      .join(bigOrders, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** Exact interpolated percentiles (median / p95) per order priority —
     * `percentile` is exact two-phase (sort-based partial state), matching
     * DuckDB's quantile_cont interpolation bit-for-bit on the same doubles.
@@ -353,6 +398,8 @@ object Relational extends QueryModule {
     "q_scalar_datemath" -> (scalarDateMath(_, _)),
     "q_tpch_q3" -> (tpchQ3(_, _)),
     "q_tpch_q5" -> (tpchQ5(_, _)),
+    "q_tpch_q10" -> (tpchQ10(_, _)),
+    "q_tpch_q18" -> (tpchQ18(_, _)),
     "q_percentiles" -> (percentiles(_, _)))
 
   private def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -498,6 +545,31 @@ object Relational extends QueryModule {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC""".stripMargin,
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(sum($discSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey HAVING sum(${d2("l_quantity")}) > $Q18Qty
+         |)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  ${sum2("l_quantity")} AS total_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
