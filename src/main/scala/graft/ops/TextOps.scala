@@ -416,11 +416,13 @@ object TextOps extends QueryModule {
     // cast the rounded ln to DECIMAL BEFORE multiplying by cnt (exact
     // DECIMAL×DECIMAL, mirroring the oracle); a double product first would
     // carry ~cnt·ulp error past the cast's 0.5e-8 slack at large counts.
-    // Precisions bounded so (18,8)×(10,0) → (29,8) stays under Spark's
-    // 38-digit cap — an unbounded product triggers silent scale reduction.
+    // Precisions bounded so (18,8)×(18,0) → (37,8) stays under Spark's
+    // 38-digit cap — an unbounded product triggers silent scale reduction;
+    // (18,0) (vs the old (10,0)) makes count overflow → null structurally
+    // impossible at any realistic document length.
     import org.apache.spark.sql.types.DecimalType
     val lnTerm = round(log(col("cnt")), 8).cast(DecimalType(18, 8)) *
-      col("cnt").cast(DecimalType(10, 0))
+      col("cnt").cast(DecimalType(18, 0))
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
@@ -483,7 +485,13 @@ object TextOps extends QueryModule {
     * bigram key — an equi-join AQE skew-handles on hot bigrams; the vocab
     * scalar broadcasts. Per-term ln values are pre-rounded and summed as
     * exact DECIMAL (the txt_entropy trick) so the per-doc fold is
-    * order-independent in both engines.
+    * order-independent in both engines; `ppl` exponentiates the ALREADY
+    * 6-rounded logprob so both engines feed libm exp the same decimal.
+    *
+    * Output contract: EVERY document gets a row. Docs with fewer than two
+    * tokens are unscoreable (no bigrams) — they carry n_bigrams = 0 and
+    * NULL logprob/ppl rather than silently vanishing, so a downstream
+    * quality gate can distinguish "unscoreable" from "filtered upstream".
     */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -504,16 +512,92 @@ object TextOps extends QueryModule {
     // division → ln pre-rounded to 8 decimals, summed as exact DECIMAL
     val lnTerm = round(log((col("cb") + lit(1)).cast("double") /
         (col("cstart") + col("v")).cast("double")), 8)
-      .cast(DecimalType(18, 8)) * col("k").cast(DecimalType(10, 0))
+      .cast(DecimalType(18, 8)) * col("k").cast(DecimalType(18, 0))
     val avg = col("slp").cast("double") / col("n_bigrams")
-    docBig.join(cb, "bg")
+    val scored = docBig.join(cb, "bg")
       .join(cs, "w1")
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(sum("k").as("n_bigrams"), sum(lnTerm).as("slp"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(avg, 6).as("logprob"),
-        round(exp(-avg), 4).as("ppl"))
+      .withColumn("logprob", round(avg, 6))
+      .select(col("doc_id"), col("n_bigrams"), col("logprob"),
+        round(exp(-col("logprob")), 4).as("ppl"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("logprob"), col("ppl"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ txt_chunk_windows
+
+  private val ChunkWin = 64    // context-window width in tokens
+  private val ChunkStride = 48 // window stride (16-token overlap)
+
+  /** Overlapping context-window chunking — the pre-tokenizer slicing op that
+    * turns each document into [[ChunkWin]]-token windows advancing by
+    * [[ChunkStride]] (so consecutive chunks share ChunkWin − ChunkStride
+    * tokens of context, the standard long-document training prep). Every
+    * document yields at least one chunk; the last chunk is the (possibly
+    * partial) window that reaches the final token. Emits per chunk its
+    * token span and an md5 content fingerprint — the join key a chunk-level
+    * dedup or index build downstream would use.
+    *
+    * Scale shape: pure per-row generate inside the scan stage — integer
+    * chunk-count arithmetic, one bounded sequence explode, slices of the
+    * already-materialized token array; NO shuffle anywhere (the orderBy is
+    * presentation-only). At 100 TB this is the ideal operator class: output
+    * partitioning inherits input partitioning untouched.
+    */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val n = col("n")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      // chunks BEYOND the first: ceil((n − win) / stride) in pure integer
+      // arithmetic — `div` keeps both engines in exact integer space
+      .withColumn("extra", when(n > ChunkWin,
+        expr(s"(n - $ChunkWin + ${ChunkStride - 1}) div $ChunkStride"))
+        .otherwise(lit(0)))
+      .withColumn("cid", explode(graft.functions.Exprs.boundedSequence(
+        lit(0), col("extra"))))
+      .withColumn("chunk_id", col("cid").cast("int"))
+      .withColumn("start", (col("chunk_id") * ChunkStride).cast("int"))
+      .withColumn("chunk_len", least(lit(ChunkWin), n - col("start")).cast("int"))
+      .select(col("doc_id"), col("chunk_id"), col("start"), col("chunk_len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start") + 1, col("chunk_len")))).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // -------------------------------------------------------- txt_ppl_bucket
+
+  /** CCNet-style perplexity bucketing — split the corpus into head / middle
+    * / tail terciles by LM perplexity (lower ppl = closer to the LM's
+    * training distribution = "head"), the quality-stratification step CCNet
+    * applies before sampling. Docs too short to score ([[lmPerplexity]]'s
+    * NULL-ppl contract) land in an explicit `unscoreable` bucket instead of
+    * being dropped or misfiled.
+    *
+    * Scale shape: the scores are [[lmPerplexity]]'s aggregation; the two
+    * tercile cutoffs are ONE exact interpolated-percentile aggregate (sort
+    * -based partial state, the q_percentiles machinery) broadcast back as a
+    * 1-row scalar — no global row_number window, which would funnel the
+    * corpus through a single partition at scale.
+    */
+  def pplBucket(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmPerplexity(s, dir)
+    // 1/3 and 2/3 as double literals: both engines interpolate index
+    // p·(n−1) on identical doubles (parity pinned by q_percentiles)
+    val cuts = scored.agg(
+      expr("percentile(ppl, 0.3333333333333333)").as("q33"),
+      expr("percentile(ppl, 0.6666666666666666)").as("q66"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("ppl"),
+        when(col("ppl").isNull, "unscoreable")
+          .when(col("ppl") <= col("q33"), "head")
+          .when(col("ppl") <= col("q66"), "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }
 
@@ -540,15 +624,20 @@ object TextOps extends QueryModule {
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
     val tot = g.agg(sum("n_tokens").as("tot"))
+    // share is rounded to its display precision BEFORE pow, so both
+    // engines raise the same decimal to MixAlpha — the only residual
+    // cross-engine risk is a 1-ulp libm pow divergence on identical
+    // inputs, down from pow-of-an-unrounded-quotient.
     val shared = g.crossJoin(broadcast(tot))
-      .withColumn("share", col("n_tokens").cast("double") / col("tot"))
+      .withColumn("share",
+        round(col("n_tokens").cast("double") / col("tot"), 6))
       .withColumn("w8",
         round(pow(col("share"), lit(MixAlpha)), 8).cast(DecimalType(18, 8)))
     val z = shared.agg(sum("w8").as("z"))
     val weight = col("w8").cast("double") / col("z").cast("double")
     shared.crossJoin(broadcast(z))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
-        round(col("share"), 6).as("share"),
+        col("share"),
         round(weight, 6).as("weight"),
         round(weight / col("share"), 4).as("epochs"))
       .orderBy("lang", "source")
@@ -557,6 +646,8 @@ object TextOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_shuffle_shard" -> (shuffleShard(_, _)),
     "txt_lm_perplexity" -> (lmPerplexity(_, _)),
+    "txt_chunk_windows" -> (chunkWindows(_, _)),
+    "txt_ppl_bucket" -> (pplBucket(_, _)),
     "txt_mix_weights" -> (mixWeights(_, _)),
     "txt_entropy" -> (entropy(_, _)),
     "txt_distinct_tokens" -> (distinctTokens(_, _)),
@@ -578,6 +669,45 @@ object TextOps extends QueryModule {
   private val toksSql = graft.OracleSql.toks("lower(text)")
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The txt_lm_perplexity oracle — also the scored-docs CTE the
+    * txt_ppl_bucket oracle composes, so the two cannot drift apart.
+    */
+  private val lmPerplexitySql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |), big AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+       |  FROM docs, unnest(range(1, len(toks))) AS r(i)
+       |  WHERE len(toks) >= 2
+       |), doc_big AS (
+       |  SELECT doc_id, bg, count(*) AS k FROM big GROUP BY doc_id, bg
+       |), cb AS (
+       |  SELECT bg, split_part(bg, ' ', 1) AS w1, count(*) AS cb
+       |  FROM big GROUP BY bg
+       |), cs AS (
+       |  SELECT w1, sum(cb)::BIGINT AS cstart FROM cb GROUP BY w1
+       |), vocab AS (
+       |  SELECT count(DISTINCT t)::BIGINT AS v
+       |  FROM (SELECT unnest(toks) AS t FROM docs)
+       |), terms AS (
+       |  SELECT doc_id, k,
+       |    round(ln((cb + 1)::DOUBLE / (cstart + v)::DOUBLE), 8)::DECIMAL(18,8)
+       |      * k::DECIMAL(18,0) AS lnk
+       |  FROM doc_big JOIN cb USING (bg) JOIN cs USING (w1), vocab
+       |), agg AS (
+       |  SELECT doc_id, sum(k)::BIGINT AS n_bigrams, sum(lnk) AS slp
+       |  FROM terms GROUP BY doc_id
+       |), sc AS (
+       |  SELECT doc_id, n_bigrams,
+       |    round(slp::DOUBLE / n_bigrams, 6) AS logprob
+       |  FROM agg
+       |)
+       |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       |  logprob,
+       |  round(exp(-logprob), 4) AS ppl
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "txt_shuffle_shard" ->
       s"""WITH k AS (
@@ -591,36 +721,40 @@ object TextOps extends QueryModule {
          |  row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::INT AS pos,
          |  skey
          |FROM s ORDER BY doc_id""".stripMargin,
-    "txt_lm_perplexity" ->
-      s"""WITH docs AS (
+    "txt_lm_perplexity" -> lmPerplexitySql,
+    "txt_chunk_windows" ->
+      s"""WITH d AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents
-         |), big AS (
-         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
-         |  FROM docs, unnest(range(1, len(toks))) AS r(i)
-         |  WHERE len(toks) >= 2
-         |), doc_big AS (
-         |  SELECT doc_id, bg, count(*) AS k FROM big GROUP BY doc_id, bg
-         |), cb AS (
-         |  SELECT bg, split_part(bg, ' ', 1) AS w1, count(*) AS cb
-         |  FROM big GROUP BY bg
-         |), cs AS (
-         |  SELECT w1, sum(cb)::BIGINT AS cstart FROM cb GROUP BY w1
-         |), vocab AS (
-         |  SELECT count(DISTINCT t)::BIGINT AS v
-         |  FROM (SELECT unnest(toks) AS t FROM docs)
-         |), terms AS (
-         |  SELECT doc_id, k,
-         |    round(ln((cb + 1)::DOUBLE / (cstart + v)::DOUBLE), 8)::DECIMAL(18,8)
-         |      * k::DECIMAL(10,0) AS lnk
-         |  FROM doc_big JOIN cb USING (bg) JOIN cs USING (w1), vocab
-         |), agg AS (
-         |  SELECT doc_id, sum(k)::BIGINT AS n_bigrams, sum(lnk) AS slp
-         |  FROM terms GROUP BY doc_id
+         |), p AS (
+         |  SELECT doc_id, toks, len(toks)::INT AS n,
+         |    CASE WHEN len(toks) > $ChunkWin
+         |      THEN ((len(toks) - $ChunkWin + ${ChunkStride - 1}) // $ChunkStride)::INT
+         |      ELSE 0 END AS extra
+         |  FROM d
+         |), c AS (
+         |  SELECT doc_id, toks, n, r.i::INT AS chunk_id,
+         |    (r.i * $ChunkStride)::INT AS start
+         |  FROM p, unnest(range(0, extra + 1)) AS r(i)
          |)
-         |SELECT doc_id, n_bigrams,
-         |  round(slp::DOUBLE / n_bigrams, 6) AS logprob,
-         |  round(exp(-(slp::DOUBLE / n_bigrams)), 4) AS ppl
-         |FROM agg ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, chunk_id, start,
+         |  least($ChunkWin, n - start)::INT AS chunk_len,
+         |  md5(array_to_string(
+         |    toks[start + 1 : start + least($ChunkWin, n - start)], ' ')) AS fp
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "txt_ppl_bucket" ->
+      s"""WITH scored AS (
+         |  $lmPerplexitySql
+         |), cuts AS (
+         |  SELECT quantile_cont(ppl, 0.3333333333333333) AS q33,
+         |    quantile_cont(ppl, 0.6666666666666666) AS q66
+         |  FROM scored
+         |)
+         |SELECT doc_id, ppl,
+         |  CASE WHEN ppl IS NULL THEN 'unscoreable'
+         |    WHEN ppl <= q33 THEN 'head'
+         |    WHEN ppl <= q66 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM scored, cuts ORDER BY doc_id""".stripMargin,
     "txt_mix_weights" ->
       s"""WITH d AS (
          |  SELECT lang, source, len($toksSql)::BIGINT AS n FROM documents
@@ -631,14 +765,14 @@ object TextOps extends QueryModule {
          |  SELECT sum(n_tokens)::BIGINT AS tot FROM g
          |), sh AS (
          |  SELECT lang, source, n_docs, n_tokens,
-         |    n_tokens::DOUBLE / tot AS share,
-         |    round(pow(n_tokens::DOUBLE / tot, $MixAlpha), 8)::DECIMAL(18,8) AS w8
+         |    round(n_tokens::DOUBLE / tot, 6) AS share,
+         |    round(pow(round(n_tokens::DOUBLE / tot, 6), $MixAlpha), 8)::DECIMAL(18,8) AS w8
          |  FROM g, t
          |), z AS (
          |  SELECT sum(w8) AS z FROM sh
          |)
          |SELECT lang, source, n_docs, n_tokens,
-         |  round(share, 6) AS share,
+         |  share,
          |  round(w8::DOUBLE / z::DOUBLE, 6) AS weight,
          |  round((w8::DOUBLE / z::DOUBLE) / share, 4) AS epochs
          |FROM sh, z ORDER BY lang, source""".stripMargin,
@@ -649,7 +783,7 @@ object TextOps extends QueryModule {
          |  SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t
          |), a AS (
          |  SELECT doc_id, sum(cnt)::BIGINT AS n,
-         |    sum(round(ln(cnt), 8)::DECIMAL(18,8) * cnt::DECIMAL(10,0)) AS sum_clnc,
+         |    sum(round(ln(cnt), 8)::DECIMAL(18,8) * cnt::DECIMAL(18,0)) AS sum_clnc,
          |    sum(cnt * cnt)::BIGINT AS sum_c2
          |  FROM c GROUP BY doc_id
          |)

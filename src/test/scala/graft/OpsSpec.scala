@@ -400,4 +400,47 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet.intersect(bench).isEmpty)
     assert(rows.forall { case (_, f) => f > 0.0 && f <= 1.0 })
   }
+
+  test("txt_chunk_windows: chunks tile every doc with the stride/overlap contract") {
+    import spark.implicits._
+    val nTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = TextOps.chunkWindows(spark, dir)
+      .select("doc_id", "chunk_id", "start", "chunk_len")
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(chunks.keySet === nTok.keySet) // every doc chunks, even short ones
+    chunks.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      cs.zipWithIndex.foreach { case ((_, cid, start, len), i) =>
+        assert(cid === i && start === i * 48) // dense ids, exact stride
+        assert(len === math.max(0, math.min(64, n - start)))
+      }
+      // the final chunk reaches the last token; the one before it doesn't
+      assert(cs.last._3 + cs.last._4 === n || (n == 0 && cs.length == 1))
+      if (cs.length > 1) assert(cs(cs.length - 2)._3 + 64 < n + 48)
+    }
+  }
+
+  test("txt_ppl_bucket: terciles are balanced and ordered by perplexity") {
+    import spark.implicits._
+    val rows = TextOps.pplBucket(spark, dir)
+      .select("bucket", "ppl").as[(String, Option[Double])].collect()
+    val byBucket = rows.groupBy(_._1)
+    // head ≤ middle ≤ tail pointwise across bucket boundaries
+    def ppls(b: String) = byBucket.getOrElse(b, Array()).flatMap(_._2)
+    if (ppls("head").nonEmpty && ppls("middle").nonEmpty)
+      assert(ppls("head").max <= ppls("middle").min)
+    if (ppls("middle").nonEmpty && ppls("tail").nonEmpty)
+      assert(ppls("middle").max <= ppls("tail").min)
+    // terciles: balanced up to ties at the cut values (a tied run lands
+    // wholly on one side of its boundary)
+    val scored = rows.count(_._2.isDefined)
+    val maxTies = rows.flatMap(_._2).groupBy(identity).values.map(_.length).max
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(math.abs(ppls(b).length - scored / 3.0) <= 1.0 + maxTies,
+        s"bucket $b unbalanced")
+    }
+  }
 }
