@@ -585,7 +585,7 @@ object Similarity extends QueryModule {
     * decimals, and summed as an exact DECIMAL — the txt_entropy pre-round
     * trick — making the ADC distance order-independent in both engines.
     */
-  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+  private def adcScores(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     graft.functions.ArrayDot.register(s)
     // the centroid aggregation feeds BOTH consumer branches (codes + LUT);
@@ -606,10 +606,57 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("d6")).as("adc"))
+  }
+
+  def pqTopK(s: SparkSession, dir: String): DataFrame =
+    adcScores(s, dir)
       .transform(topKPerGroup(_, Seq("q_id"), "vec_id", TopK,
         col("adc").asc, col("vec_id").asc))
       .select(col("q_id"), col("vec_id"), col("rnk"),
         round(col("adc").cast("double"), 6).as("adc_dist"))
+      .orderBy("q_id", "rnk")
+
+  // --------------------------------------------------------- sim_pq_rerank
+
+  private val RerankK = 4 * TopK // ADC shortlist size (candidate multiplier 4)
+
+  /** Two-stage PQ search with exact refinement — the production IVF-PQ
+    * serving pattern (Jégou et al. §V.C, "re-ranking"): the compressed ADC
+    * scan of [[pqTopK]] produces a [[RerankK]]-deep shortlist per query,
+    * then ONLY the shortlisted vectors are fetched at full precision and
+    * re-ranked by exact L2. ADC error can reorder near-ties but rarely
+    * ejects a true neighbor from a 4× shortlist, so the final top-k is
+    * near-exact at a fraction of the exact-scan cost.
+    *
+    * Scale shape: stage 1 reads the 256×-compressed code table only; the
+    * exact stage joins |Q|·RerankK shortlist rows — bounded by construction,
+    * NOT corpus-sized — against the corpus on vec_id (AQE will broadcast
+    * the tiny side), so full-precision vectors are read for exactly the
+    * shortlist. That read pattern is the entire point of PQ at 100 TB: the
+    * heavy scan touches ~0.4 % of the bytes, the exact math touches ~20
+    * rows per query.
+    *
+    * Ranking uses RAW exact distances (identical integer-derived doubles in
+    * both engines); rounding is display-only.
+    */
+  def pqRerank(s: SparkSession, dir: String): DataFrame = {
+    val short = adcScores(s, dir)
+      .transform(topKPerGroup(_, Seq("q_id"), "vec_id", RerankK,
+        col("adc").asc, col("vec_id").asc))
+      .select("q_id", "vec_id")
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qq_id"), col("vq").as("qv"), col("n2").as("qn2"))
+    // exact |q−c|² via the dot identity, all-integer → exact in double
+    val l2 = (col("n2") - lit(2.0) * idot(col("vq"), col("qv")) + col("qn2"))
+      .cast("double") / lit(Scale.toDouble * Scale)
+    short.join(c, "vec_id")
+      .join(broadcast(q), col("q_id") === col("qq_id"))
+      .select(col("q_id"), col("vec_id"), l2.as("l2"))
+      .transform(topKPerGroup(_, Seq("q_id"), "vec_id", TopK,
+        col("l2").asc, col("vec_id").asc))
+      .select(col("q_id"), col("vec_id"), col("rnk"),
+        round(col("l2"), 6).as("l2_dist"))
       .orderBy("q_id", "rnk")
   }
 
@@ -622,7 +669,8 @@ object Similarity extends QueryModule {
     "sim_kmeans_step" -> (kmeansStep(_, _)),
     "sim_kmeans_train" -> (kmeansTrain(_, _)),
     "sim_pq_encode" -> (pqEncode(_, _)),
-    "sim_pq_topk" -> (pqTopK(_, _)))
+    "sim_pq_topk" -> (pqTopK(_, _)),
+    "sim_pq_rerank" -> (pqRerank(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -811,6 +859,38 @@ object Similarity extends QueryModule {
          |)
          |SELECT q_id, vec_id, rnk, round(adc::DOUBLE, 6) AS adc_dist
          |FROM rq WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "sim_pq_rerank" ->
+      s"""WITH $pqChainSql, codes AS (
+         |  SELECT vec_id, m, c_label AS code FROM ranked WHERE rnk = 1
+         |), lut AS (
+         |  SELECT vec_id AS q_id, m, c_label,
+         |    round(dist / ${Scale.toDouble * Scale}, 6)::DECIMAL(18,6) AS d6
+         |  FROM scored WHERE vec_id < $NumQueries
+         |), adc AS (
+         |  SELECT l.q_id, c.vec_id, sum(l.d6) AS adc
+         |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.c_label
+         |  WHERE c.vec_id <> l.q_id
+         |  GROUP BY l.q_id, c.vec_id
+         |), sh AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS srnk
+         |  FROM adc
+         |), ex AS (
+         |  SELECT s.q_id, s.vec_id,
+         |    (list_sum(list_apply(cc.vq, x -> x::DOUBLE * x))
+         |      - 2 * list_sum(list_apply(range($Dim), i -> cc.vq[(i + 1)::INT]::DOUBLE * cq.vq[(i + 1)::INT]))
+         |      + list_sum(list_apply(cq.vq, x -> x::DOUBLE * x)))
+         |      / ${Scale.toDouble * Scale} AS l2
+         |  FROM sh s JOIN eq cc ON cc.vec_id = s.vec_id
+         |    JOIN eq cq ON cq.vec_id = s.q_id
+         |  WHERE s.srnk <= $RerankK
+         |), rr AS (
+         |  SELECT q_id, vec_id, l2,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY l2, vec_id)::INT AS rnk
+         |  FROM ex
+         |)
+         |SELECT q_id, vec_id, rnk, round(l2, 6) AS l2_dist
+         |FROM rr WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     "sim_kmeans_train" ->
       s"""WITH $assignSql, asg1 AS (
          |  SELECT vec_id, c_label AS cl, vq FROM ranked WHERE rnk = 1

@@ -401,6 +401,42 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall { case (_, f) => f > 0.0 && f <= 1.0 })
   }
 
+  test("sim_pq_rerank: ranks are dense/ascending and exact refinement never loses recall") {
+    import spark.implicits._
+    val rows = Similarity.pqRerank(spark, dir)
+      .select("q_id", "vec_id", "rnk", "l2_dist")
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = rows.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    byQ.values.foreach { rs =>
+      assert(rs.map(_._3).toSeq === (1 to rs.length)) // dense ranks
+      assert(rs.map(_._4).toSeq === rs.map(_._4).sorted.toSeq) // ascending L2
+    }
+    // exact refinement must not LOSE recall vs raw ADC ordering (the
+    // 10-codeword fixture codebook is deliberately coarse, so absolute
+    // ADC recall is low — the rerank's claim is only that exact math on
+    // the shortlist beats approximate math on the same shortlist)
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    def meanRecall(got: Map[Long, Seq[Long]]): Double = {
+      val rs = got.map { case (q, vs) =>
+        val truth = (emb - q).toSeq
+          .map { case (v, e) => (v, l2(emb(q), e)) }
+          .sortBy { case (v, d) => (d, v) }.take(vs.length).map(_._1).toSet
+        vs.count(truth).toDouble / vs.length
+      }
+      rs.sum / rs.size
+    }
+    val rerankR = meanRecall(byQ.view.mapValues(_.map(_._2).toSeq).toMap)
+    val adc = Similarity.pqTopK(spark, dir)
+      .select("q_id", "vec_id", "rnk").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val adcR = meanRecall(adc)
+    assert(rerankR >= adcR,
+      s"exact refinement lost recall: rerank $rerankR < adc $adcR")
+  }
+
   test("txt_chunk_windows: chunks tile every doc with the stride/overlap contract") {
     import spark.implicits._
     val nTok = Tables.documents(spark, dir)
