@@ -295,6 +295,58 @@ object Similarity extends QueryModule {
       .orderBy("vec_id", "rnk")
   }
 
+  // --------------------------------------------------------- sim_graph_rank
+
+  private val Damp = 0.85      // PageRank damping factor
+  private val RankIters = 3    // fixed power-method rounds
+
+  /** PageRank-style quality propagation over the [[knnGraph]] — the link-
+    * analysis signal a training-data pipeline uses to promote documents
+    * whose nearest-neighbor structure is central (well-connected regions of
+    * embedding space) and demote isolates: r ← (1−d)/N + d·Σ r(u)/deg(u)
+    * over in-edges, [[RankIters]] fixed power-method rounds from a uniform
+    * start. Nodes outside the graph (no candidates, or dangling) still hold
+    * the (1−d)/N floor; dangling mass is NOT redistributed (the simple
+    * variant — documented contract, same in the oracle).
+    *
+    * Scale shape per round: one equi-join of edges against the current rank
+    * vector (both partitioned by src) + one groupBy dst with map-side
+    * partials — the classic distributed PageRank step; edges and degrees
+    * persist across the [[RankIters]] rounds so the LSH candidate build
+    * runs once. A FIXED iteration count keeps plan lineage bounded
+    * (contrast [[graft.ops.Dedup.labelPropagate]]'s localCheckpoint loop).
+    *
+    * Cross-engine determinism: every contribution d·r(u)/deg(u) is computed
+    * on identical doubles, pre-rounded to 12 decimals, and summed as exact
+    * DECIMAL (the txt_entropy trick), so each round's rank vector is
+    * bit-identical in both engines by induction.
+    */
+  def graphRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(24, 12)
+    val edges = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = Tables.embeddings(s, dir).select("vec_id")
+    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val base = round(lit(1.0 - Damp) / col("n"), 12).cast(dec)
+    var r = nodes.crossJoin(nn)
+      .select(col("vec_id"), round(lit(1.0) / col("n"), 12).cast(dec).as("r"))
+    for (_ <- 1 to RankIters) {
+      val inflow = edges.join(deg, "src")
+        .join(r.select(col("vec_id").as("src"), col("r")), "src")
+        .select(col("dst"),
+          round(lit(Damp) * col("r").cast("double") / col("deg"), 12)
+            .cast(dec).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      r = nodes.join(inflow, col("vec_id") === col("dst"), "left")
+        .crossJoin(nn)
+        .select(col("vec_id"),
+          (base + coalesce(col("inflow"), lit(0).cast(dec))).cast(dec).as("r"))
+    }
+    r.select(col("vec_id"), col("r").as("pagerank")).orderBy("vec_id")
+  }
+
   // -------------------------------------------------------- sim_ivf_assign
 
   /** Per-group exact centroids from a (grp, vq) frame: integer component
@@ -670,7 +722,8 @@ object Similarity extends QueryModule {
     "sim_kmeans_train" -> (kmeansTrain(_, _)),
     "sim_pq_encode" -> (pqEncode(_, _)),
     "sim_pq_topk" -> (pqTopK(_, _)),
-    "sim_pq_rerank" -> (pqRerank(_, _)))
+    "sim_pq_rerank" -> (pqRerank(_, _)),
+    "sim_graph_rank" -> (graphRank(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -790,7 +843,52 @@ object Similarity extends QueryModule {
        |  FROM scored
        |)""".stripMargin
 
+  /** One power-method round as CTEs `c$i`/`r$i` reading `r${i-1}` — the SQL
+    * twin of the [[graphRank]] loop body, emitted once per unrolled round
+    * so the two cannot drift.
+    */
+  private def rankIterSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""c$i AS (
+       |  SELECT dst, sum(round($Damp * r::DOUBLE / deg, 12)::DECIMAL(24,12)) AS infl
+       |  FROM edges JOIN dg USING (src) JOIN $prev ON $prev.vec_id = edges.src
+       |  GROUP BY dst
+       |), r$i AS (
+       |  SELECT e.vec_id,
+       |    (round(${1.0 - Damp} / n, 12)::DECIMAL(24,12)
+       |      + coalesce(infl, 0::DECIMAL(24,12)))::DECIMAL(24,12) AS r
+       |  FROM e CROSS JOIN nnn LEFT JOIN c$i ON c$i.dst = e.vec_id
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_graph_rank" ->
+      s"""WITH $corpusSql, $bandSql, cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id <> b.vec_id
+         |), pairs AS (
+         |  SELECT cand.vec_id, nbr_id,
+         |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
+         |), gsc AS (
+         |  SELECT vec_id, nbr_id,
+         |    $dotSql::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) AS cos
+         |  FROM pairs
+         |), grk AS (
+         |  SELECT vec_id, nbr_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS rnk
+         |  FROM gsc
+         |), edges AS (
+         |  SELECT vec_id AS src, nbr_id AS dst FROM grk WHERE rnk <= $GraphK
+         |), dg AS (
+         |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+         |), nnn AS (
+         |  SELECT count(*) AS n FROM e
+         |), r0 AS (
+         |  SELECT vec_id, round(1.0 / n, 12)::DECIMAL(24,12) AS r FROM e, nnn
+         |), ${(1 to RankIters).map(rankIterSql).mkString(", ")}
+         |SELECT vec_id, r AS pagerank FROM r$RankIters ORDER BY vec_id""".stripMargin,
     "sim_brute_topk" ->
       s"""WITH $corpusSql, pairs AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

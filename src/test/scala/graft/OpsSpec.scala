@@ -437,6 +437,25 @@ class OpsSpec extends AnyFunSuite {
       s"exact refinement lost recall: rerank $rerankR < adc $adcR")
   }
 
+  test("sim_graph_rank: floor for isolates, above-floor for linked nodes, bounded mass") {
+    import spark.implicits._
+    val ranks = Similarity.graphRank(spark, dir)
+      .select(col("vec_id"), col("pagerank").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    val n = ranks.size
+    val floor = BigDecimal(0.15 / n)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val linked = Similarity.knnGraph(spark, dir)
+      .select("nbr_id").as[Long].collect().toSet
+    ranks.foreach { case (v, r) =>
+      if (linked(v)) assert(r > floor, s"linked node $v at floor")
+      else assert(r === floor, s"isolate $v off floor: $r")
+    }
+    // dangling mass is dropped, never created: total stays within (1-d, 1]
+    val total = ranks.values.sum
+    assert(total <= 1.0 + 1e-9 && total > 0.15)
+  }
+
   test("txt_chunk_windows: chunks tile every doc with the stride/overlap contract") {
     import spark.implicits._
     val nTok = Tables.documents(spark, dir)
