@@ -586,7 +586,10 @@ object TextOps extends QueryModule {
     * corpus through a single partition at scale.
     */
   def pplBucket(s: SparkSession, dir: String): DataFrame = {
+    // scored feeds BOTH the cutoff aggregate and the bucket join — persist
+    // so the bigram-LM training aggregation runs once, not per branch
     val scored = lmPerplexity(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1/3 and 2/3 as double literals: both engines interpolate index
     // p·(n−1) on identical doubles (parity pinned by q_percentiles)
     val cuts = scored.agg(
