@@ -298,7 +298,38 @@ object Streamish extends QueryModule {
       .orderBy("w_start")
   }
 
+  // ----------------------------------------------------------------- ev_paths
+
+  private val PathTop = 10 // reported paths
+
+  /** Top event-type trigram paths — the sequence-mining staple behind
+    * "what do users do next": each user's event stream (ordered by event
+    * time, event_id tie-break) yields its consecutive 3-step type paths,
+    * counted corpus-wide with the distinct users walking each.
+    *
+    * Scale shape: the lead windows partition BY USER (bounded per-partition
+    * state — the sessionize shape, never a global sort); the path count is
+    * a hash aggregate with map-side partials over ≤ |types|³ keys; the
+    * final top-10 is a TakeOrderedAndProject over that bounded key space.
+    */
+  def paths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(PathTop)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_paths" -> (paths(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
     "ev_anomaly" -> (anomaly(_, _)),
@@ -313,6 +344,19 @@ object Streamish extends QueryModule {
   // ------------------------------------------------------------ oracle SQL
 
   val oracles: Map[String, String] = Map(
+    "ev_paths" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_type,
+         |    lead(event_type, 1) OVER w AS e2,
+         |    lead(event_type, 2) OVER w AS e3
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+         |)
+         |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+         |  count(*) AS n_occurrences,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM o WHERE e3 IS NOT NULL
+         |GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT $PathTop""".stripMargin,
     "ev_pivot" ->
       ("""SELECT ts::TIMESTAMP::DATE AS day,
          |""" + EventTypes.map(t =>

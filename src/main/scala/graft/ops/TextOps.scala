@@ -529,6 +529,42 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- txt_vocab_coverage
+
+  private val VocabTop = 1000 // reported vocabulary head
+
+  /** Vocabulary head with cumulative corpus coverage — the tokenizer-
+    * training precursor: the top-[[VocabTop]] tokens by corpus frequency
+    * (token tie-break) with each prefix's share of ALL token occurrences,
+    * answering "how big a vocab covers X% of the corpus".
+    *
+    * Scale shape: the count is one map-side-partial hash aggregate over the
+    * vocabulary; the head extraction is the salted two-phase top-k (no
+    * global sort of the vocab); rank and running coverage then run in ONE
+    * single-partition window over only the ≤ [[VocabTop]] survivors —
+    * bounded by construction, with integer-exact running sums and a single
+    * double division against the broadcast corpus total.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    // the vocab counts feed BOTH the corpus total and the head extraction —
+    // persist so the explode+aggregate scan runs once
+    val c = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = broadcast(c.agg(sum("n").as("total")))
+    val local = Window.partitionBy("salt").orderBy(col("n").desc, col("token").asc)
+    val global = Window.partitionBy().orderBy(col("n").desc, col("token").asc)
+    c.withColumn("salt", pmod(hash(col("token")), lit(64)))
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= VocabTop)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= VocabTop)
+      .withColumn("cum", sum("n").over(global.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(tot)
+      .select(col("token"), col("n"), col("rank"),
+        round(col("cum").cast("double") / col("total"), 6).as("cum_share"))
+      .orderBy("rank")
+  }
+
   // ------------------------------------------------------ txt_chunk_windows
 
   private val ChunkWin = 64    // context-window width in tokens
@@ -650,6 +686,7 @@ object TextOps extends QueryModule {
     "txt_shuffle_shard" -> (shuffleShard(_, _)),
     "txt_lm_perplexity" -> (lmPerplexity(_, _)),
     "txt_chunk_windows" -> (chunkWindows(_, _)),
+    "txt_vocab_coverage" -> (vocabCoverage(_, _)),
     "txt_ppl_bucket" -> (pplBucket(_, _)),
     "txt_mix_weights" -> (mixWeights(_, _)),
     "txt_entropy" -> (entropy(_, _)),
@@ -744,6 +781,22 @@ object TextOps extends QueryModule {
          |  md5(array_to_string(
          |    toks[start + 1 : start + least($ChunkWin, n - start)], ' ')) AS fp
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "txt_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($toksSql) AS token FROM documents
+         |), c AS (
+         |  SELECT token, count(*) AS n FROM tok GROUP BY token
+         |), tot AS (
+         |  SELECT sum(n)::BIGINT AS total FROM c
+         |), r AS (
+         |  SELECT token, n,
+         |    row_number() OVER (ORDER BY n DESC, token)::INT AS rank,
+         |    sum(n) OVER (ORDER BY n DESC, token
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |  FROM c
+         |)
+         |SELECT token, n, rank, round(cum::DOUBLE / total, 6) AS cum_share
+         |FROM r, tot WHERE rank <= $VocabTop ORDER BY rank""".stripMargin,
     "txt_ppl_bucket" ->
       s"""WITH scored AS (
          |  $lmPerplexitySql

@@ -456,6 +456,32 @@ class OpsSpec extends AnyFunSuite {
     assert(total <= 1.0 + 1e-9 && total > 0.15)
   }
 
+  test("ev_paths: trigram paths are well-formed with consistent counts") {
+    import spark.implicits._
+    val rows = graft.ops.Streamish.paths(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq) // desc
+    rows.foreach { case (path, n, users) =>
+      assert(path.split(">").length === 3)
+      assert(users >= 1 && users <= n)
+    }
+  }
+
+  test("txt_vocab_coverage: dense ranks, monotone coverage ending at its corpus share") {
+    import spark.implicits._
+    val rows = TextOps.vocabCoverage(spark, dir)
+      .as[(String, Long, Int, Double)].collect()
+    assert(rows.map(_._3).toSeq === (1 to rows.length)) // dense ranks
+    val shares = rows.map(_._4)
+    assert(shares.toSeq === shares.sorted.toSeq) // monotone non-decreasing
+    assert(shares.last <= 1.0 + 1e-9)
+    // counts non-increasing with rank
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    // if the whole vocab fits in the head, coverage must end at exactly 1
+    if (rows.length < 1000) assert(math.abs(shares.last - 1.0) < 1e-9)
+  }
+
   test("txt_chunk_windows: chunks tile every doc with the stride/overlap contract") {
     import spark.implicits._
     val nTok = Tables.documents(spark, dir)

@@ -27,7 +27,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // 1-ROW aggregate scalars (vocab size / corpus total / normalizer)
     // crossJoined in as broadcasts — a bounded BNLJ by construction, same
     // class as ev_range_join's threshold scalar
-    "txt_lm_perplexity", "txt_mix_weights", "txt_ppl_bucket")
+    "txt_lm_perplexity", "txt_mix_weights", "txt_ppl_bucket",
+    "txt_vocab_coverage")
 
   test("no cartesian products anywhere; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
