@@ -30,6 +30,26 @@ class PlanShapeSpec extends AnyFunSuite {
     "txt_lm_perplexity", "txt_mix_weights", "txt_ppl_bucket",
     "txt_vocab_coverage")
 
+  test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
+    val plan = graft.ops.Relational.tpchQ10(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    // the R-flag equality pushes into the lineitem scan
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(2000))
+    // the quarter window pushes into the orders scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(2000))
+  }
+
+  test("txt_chunk_windows plans with zero exchanges (pure per-row generate)") {
+    val plan = graft.ops.TextOps.chunkWindows(spark, dir)
+      .queryExecution.executedPlan
+    // the presentation orderBy is allowed its range-partition sort; nothing
+    // else may shuffle — no aggregate/join exchange anywhere in the plan
+    val exchanges = plan.toString.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 0, plan.toString.take(2000))
+  }
+
   test("no cartesian products anywhere; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val plan = q(spark, dir).queryExecution.executedPlan.toString
