@@ -585,9 +585,16 @@ object TextOps extends QueryModule {
     * presentation-only). At 100 TB this is the ideal operator class: output
     * partitioning inherits input partitioning untouched.
     */
-  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    chunkWindowsOf(Tables.documents(s, dir)).orderBy("doc_id", "chunk_id")
+
+  /** The frame-transform core of [[chunkWindows]] — STATELESS per-row
+    * generate, so the identical plan runs over a streaming documents
+    * source (StreamingSpec pins streaming ≡ batch).
+    */
+  def chunkWindowsOf(docs: DataFrame): DataFrame = {
     val n = col("n")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       // chunks BEYOND the first: ceil((n − win) / stride) in pure integer
@@ -603,7 +610,6 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("chunk_id"), col("start"), col("chunk_len"),
         md5(concat_ws(" ",
           slice(col("toks"), col("start") + 1, col("chunk_len")))).as("fp"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   // -------------------------------------------------------- txt_ppl_bucket

@@ -44,6 +44,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming chunk windows equal batch txt_chunk_windows (stateless generate)") {
+    val got = runToMemory(
+      graft.ops.TextOps.chunkWindowsOf(Streaming.documentsStream(spark, dir)),
+      "t_chunks", "append")
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val want = graft.ops.TextOps.chunkWindows(spark, dir).collect().toSeq
+    assert(got === want)
+  }
+
   test("incremental arrival: many micro-batches converge to the batch answer") {
     // Re-shard events into 4 time-ordered chunks written SEQUENTIALLY (so
     // file mtimes order them) and feed one file per micro-batch — in-order
