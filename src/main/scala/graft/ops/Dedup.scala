@@ -203,6 +203,32 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-distribution histogram — the corpus-health summary a dedup
+    * run reports: how many clusters of each size exist and how many
+    * documents they hold, with every unclustered document counted as a
+    * size-1 "cluster". n_docs sums to the corpus size, so the table reads
+    * directly as "X % of the corpus is duplicated at multiplicity k".
+    *
+    * Scale shape: reuses [[cluster]]'s distributed components, folds them
+    * to |clusters| rows, then to |distinct sizes| rows — each step a
+    * map-side-partial hash aggregate strictly smaller than the last; the
+    * two corpus scalars ride 1-row broadcasts.
+    */
+  def clusterStats(s: SparkSession, dir: String): DataFrame = {
+    val cl = cluster(s, dir)
+    val hist = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val nTotal = broadcast(Tables.documents(s, dir).agg(count(lit(1)).as("n_total")))
+    val nIn = broadcast(cl.agg(count(lit(1)).as("n_in")))
+    val singles = nTotal.crossJoin(nIn)
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_in")).as("n_clusters"),
+        (col("n_total") - col("n_in")).as("n_docs"))
+    hist.unionAll(singles).orderBy("cluster_size")
+  }
+
   /** Min-label connected components with POINTER DOUBLING, over an
     * undirected pair list `(doc_a, doc_b)`. Returns (labels(node, label),
     * rounds-to-converge).
@@ -573,6 +599,7 @@ object Dedup extends QueryModule {
     "dd_exact" -> (exactDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
     "dd_cluster" -> (cluster(_, _)),
+    "dd_cluster_stats" -> (clusterStats(_, _)),
     "dd_survivors" -> (survivors(_, _)),
     "dd_decontaminate" -> (decontaminate(_, _)),
     "dd_simhash" -> (simhash(_, _)),
@@ -672,6 +699,34 @@ object Dedup extends QueryModule {
          |SELECT node AS doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+    "dd_cluster_stats" ->
+      s"""WITH RECURSIVE $neardupVerSql, pr AS (
+         |  SELECT doc_a, doc_b FROM ver WHERE jac >= $JaccardT
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pr
+         |  UNION SELECT doc_b, doc_a FROM pr
+         |), reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+         |), lab AS (
+         |  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+         |), pc AS (
+         |  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+         |  FROM lab GROUP BY cluster_id
+         |), h AS (
+         |  SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+         |    (cluster_size * count(*))::BIGINT AS n_docs
+         |  FROM pc GROUP BY cluster_size
+         |), singles AS (
+         |  SELECT 1::BIGINT AS cluster_size,
+         |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM lab) AS n_clusters,
+         |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM lab) AS n_docs
+         |)
+         |SELECT cluster_size, n_clusters, n_docs FROM h
+         |UNION ALL
+         |SELECT cluster_size, n_clusters, n_docs FROM singles
+         |ORDER BY cluster_size""".stripMargin,
     "dd_survivors" ->
       s"""WITH RECURSIVE $neardupVerSql, pr AS (
          |  SELECT doc_a, doc_b FROM ver WHERE jac >= $JaccardT

@@ -456,6 +456,18 @@ class OpsSpec extends AnyFunSuite {
     assert(total <= 1.0 + 1e-9 && total > 0.15)
   }
 
+  test("dd_cluster_stats: the histogram partitions the corpus exactly") {
+    import spark.implicits._
+    val rows = Dedup.clusterStats(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_._3).sum === total) // n_docs partitions the corpus
+    rows.foreach { case (sz, nc, nd) => assert(nd === sz * nc) }
+    // real clusters (size >= 2) agree with dd_cluster's membership
+    val clustered = Dedup.cluster(spark, dir).count()
+    assert(rows.filter(_._1 >= 2).map(_._3).sum === clustered)
+  }
+
   test("ev_paths: trigram paths are well-formed with consistent counts") {
     import spark.implicits._
     val rows = graft.ops.Streamish.paths(spark, dir)
