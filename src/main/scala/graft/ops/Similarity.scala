@@ -295,6 +295,31 @@ object Similarity extends QueryModule {
       .orderBy("vec_id", "rnk")
   }
 
+  // ------------------------------------------------------- sim_recall_at_k
+
+  /** Offline ANN quality evaluation — recall@k of the LSH index against
+    * brute-force ground truth, per query: the acceptance gate every
+    * production ANN deployment runs before swapping an index in. Emits
+    * hits and recall per query; a fleet-wide mean is one further
+    * aggregate away.
+    *
+    * Scale shape: both sides reuse their existing scale-safe plans (brute
+    * = single corpus scan + bounded top-k, LSH = banded candidates); the
+    * comparison joins two |Q|·k row frames — bounded by construction.
+    */
+  def recallAtK(s: SparkSession, dir: String): DataFrame = {
+    val truth = bruteTopK(s, dir).select(col("q_id"), col("vec_id"))
+    val got = lshTopK(s, dir)
+      .select(col("q_id").as("l_qid"), col("vec_id").as("l_vid"))
+    truth.join(got,
+        col("q_id") === col("l_qid") && col("vec_id") === col("l_vid"), "left")
+      .groupBy("q_id")
+      .agg(count(col("l_vid")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / TopK, 6).as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
   // --------------------------------------------------------- sim_graph_rank
 
   private val Damp = 0.85      // PageRank damping factor
@@ -723,7 +748,8 @@ object Similarity extends QueryModule {
     "sim_pq_encode" -> (pqEncode(_, _)),
     "sim_pq_topk" -> (pqTopK(_, _)),
     "sim_pq_rerank" -> (pqRerank(_, _)),
-    "sim_graph_rank" -> (graphRank(_, _)))
+    "sim_graph_rank" -> (graphRank(_, _)),
+    "sim_recall_at_k" -> (recallAtK(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -773,7 +799,11 @@ object Similarity extends QueryModule {
   /** `pfx` disambiguates the CTE names when composed after a chain (e.g.
     * [[assignSql]]) that already defines `scored` / `ranked`.
     */
-  private def rankSql(pairs: String, grp: String, other: String, k: Int,
+  /** Just the `scored`/`ranked` CTEs of [[rankSql]] — composable where a
+    * query needs MORE SQL after the ranking (e.g. sim_recall_at_k ranks
+    * two candidate sets and joins them).
+    */
+  private def rankCtesSql(pairs: String, grp: String, other: String,
       pfx: String = "") =
     s"""${pfx}scored AS (
        |  SELECT $grp, $other,
@@ -783,7 +813,11 @@ object Similarity extends QueryModule {
        |  SELECT $grp, $other, cos,
        |    row_number() OVER (PARTITION BY $grp ORDER BY cos DESC, $other ASC)::INT AS rnk
        |  FROM ${pfx}scored
-       |)
+       |)""".stripMargin
+
+  private def rankSql(pairs: String, grp: String, other: String, k: Int,
+      pfx: String = "") =
+    s"""${rankCtesSql(pairs, grp, other, pfx)}
        |SELECT $grp, $other, rnk, round(cos, 6) AS cos_sim FROM ${pfx}ranked
        |WHERE rnk <= $k ORDER BY $grp, rnk""".stripMargin
 
@@ -889,6 +923,30 @@ object Similarity extends QueryModule {
          |  SELECT vec_id, round(1.0 / n, 12)::DECIMAL(24,12) AS r FROM e, nnn
          |), ${(1 to RankIters).map(rankIterSql).mkString(", ")}
          |SELECT vec_id, r AS pagerank FROM r$RankIters ORDER BY vec_id""".stripMargin,
+    "sim_recall_at_k" ->
+      s"""WITH $corpusSql, $bandSql, bp AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    q.vq AS va, c.vq AS vb, q.nn AS na, c.nn AS nb
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ${rankCtesSql("bp", "q_id", "vec_id", "b_")}, cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS vec_id
+         |  FROM lng a JOIN lng q
+         |    ON a.b_idx = q.b_idx AND a.band = q.band AND a.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), lp AS (
+         |  SELECT q_id, cand.vec_id,
+         |    eq.vq AS va, ec.vq AS vb, eq.nn AS na, ec.nn AS nb
+         |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e ec ON ec.vec_id = cand.vec_id
+         |), ${rankCtesSql("lp", "q_id", "vec_id", "l_")}, bt AS (
+         |  SELECT q_id, vec_id FROM b_ranked WHERE rnk <= $TopK
+         |), lt AS (
+         |  SELECT q_id, vec_id FROM l_ranked WHERE rnk <= $TopK
+         |)
+         |SELECT bt.q_id, count(lt.vec_id)::BIGINT AS n_hits,
+         |  round(count(lt.vec_id)::DOUBLE / $TopK, 6) AS recall_at_k
+         |FROM bt LEFT JOIN lt ON bt.q_id = lt.q_id AND bt.vec_id = lt.vec_id
+         |GROUP BY bt.q_id ORDER BY bt.q_id""".stripMargin,
     "sim_brute_topk" ->
       s"""WITH $corpusSql, pairs AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
