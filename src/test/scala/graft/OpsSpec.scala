@@ -456,6 +456,22 @@ class OpsSpec extends AnyFunSuite {
     assert(total <= 1.0 + 1e-9 && total > 0.15)
   }
 
+  test("sim_recall_at_k: hits equal the true set intersection, one row per query") {
+    import spark.implicits._
+    val brute = Similarity.bruteTopK(spark, dir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(spark, dir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.recallAtK(spark, dir)
+      .select("q_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(got.keySet === brute.keySet) // every query reports, even at 0 hits
+    got.foreach { case (q, hits) =>
+      assert(hits === brute(q).intersect(lsh.getOrElse(q, Set())).size.toLong)
+    }
+  }
+
   test("dd_cluster_stats: the histogram partitions the corpus exactly") {
     import spark.implicits._
     val rows = Dedup.clusterStats(spark, dir)
