@@ -92,6 +92,46 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ dd_incremental
+
+  /** Incremental-batch dedup — the daily-crawl shape: classify an incoming
+    * batch against an existing corpus snapshot WITHOUT re-deduping the
+    * snapshot. Fixture split: even doc_ids are the snapshot, odd doc_ids the
+    * batch. Each batch doc gets a status: `dup_corpus` (its fingerprint is
+    * already in the snapshot), `dup_batch` (an earlier batch doc — smaller
+    * doc_id — carries the same fingerprint), else `new`.
+    *
+    * Scale shape: the snapshot side reduces to DISTINCT 32-byte fingerprints
+    * before the join (snapshot text is never reshipped — at 100 TB the
+    * fingerprint set is the only state carried between pipeline runs); the
+    * batch-internal winner is a row_number window over the high-cardinality
+    * fingerprint (skew-free); the corpus check is a fingerprint equi-join.
+    * Empty docs fingerprint to NULL: both engines group NULLs together in
+    * the window (first empty batch doc is `new`, later ones `dup_batch`)
+    * and drop them from the equality join — identical classification.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame =
+    incrementalDedupOf(Tables.documents(s, dir))
+
+  private[graft] def incrementalDedupOf(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) <= 0, lit(null))
+          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
+    val snap = fp.filter(col("doc_id") % 2 === 0)
+      .select(col("fp").as("snap_fp")).distinct()
+    fp.filter(col("doc_id") % 2 === 1)
+      .withColumn("rnk", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .join(snap, col("fp") === col("snap_fp"), "left")
+      .withColumn("status",
+        when(col("snap_fp").isNotNull, lit("dup_corpus"))
+          .when(col("rnk") > 1, lit("dup_batch"))
+          .otherwise(lit("new")))
+      .select(col("doc_id"), col("fp"), col("status"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- dd_neardup
 
   /** Universal-hash multipliers for the MinHash family: h_i(x) = (a_i·w1 +
@@ -597,6 +637,7 @@ object Dedup extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (exactDedup(_, _)),
+    "dd_incremental" -> (incrementalDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
     "dd_cluster" -> (cluster(_, _)),
     "dd_cluster_stats" -> (clusterStats(_, _)),
@@ -679,6 +720,23 @@ object Dedup extends QueryModule {
          |  FROM fp
          |)
          |SELECT doc_id, fp, dup_cnt FROM g WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+    "dd_incremental" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp
+         |  FROM documents
+         |), snap AS (
+         |  SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+         |), batch AS (
+         |  SELECT doc_id, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rnk
+         |  FROM fp WHERE doc_id % 2 = 1
+         |)
+         |SELECT b.doc_id, b.fp,
+         |  CASE WHEN s.fp IS NOT NULL THEN 'dup_corpus'
+         |       WHEN b.rnk > 1 THEN 'dup_batch'
+         |       ELSE 'new' END AS status
+         |FROM batch b LEFT JOIN snap s ON b.fp = s.fp
+         |ORDER BY b.doc_id""".stripMargin,
     "dd_neardup" ->
       s"""WITH $neardupVerSql
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM ver

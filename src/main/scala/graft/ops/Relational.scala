@@ -328,6 +328,43 @@ object Relational extends QueryModule {
       .limit(100)
   }
 
+  /** TPC-H Q6 (forecast revenue change): the pure scan-aggregate. Every
+    * predicate and the 3-column read schema push into the parquet scan, and
+    * the aggregate is a map-side-partial global sum of exact decimals — at
+    * 100 TB this query IS the scan: the only shuffle is the one-row partial
+    * merge. The revenue product folds in DECIMAL so both engines sum the
+    * same exact values in any order.
+    */
+  def tpchQ6(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01"
+        && col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
+      .agg(
+        sum(dec2(col("l_extendedprice")) * col("l_discount").cast(DecimalType(8, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q14 (promotion effect): promo revenue share for one month. The
+    * part dimension broadcasts so the fact table never shuffles; the date
+    * filter pushes into the lineitem scan, so the join input is one month of
+    * the fact; both sums fold in exact DECIMAL (the promo sum via a
+    * null-else CASE — sum skips nulls identically in both engines) and the
+    * share is a single double division of the two exact sums.
+    */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1997-06-01" && col("l_shipdate") < "1997-07-01")
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        coalesce(sum(when(col("p_type").startsWith("PROMO"),
+            discPrice(col("l_extendedprice"), col("l_discount")))).cast("double"),
+          lit(0.0)).as("promo_revenue"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+
   /** Exact interpolated percentiles (median / p95) per order priority —
     * `percentile` is exact two-phase (sort-based partial state), matching
     * DuckDB's quantile_cont interpolation bit-for-bit on the same doubles.
@@ -398,7 +435,9 @@ object Relational extends QueryModule {
     "q_scalar_datemath" -> (scalarDateMath(_, _)),
     "q_tpch_q3" -> (tpchQ3(_, _)),
     "q_tpch_q5" -> (tpchQ5(_, _)),
+    "q_tpch_q6" -> (tpchQ6(_, _)),
     "q_tpch_q10" -> (tpchQ10(_, _)),
+    "q_tpch_q14" -> (tpchQ14(_, _)),
     "q_tpch_q18" -> (tpchQ18(_, _)),
     "q_percentiles" -> (percentiles(_, _)))
 
@@ -545,6 +584,25 @@ object Relational extends QueryModule {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC""".stripMargin,
+    "q_tpch_q6" ->
+      s"""SELECT
+         |  CAST(sum(${d2("l_extendedprice")} * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      s"""SELECT promo_revenue, total_revenue, n_items,
+         |  round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+         |FROM (
+         |  SELECT
+         |    coalesce(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $discSql END) AS DOUBLE), 0.0)
+         |      AS promo_revenue,
+         |    CAST(sum($discSql) AS DOUBLE) AS total_revenue,
+         |    count(*) AS n_items
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+         |)""".stripMargin,
     "q_tpch_q10" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          |  CAST(sum($discSql) AS DOUBLE) AS revenue

@@ -187,6 +187,78 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  private val WinK = 5 // winnowing shingle width (tokens)
+  private val WinW = 4 // winnowing window (consecutive shingle hashes)
+  private val WinPosBits = 21 // pos packs below the hash; docs < 2^21 shingles
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS local-fingerprint algorithm): from the [[WinK]]-token shingle
+    * hash sequence, every window of [[WinW]] consecutive hashes selects its
+    * minimum (rightmost on ties — "robust winnowing"), and the distinct
+    * selections are the document's fingerprints. Guarantee: any token run of
+    * ≥ WinW + WinK − 1 tokens shared by two documents shares at least one
+    * fingerprint — position-local (unlike MinHash's whole-document
+    * signature) with expected density 2/(WinW+1) instead of all shingles.
+    *
+    * Fully relational: tokens posexplode once; shingle hashes come from one
+    * codegen'd md5 projection over lead() windows partitioned on the
+    * high-cardinality doc_id (the txt_repetition shape); the rightmost-min
+    * tie-break packs (hash, reversed pos) into one BIGINT — h·2^21 fits in
+    * 53 bits, exact in both engines — so window min() implements the argmin;
+    * the per-doc distinct and aggregate reuse the window's
+    * hashpartitioning(doc_id) (no extra exchange). Short docs (fewer than
+    * WinW shingles) winnow their single truncated window, so every doc with
+    * ≥ 1 shingle yields ≥ 1 fingerprint; docs under WinK tokens report
+    * zeros. fp_checksum (exact BIGINT sum of selected hashes) pins the
+    * selected set itself under the driver's hash-compare.
+    */
+  def winnowing(s: SparkSession, dir: String): DataFrame =
+    winnowingOf(Tables.documents(s, dir))
+
+  /** Distinct winnowing selections: (doc_id, n_sh, sel) where sel packs
+    * (hash << WinPosBits) | reversed-pos — decode h = sel >> WinPosBits.
+    */
+  private[graft] def winnowSelections(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (2 to WinK).map(i => lead("t", i - 1).over(w).as(s"t$i"))
+    val sh = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id") +: col("pos") +: col("t") +: leads: _*)
+      .filter(col(s"t$WinK").isNotNull) // shingle starts: pos = 0..n_sh-1
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ",
+          col("t") +: (2 to WinK).map(i => col(s"t$i")): _*)), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val win = w.rowsBetween(Window.currentRow, WinW - 1)
+    sh
+      .withColumn("key",
+        shiftleft(col("h"), WinPosBits)
+          + (lit((1L << WinPosBits) - 1) - col("pos")))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("sel", min(col("key")).over(win))
+      // valid window starts; max(n_sh - WinW, 0) keeps ONE truncated window
+      // for docs with fewer than WinW shingles
+      .filter(col("pos") <= greatest(col("n_sh") - WinW, lit(0L)))
+      .select(col("doc_id"), col("n_sh"), col("sel"))
+      .distinct()
+  }
+
+  private[graft] def winnowingOf(docs: DataFrame): DataFrame = {
+    val agg = winnowSelections(docs).groupBy("doc_id")
+      .agg(max(col("n_sh")).as("n_shingles"),
+        count(lit(1)).as("n_fp"),
+        sum(shiftright(col("sel"), WinPosBits)).as("fp_checksum"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_fp").cast("double") / col("n_shingles"), 4))
+          .as("fp_density"),
+        coalesce(col("fp_checksum"), lit(0L)).as("fp_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** md5 fingerprint of the normalized token stream per document, plus how
     * many documents share that fingerprint (exact-dup group size).
     */
@@ -705,6 +777,7 @@ object TextOps extends QueryModule {
     "txt_fingerprint" -> (fingerprints(_, _)),
     "txt_token_count" -> (tokenCount(_, _)),
     "txt_rolling_fp" -> (rollingFingerprint(_, _)),
+    "txt_winnowing" -> (winnowing(_, _)),
     "txt_tfidf" -> (tfidf(_, _)),
     "txt_sample_stratified" -> (stratifiedSample(_, _)),
     "txt_pack" -> (packSequences(_, _)),
@@ -1039,5 +1112,34 @@ object TextOps extends QueryModule {
         |  FROM documents
         |)
         |SELECT doc_id, rh, count(*) OVER (PARTITION BY rh) AS n_same
-        |FROM h ORDER BY doc_id""".stripMargin)
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "txt_winnowing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, len(toks) - ${WinK - 1} AS n_sh,
+         |    list_apply(range(1, len(toks) - ${WinK - 2}),
+         |      i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |        || ' ' || toks[i + 3] || ' ' || toks[i + 4]), 1, 8))::BIGINT) AS hs
+         |  FROM t WHERE len(toks) >= $WinK
+         |), k AS (
+         |  SELECT doc_id, n_sh,
+         |    list_apply(range(1, len(hs) + 1),
+         |      i -> (hs[i] << $WinPosBits) + (${(1L << WinPosBits) - 1} - (i - 1))) AS keys
+         |  FROM s
+         |), sel AS (
+         |  SELECT doc_id, n_sh,
+         |    list_distinct(list_apply(range(1, greatest(len(keys) - ${WinW - 1}, 1) + 1),
+         |      i -> list_min(list_slice(keys, i, i + ${WinW - 1})))) AS sels
+         |  FROM k
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(sel.n_sh, 0)::BIGINT AS n_shingles,
+         |  coalesce(len(sel.sels), 0)::BIGINT AS n_fp,
+         |  CASE WHEN sel.n_sh IS NULL THEN 0.0
+         |    ELSE round(len(sel.sels)::DOUBLE / sel.n_sh, 4) END AS fp_density,
+         |  coalesce(list_sum(list_apply(sel.sels, x -> x >> $WinPosBits)), 0)::BIGINT
+         |    AS fp_checksum
+         |FROM documents d LEFT JOIN sel ON d.doc_id = sel.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
 }
