@@ -635,7 +635,57 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------- dd_containment
+
+  private val ContainT = 0.5 // containment threshold (share of smaller set)
+  private val DfCap = 50 // drop shingles held by more docs (join fan-out cap)
+
+  /** Asymmetric containment dedup — catches quote-inclusion and
+    * subset-duplication that symmetric Jaccard misses (a short doc fully
+    * embedded in a long one has low Jaccard but containment ≈ 1):
+    * C(a,b) = |sh_a ∩ sh_b| / min(|sh_a|, |sh_b|) over distinct
+    * [[PassW]]-token shingle digests, computed EXACTLY via the shingle
+    * inverted index (digest self-join), not via LSH — MinHash bands are
+    * recall-blind to extreme size ratios, which is precisely the
+    * containment case.
+    *
+    * Scale shape: both the candidate pairs AND the intersection count use
+    * only shingles with document frequency in [2, [[DfCap]]] — the
+    * standard common-shingle pruning, making the reported value the
+    * containment over *discriminative* shingles (a lower bound on true
+    * containment; boilerplate phrases shared by millions of docs
+    * contribute neither pairs nor counts, and the per-shingle join
+    * fan-out is ≤ DfCap²). All shuffles carry 32-byte digests or
+    * (doc_a, doc_b) pairs; per-doc sizes ride a window over the already-
+    * partitioned digest rows; no array materialization at all —
+    * intersection sizes are counted relationally.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(Tables.documents(s, dir))
+
+  private[graft] def containmentOf(docs: DataFrame): DataFrame = {
+    val g = passageShingles(docs)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = g
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("df").between(2, DfCap))
+    rare.as("a").join(rare.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= ContainT)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_containment" -> (containment(_, _)),
     "dd_exact" -> (exactDedup(_, _)),
     "dd_incremental" -> (incrementalDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
@@ -895,6 +945,30 @@ object Dedup extends QueryModule {
          |  round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
          |FROM g JOIN freq f ON g.gh = f.gh
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "dd_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(list_apply(range(1, len(toks) - ${PassW - 2}),
+         |    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+         |             toks[i + 3] || ' ' || toks[i + 4]))) AS ghs
+         |  FROM t WHERE len(toks) >= $PassW
+         |), g AS (
+         |  SELECT doc_id, len(ghs) AS n, unnest(ghs) AS gh FROM s
+         |), rare AS (
+         |  SELECT doc_id, n, gh FROM (
+         |    SELECT doc_id, n, gh, count(*) OVER (PARTITION BY gh) AS df FROM g
+         |  ) WHERE df BETWEEN 2 AND $DfCap
+         |), agg AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS inter, max(a.n) AS na, max(b.n) AS nb
+         |  FROM rare a JOIN rare b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b
+         |)
+         |SELECT doc_a, doc_b, inter,
+         |  round(inter::DOUBLE / least(na, nb), 4) AS containment
+         |FROM agg WHERE inter::DOUBLE / least(na, nb) >= $ContainT
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_passage_decontaminate" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, $toksSql AS toks FROM documents

@@ -148,6 +148,43 @@ object Streamish extends QueryModule {
       .na.fill(0, EventTypes)
       .orderBy("day")
 
+  // ---------------------------------------------------------- ev_attribution
+
+  private val AttribLookbackUs = 7L * 24 * 3600 * 1000000 // 7-day lookback
+
+  /** Linear multi-touch attribution — the marketing-analytics standard:
+    * each purchase's value splits equally across ALL the user's clicks in
+    * the [[AttribLookbackUs]] window ending at the purchase (ties at the
+    * purchase instant included). Output: per credited click, how many
+    * purchases it shares in and its attributed revenue.
+    *
+    * Scale shape: one equi-join on high-cardinality user_id with the range
+    * predicate applied as a post-join filter — per-user click×purchase
+    * blocks are small and bounded by session behavior, and AQE's skew
+    * split covers power users. The per-purchase touch count is a window
+    * over p_id (high-cardinality, skew-free). Each share is rounded THEN
+    * summed as exact DECIMAL, so multi-credit totals cannot drift between
+    * engines.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    clicks.join(purch, "user_id")
+      .filter(col("c_us") <= col("p_us")
+        && col("c_us") > col("p_us") - AttribLookbackUs)
+      .withColumn("share",
+        round(col("value") / count(lit(1)).over(Window.partitionBy("p_id")), 6))
+      .groupBy("click_id", "user_id")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("share").cast(DecimalType(18, 6))).cast("double").as("attributed"))
+      .orderBy("click_id")
+  }
+
   // --------------------------------------------------------------- ev_funnel
 
   /** Ordered conversion funnel per user: first `view`, then the first
@@ -339,6 +376,7 @@ object Streamish extends QueryModule {
     "ev_session" -> (sessions(_, _)),
     "ev_json" -> (jsonProps(_, _)),
     "ev_asof" -> (asofJoin(_, _)),
+    "ev_attribution" -> (attribution(_, _)),
     "ev_funnel" -> (funnel(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
@@ -490,6 +528,25 @@ object Streamish extends QueryModule {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |  LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "ev_attribution" ->
+      s"""WITH c AS (
+         |  SELECT event_id AS click_id, user_id, epoch_us(ts::TIMESTAMP) AS c_us
+         |  FROM events WHERE event_type = 'click'
+         |), p AS (
+         |  SELECT event_id AS p_id, user_id, epoch_us(ts::TIMESTAMP) AS p_us, value
+         |  FROM events WHERE event_type = 'purchase'
+         |), pairs AS (
+         |  SELECT c.click_id, c.user_id, p.p_id, p.value
+         |  FROM c JOIN p ON c.user_id = p.user_id
+         |  WHERE c.c_us <= p.p_us AND c.c_us > p.p_us - $AttribLookbackUs
+         |), sh AS (
+         |  SELECT click_id, user_id,
+         |    round(value / (count(*) OVER (PARTITION BY p_id)), 6) AS share
+         |  FROM pairs
+         |)
+         |SELECT click_id, user_id, count(*) AS n_credits,
+         |  sum(share::DECIMAL(18,6))::DOUBLE AS attributed
+         |FROM sh GROUP BY click_id, user_id ORDER BY click_id""".stripMargin,
     "ev_json" ->
       """WITH e AS (
         |  SELECT user_id, value, json_extract_string(props, '$.k')::INT AS k FROM events

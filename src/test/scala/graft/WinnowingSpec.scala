@@ -68,6 +68,19 @@ class WinnowingSpec extends AnyFunSuite {
     assert(r._4 >= 0.25 && r._4 <= 1.0, s"density ${r._4} outside winnowing bounds")
   }
 
+  test("containment catches a short doc embedded in a long one (the Jaccard-blind case)") {
+    import spark.implicits._
+    val embedded = "red oak pine elm birch maple cedar ash" // 8 tokens -> 4 shingles
+    val long = ((1 to 60).map(i => s"filler$i") :+ embedded).mkString(" ")
+    val unrelated = (1 to 30).map(i => s"other$i").mkString(" ")
+    val got = Dedup.containmentOf(docs(1L -> embedded, 2L -> long, 3L -> unrelated))
+      .select("doc_a", "doc_b", "inter", "containment")
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 1's 4 shingles all appear in doc 2: containment = 4/4 = 1.0 even
+    // though Jaccard is ~4/64 — the asymmetric signal. doc 3 pairs with no one.
+    assert(got.toSeq === Seq((1L, 2L, 4L, 1.0)))
+  }
+
   test("incremental dedup classifies dup_corpus / dup_batch / new, nulls deterministic") {
     import spark.implicits._
     val fixture = docs(
