@@ -80,6 +80,38 @@ object Streaming {
       .withWatermark("arrival", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming twin of the batch `dd_incremental`: the daily-crawl ingest
+    * path, incrementally. The incoming (odd-doc_id) document stream is
+    * scrubbed against a STATIC corpus-snapshot fingerprint set via a
+    * stream-static LEFT ANTI join — the snapshot side reduces to distinct
+    * 32-byte fingerprints and broadcasts per micro-batch, so the stream
+    * never shuffles — then deduped within the stream itself by watermarked
+    * fingerprint state. Survivors are exactly the docs the batch operator
+    * classifies `new`; `dup_corpus` dies at the anti join, `dup_batch` in
+    * the state store. NULL fingerprints (empty docs) pass the anti join
+    * (no equality match) and then collapse to one survivor in the
+    * fingerprint state — the batch semantics exactly.
+    */
+  def incrementalNewDocs(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val toksS = graft.ops.TextOps.tokens(col("text"))
+    val snapshot = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(toksS.as("toks"))
+      .select(when(size(col("toks")) <= 0, lit(null))
+        .otherwise(md5(concat_ws(" ", col("toks")))).as("snap_fp"))
+      .filter(col("snap_fp").isNotNull).distinct()
+    docs
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), toksS.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) <= 0, lit(null))
+          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"),
+        timestamp_seconds(col("doc_id") + lit(86400)).as("arrival"))
+      .join(broadcast(snapshot), col("fp") === col("snap_fp"), "left_anti")
+      .withWatermark("arrival", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Streaming twin of `ev_tumbling`: watermarked 1-hour tumbling windows.
     * The 2-hour watermark lets the state store evict every window older
     * than the stream's high-water mark minus 2 h — bounded state forever.

@@ -123,6 +123,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet === want)
   }
 
+  test("streaming incremental dedup emits exactly the batch dd_incremental 'new' docs") {
+    import spark.implicits._
+    // Which batch doc survives per fingerprint is arrival-order-dependent,
+    // so pin the fingerprint set (incl. the NULL-fp survivor), which must
+    // equal the batch operator's status='new' set exactly.
+    val got = runToMemory(
+      Streaming.incrementalNewDocs(spark, dir, Streaming.documentsStream(spark, dir)),
+      "t_dd_incr", "append")
+      .select("fp").collect().map(r => Option(r.getString(0))).toSeq
+    assert(got.size === got.distinct.size, "a fingerprint was emitted twice")
+    val want = graft.ops.Dedup.incrementalDedup(spark, dir)
+      .filter(col("status") === "new")
+      .select("fp").collect().map(r => Option(r.getString(0))).toSet
+    assert(got.toSet === want)
+  }
+
   test("streaming dedup drops duplicates arriving in later micro-batches") {
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions.ntile
