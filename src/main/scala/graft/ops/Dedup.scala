@@ -664,12 +664,15 @@ object Dedup extends QueryModule {
     containmentOf(Tables.documents(s, dir))
 
   private[graft] def containmentOf(docs: DataFrame): DataFrame = {
-    val g = passageShingles(docs)
+    // persist AFTER the df filter: the frame feeds both self-join sides, so
+    // caching the filtered rows runs the shingle pipeline and both windows
+    // once and the cache holds only the rare-shingle survivors
+    val rare = passageShingles(docs)
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = g
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
       .filter(col("df").between(2, DfCap))
+      .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rare.as("a").join(rare.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
