@@ -219,6 +219,26 @@ object Relational extends QueryModule {
       .filter(col("rnk") <= 3)
   }
 
+  /** RANGE-frame window — the time-based frame ROWS frames can't express:
+    * each order's trailing-30-day order count and exact spend for its
+    * customer, framed by VALUE distance on the epoch-seconds order date
+    * (peers at the same instant are all included, so ties cannot make the
+    * result order-dependent). Partitioned on high-cardinality o_custkey —
+    * skew-free at any scale; both engines frame on the same BIGINT seconds.
+    */
+  def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      // NTZ timestamps don't cast to BIGINT directly; go through the UTC
+      // session timestamp to integral epoch seconds (positive, so div=floor)
+      .orderBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000"))
+      .rangeBetween(-30L * 86400, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        count(lit(1)).over(w).as("n_trailing_30d"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Global top-10 orders by price: compiles to TakeOrderedAndProject —
     * per-partition top-k then a k-row merge on one task; no global sort.
     */
@@ -429,6 +449,7 @@ object Relational extends QueryModule {
     "q_join_semi" -> (joinSemi(_, _)),
     "q_join_anti" -> (joinAnti(_, _)),
     "q_window" -> (windowOrders(_, _)),
+    "q_window_range" -> (windowRange(_, _)),
     "q_topk" -> (topK(_, _)),
     "q_setops" -> (setOps(_, _)),
     "q_scalar_string" -> (scalarString(_, _)),
@@ -522,6 +543,15 @@ object Relational extends QueryModule {
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS run_total
         |  FROM orders
         |) WHERE rnk <= 3""".stripMargin,
+    "q_window_range" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |  count(*) OVER w AS n_trailing_30d,
+         |  CAST(sum(${d2("o_totalprice")}) OVER w AS DOUBLE) AS spend_30d
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |  ORDER BY epoch_us(o_orderdate::TIMESTAMP) // 1000000
+         |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -442,6 +442,32 @@ object Similarity extends QueryModule {
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_id")
 
+  // ----------------------------------------------------- sim_cluster_purity
+
+  /** External clustering evaluation — per-centroid PURITY of the IVF coarse
+    * quantizer against the ground-truth `label` column: cluster size, the
+    * majority true label (ties to the smaller label), and its share. The
+    * corpus-level purity is the cluster_size-weighted mean of the shares —
+    * derivable from these rows; emitting per-cluster keeps the output a
+    * quality dashboard, not one number.
+    *
+    * Scale shape: two hash aggregates — (assigned, label) counts with
+    * map-side partials (bounded by |centroids|·|labels| groups), then the
+    * per-centroid majority via max_by over those tiny group rows. Nothing
+    * after the first aggregate scales with the corpus.
+    */
+  def clusterPurity(s: SparkSession, dir: String): DataFrame =
+    assignments(s, dir)
+      .groupBy("assigned", "label").agg(count(lit(1)).as("n"))
+      .groupBy("assigned")
+      .agg(sum("n").as("cluster_size"),
+        max_by(col("label"), struct(col("n"), (-col("label")).as("neg")))
+          .as("majority_label"),
+        max("n").as("majority_n"))
+      .withColumn("purity",
+        round(col("majority_n").cast("double") / col("cluster_size"), 6))
+      .orderBy("assigned")
+
   // ---------------------------------------------------------- sim_ivf_topk
 
   private val NProbe = 3 // centroid lists each query probes
@@ -742,6 +768,7 @@ object Similarity extends QueryModule {
     "sim_lsh_topk" -> (lshTopK(_, _)),
     "sim_knn_graph" -> (knnGraph(_, _)),
     "sim_ivf_assign" -> (ivfAssign(_, _)),
+    "sim_cluster_purity" -> (clusterPurity(_, _)),
     "sim_ivf_topk" -> (ivfTopK(_, _)),
     "sim_kmeans_step" -> (kmeansStep(_, _)),
     "sim_kmeans_train" -> (kmeansTrain(_, _)),
@@ -980,6 +1007,21 @@ object Similarity extends QueryModule {
          |SELECT vec_id, label, c_label AS assigned, label = c_label AS hit,
          |  round(cos, 6) AS cos_sim
          |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "sim_cluster_purity" ->
+      s"""WITH $assignSql, asg AS (
+         |  SELECT vec_id, label, c_label AS assigned FROM ranked WHERE rnk = 1
+         |), bl AS (
+         |  SELECT assigned, label, count(*) AS n FROM asg GROUP BY assigned, label
+         |), r AS (
+         |  SELECT assigned, label, n,
+         |    row_number() OVER (PARTITION BY assigned ORDER BY n DESC, label ASC) AS rk,
+         |    sum(n) OVER (PARTITION BY assigned) AS cluster_size
+         |  FROM bl
+         |)
+         |SELECT assigned, cluster_size::BIGINT AS cluster_size,
+         |  label AS majority_label, n::BIGINT AS majority_n,
+         |  round(n::DOUBLE / cluster_size, 6) AS purity
+         |FROM r WHERE rk = 1 ORDER BY assigned""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH $assignSql, asg AS (
          |  SELECT vec_id, c_label AS cl, vq FROM ranked WHERE rnk = 1
