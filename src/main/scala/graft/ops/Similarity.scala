@@ -468,6 +468,61 @@ object Similarity extends QueryModule {
         round(col("majority_n").cast("double") / col("cluster_size"), 6))
       .orderBy("assigned")
 
+  // ---------------------------------------------------- sim_semantic_dedup
+
+  private[graft] val SemT = 0.4 // pair threshold — demo-scaled (prod ~0.95+)
+  private[graft] val ClusterCap = 48L // membership that triggers a sub-split
+
+  /** SemDeDup-style semantic deduplication: candidate pairs are members of
+    * the same IVF coarse cluster (nearest-centroid assignment — the
+    * clustering half of [[ivfAssign]]), verified by exact fixed-point
+    * cosine; within a confirmed pair the member FARTHER from its centroid
+    * is kept (the diversity-preserving keeper rule) and the closer one
+    * dropped. Emits (cluster, keep_id, drop_id, cos_sim).
+    *
+    * Scale shape: candidates come from an equi-join on (cluster, sub-key)
+    * — never all-pairs. Within-cluster pairwise is quadratic in cluster
+    * population, so clusters whose observed membership exceeds
+    * [[ClusterCap]] are sub-split by [[ReBits]] LSH sign bits (planes
+    * 0..ReBits−1) — the [[banded]] bucket-cap trade restated: bounded
+    * join fan-out, slightly reduced recall on split clusters. (Production
+    * SemDeDup scales the cluster count k ∝ n, making the cap a backstop,
+    * not the primary dial.) Populations come from a map-side-partial
+    * groupBy broadcast back onto members — NOT a window over the
+    * low-cardinality cluster key, which would funnel the whole corpus
+    * through |clusters| window tasks. The keeper comparison uses the
+    * 6-rounded centroid cosine so both engines order identically.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val asg = assignments(s, dir) // (vec_id, label, vq, assigned, cos)
+    val subBits = (0 until ReBits).map { p =>
+      val wv = typedlit(hyperplanes(p).map(_.toLong).toSeq)
+      when(idot(col("vq"), wv) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val pops = asg.groupBy("assigned").agg(count(lit(1)).as("pop"))
+    val side = asg
+      .join(broadcast(pops), "assigned")
+      .withColumn("ckey", when(col("pop") > ClusterCap, concat(subBits: _*))
+        .otherwise(lit("")))
+      .select(col("vec_id"), col("assigned"), col("ckey"), col("vq"),
+        inorm2(col("vq")).as("n2"), round(col("cos"), 6).as("ccos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aKeeps = col("a.ccos") < col("b.ccos") ||
+      (col("a.ccos") === col("b.ccos") && col("a.vec_id") < col("b.vec_id"))
+    side.as("a").join(side.as("b"),
+        col("a.assigned") === col("b.assigned") &&
+          col("a.ckey") === col("b.ckey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        cosine(idot(col("a.vq"), col("b.vq")), col("a.n2"), col("b.n2")))
+      .filter(col("cos") >= SemT)
+      .select(col("a.assigned").as("cluster"),
+        when(aKeeps, col("a.vec_id")).otherwise(col("b.vec_id")).as("keep_id"),
+        when(aKeeps, col("b.vec_id")).otherwise(col("a.vec_id")).as("drop_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("cluster", "keep_id", "drop_id")
+  }
+
   // ---------------------------------------------------------- sim_ivf_topk
 
   private val NProbe = 3 // centroid lists each query probes
@@ -776,7 +831,8 @@ object Similarity extends QueryModule {
     "sim_pq_topk" -> (pqTopK(_, _)),
     "sim_pq_rerank" -> (pqRerank(_, _)),
     "sim_graph_rank" -> (graphRank(_, _)),
-    "sim_recall_at_k" -> (recallAtK(_, _)))
+    "sim_recall_at_k" -> (recallAtK(_, _)),
+    "sim_semantic_dedup" -> (semanticDedup(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1116,5 +1172,35 @@ object Similarity extends QueryModule {
          |SELECT cluster, i::INT AS pos,
          |  sum(vq[(i + 1)::INT])::BIGINT AS sum_v, count(*) AS n_members
          |FROM asg, range($Dim) r(i)
-         |GROUP BY cluster, i ORDER BY cluster, pos""".stripMargin)
+         |GROUP BY cluster, i ORDER BY cluster, pos""".stripMargin,
+    "sim_semantic_dedup" ->
+      s"""WITH $assignSql, w(p, wv) AS (VALUES
+         |    $planesSql
+         |), asg AS (
+         |  SELECT vec_id, vq, c_label AS cluster, round(cos, 6) AS ccos
+         |  FROM ranked WHERE rnk = 1
+         |), sb AS (
+         |  SELECT vec_id, string_agg(
+         |    CASE WHEN list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT] * wv[(i + 1)::INT])) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY p) AS sub
+         |  FROM asg, w WHERE p < $ReBits GROUP BY vec_id
+         |), pop AS (
+         |  SELECT cluster, count(*) AS n FROM asg GROUP BY cluster
+         |), k AS (
+         |  SELECT asg.vec_id, asg.cluster, asg.vq, asg.ccos,
+         |    CASE WHEN pop.n > $ClusterCap THEN sb.sub ELSE '' END AS ckey,
+         |    ${n2.format("asg.vq")} AS nn
+         |  FROM asg JOIN sb USING (vec_id) JOIN pop USING (cluster)
+         |), pr AS (
+         |  SELECT a.cluster,
+         |    a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id) AS akeeps,
+         |    a.vec_id AS va, b.vec_id AS vb,
+         |    list_sum(list_apply(range($Dim), i -> a.vq[(i + 1)::INT] * b.vq[(i + 1)::INT]))::DOUBLE /
+         |      (sqrt(a.nn::DOUBLE) * sqrt(b.nn::DOUBLE)) AS c
+         |  FROM k a JOIN k b ON a.cluster = b.cluster AND a.ckey = b.ckey AND a.vec_id < b.vec_id
+         |)
+         |SELECT cluster, CASE WHEN akeeps THEN va ELSE vb END AS keep_id,
+         |  CASE WHEN akeeps THEN vb ELSE va END AS drop_id,
+         |  round(c, 4) AS cos_sim
+         |FROM pr WHERE c >= $SemT ORDER BY cluster, keep_id, drop_id""".stripMargin)
 }
