@@ -385,6 +385,80 @@ object Relational extends QueryModule {
       .withColumn("promo_pct",
         round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
 
+  /** TPC-H Q4 shape (order priority checking), adapted to this schema's
+    * columns: orders from one quarter having at least one LATE lineitem
+    * (shipped > 60 days after the order date — standing in for Q4's
+    * commit/receipt comparison, which this dataset doesn't carry), counted
+    * per priority. The correlated EXISTS is a LEFT SEMI join with a
+    * non-equi residual: Spark shuffles both sides on the orderkey equi-half
+    * and evaluates the date comparison as the join residual — each order
+    * emits at most once no matter how many late lineitems, so the semi
+    * join's output is bounded by the filtered orders side.
+    */
+  def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-04-01")
+    o.join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue), adapted: for one
+    * brand's parts (no p_container in this schema), the average yearly
+    * revenue lost to orders below 20% of the part's mean order quantity.
+    * The filtered part dimension broadcasts (the fact never shuffles for
+    * the dim join); the per-part threshold is a hash aggregate over ONLY
+    * the brand's lineitems, joined back by partkey — AQE picks the
+    * strategy, since the threshold side is |brand parts|-bounded, not
+    * corpus-bounded. The threshold double comes from an exact decimal sum
+    * over counts (order-independent), so the strict `<` comparison sees
+    * bit-identical values in both engines.
+    */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.part(s, dir).filter(col("p_brand") === "Brand#3")
+      .select(col("p_partkey"))
+    val flt = Tables.lineitem(s, dir)
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+    val thr = flt.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (sum(dec2(col("l_quantity"))).cast("double")
+        / count(lit(1)))).as("thr"))
+    flt.join(thr, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("thr"))
+      .agg(
+        round(sum(dec2(col("l_extendedprice"))).cast("double") / 7.0, 4)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue under an OR-of-ANDs predicate),
+    * adapted to brand/size/quantity bands: three disjunctive clauses that
+    * each tie a part predicate to a lineitem predicate, so the filter can
+    * only be evaluated AFTER the join — the planner still pushes the
+    * brand/size half into the broadcast (dim) side's scan, and the
+    * quantity envelope [1, 40] prunes the fact side. The classic test that
+    * disjunctions don't defeat pushdown entirely.
+    */
+  def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+        && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+        && col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)
+        && col("l_quantity").between(20, 40))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Exact interpolated percentiles (median / p95) per order priority —
     * `percentile` is exact two-phase (sort-based partial state), matching
     * DuckDB's quantile_cont interpolation bit-for-bit on the same doubles.
@@ -456,8 +530,11 @@ object Relational extends QueryModule {
     "q_scalar_datemath" -> (scalarDateMath(_, _)),
     "q_tpch_q3" -> (tpchQ3(_, _)),
     "q_tpch_q5" -> (tpchQ5(_, _)),
+    "q_tpch_q4" -> (tpchQ4(_, _)),
     "q_tpch_q6" -> (tpchQ6(_, _)),
     "q_tpch_q10" -> (tpchQ10(_, _)),
+    "q_tpch_q17" -> (tpchQ17(_, _)),
+    "q_tpch_q19" -> (tpchQ19(_, _)),
     "q_tpch_q14" -> (tpchQ14(_, _)),
     "q_tpch_q18" -> (tpchQ18(_, _)),
     "q_percentiles" -> (percentiles(_, _)))
@@ -614,6 +691,39 @@ object Relational extends QueryModule {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q17" ->
+      s"""WITH flt AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#3'
+         |), thr AS (
+         |  SELECT l_partkey AS t_partkey,
+         |    0.2 * (sum(${d2("l_quantity")})::DOUBLE / count(*)) AS thr
+         |  FROM flt GROUP BY l_partkey
+         |)
+         |SELECT round(sum(${d2("l_extendedprice")})::DOUBLE / 7.0, 4) AS avg_yearly,
+         |  count(*) AS n_items
+         |FROM flt JOIN thr ON l_partkey = t_partkey
+         |WHERE l_quantity < thr""".stripMargin,
+    "q_tpch_q19" ->
+      s"""SELECT CAST(sum($discSql) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 20)
+         |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+         |    AND l_quantity BETWEEN 10 AND 30)
+         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+         |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q_tpch_q6" ->
       s"""SELECT
          |  CAST(sum(${d2("l_extendedprice")} * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,

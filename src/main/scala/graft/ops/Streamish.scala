@@ -365,7 +365,37 @@ object Streamish extends QueryModule {
       .limit(PathTop)
   }
 
+  // -------------------------------------------------------------- ev_markov
+
+  /** First-order Markov transition matrix over event types — the
+    * behavioral model underneath [[paths]]: for every (current, next) type
+    * pair across all user streams, its count and the conditional
+    * probability P(next | current), rows summing to 1 per current type.
+    *
+    * Scale shape: ONE exchange — the lead window partitions by the
+    * high-cardinality user_id (bounded per-user state, skew-free); the
+    * pair count is a hash aggregate with map-side partials onto ≤ |types|²
+    * keys; the row-normalizing sum then runs as a window over that
+    * already-bounded matrix, so nothing after the first aggregate scales
+    * with the event count. Integer counts divide once per row — exact in
+    * both engines.
+    */
+  def markov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val matrix = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    matrix
+      .withColumn("p", round(col("n").cast("double")
+        .divide(sum("n").over(Window.partitionBy("cur_type"))), 6))
+      .orderBy("cur_type", "next_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_markov" -> (markov(_, _)),
     "ev_paths" -> (paths(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
@@ -382,6 +412,19 @@ object Streamish extends QueryModule {
   // ------------------------------------------------------------ oracle SQL
 
   val oracles: Map[String, String] = Map(
+    "ev_markov" ->
+      s"""WITH tr AS (
+         |  SELECT event_type AS cur_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+         |      AS next_type
+         |  FROM events
+         |), ct AS (
+         |  SELECT cur_type, next_type, count(*) AS n
+         |  FROM tr WHERE next_type IS NOT NULL GROUP BY cur_type, next_type
+         |)
+         |SELECT cur_type, next_type, n,
+         |  round(n::DOUBLE / sum(n) OVER (PARTITION BY cur_type), 6) AS p
+         |FROM ct ORDER BY cur_type, next_type""".stripMargin,
     "ev_paths" ->
       s"""WITH o AS (
          |  SELECT user_id, event_type,

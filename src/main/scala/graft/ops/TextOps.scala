@@ -96,6 +96,51 @@ object TextOps extends QueryModule {
       .limit(100)
   }
 
+  private val MinColloc = 5 // bigram support floor for PMI ranking
+
+  /** PMI-ranked collocations — the phrase-mining signal: for each bigram
+    * with ≥ [[MinColloc]] occurrences, pointwise mutual information
+    * ln(p(w1w2) / (p(w1)·p(w2))) against the corpus unigram model. High
+    * PMI = tokens that co-occur far above chance (multi-word expressions);
+    * the top-100 by PMI is the candidate phrase lexicon.
+    *
+    * Scale shape: bigram and unigram counts are hash aggregates with
+    * map-side partials; the two corpus totals ride one broadcast; the
+    * count joins are equi-joins on the token key (AQE skew-splits hot
+    * function words — the same reliance as txt_tfidf); the final top-100
+    * is TakeOrderedAndProject (per-partition heads + driver merge of 100
+    * rows), never a global sort. The PMI double is computed with ONE fixed
+    * left-associative op sequence mirrored in the oracle, so both engines
+    * run the identical IEEE ops.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bg = Tables.documents(s, dir)
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= MinColloc)
+    val uni = Tables.documents(s, dir)
+      .select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").as("nu")).crossJoin(
+      bg.agg(count(lit(1)).as("nb")))
+    val pmi = round(log(col("cb").cast("double") * col("nu") / col("nb")
+      / col("c1") * col("nu") / col("c2")), 6)
+    cb.join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("cb").as("cnt"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(100)
+  }
+
   /** Per-document quality signals + a composite score — the length /
     * stopword-ratio / short-token heuristics a pretraining-data pipeline
     * applies before training.
@@ -772,6 +817,7 @@ object TextOps extends QueryModule {
     "txt_token_stats" -> (tokenStats(_, _)),
     "txt_term_freq" -> (termFrequency(_, _)),
     "txt_bigrams" -> (topBigrams(_, _)),
+    "txt_collocations" -> (collocations(_, _)),
     "txt_quality" -> (qualityScore(_, _)),
     "txt_langid" -> (languageId(_, _)),
     "txt_fingerprint" -> (fingerprints(_, _)),
@@ -957,6 +1003,25 @@ object TextOps extends QueryModule {
          |)
          |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
          |ORDER BY cnt DESC, bigram ASC LIMIT 100""".stripMargin,
+    "txt_collocations" ->
+      s"""WITH docs AS (SELECT $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM docs, unnest(range(1, len(toks))) AS r(i)
+         |  WHERE len(toks) >= 2
+         |), cb AS (
+         |  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+         |  HAVING count(*) >= $MinColloc
+         |), uni AS (
+         |  SELECT t, count(*) AS c
+         |  FROM (SELECT unnest(toks) AS t FROM docs) GROUP BY t
+         |), tot AS (
+         |  SELECT (SELECT sum(c) FROM uni) AS nu, (SELECT count(*) FROM bg) AS nb
+         |)
+         |SELECT w1 || ' ' || w2 AS bigram, cb AS cnt,
+         |  round(ln(cb::DOUBLE * nu / nb / u1.c * nu / u2.c), 6) AS pmi
+         |FROM cb JOIN uni u1 ON u1.t = w1 JOIN uni u2 ON u2.t = w2, tot
+         |ORDER BY pmi DESC, bigram ASC LIMIT 100""".stripMargin,
     "txt_quality" ->
       s"""SELECT doc_id, n_chars,
          |  len(toks)::INT AS n_tokens,
