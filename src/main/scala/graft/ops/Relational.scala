@@ -303,6 +303,41 @@ object Relational extends QueryModule {
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc)
 
+  /** TPC-H Q7 (volume shipping): bilateral trade volume between two
+    * nations by ship year. Both dimension chains pre-reduce BEFORE the big
+    * join: suppliers and customers filter to the two nations and ride
+    * broadcasts onto their facts, so the only corpus-scale shuffle is
+    * lineitem⋈orders on the orderkey — with both sides already pruned to
+    * the two-nation slice (the semi-reductive join order a 100 TB plan
+    * needs; joining the raw facts first would shuffle everything and
+    * filter last). The cross-nation inequality runs post-join on the two
+    * broadcast-carried nation names.
+    */
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** TPC-H Q10 (returned-item reporting), adapted to the fixture schema:
     * which customers returned the most revenue in a quarter. The quarter
     * filter prunes orders at the scan; orders⋈lineitem is the one big
@@ -532,6 +567,7 @@ object Relational extends QueryModule {
     "q_tpch_q5" -> (tpchQ5(_, _)),
     "q_tpch_q4" -> (tpchQ4(_, _)),
     "q_tpch_q6" -> (tpchQ6(_, _)),
+    "q_tpch_q7" -> (tpchQ7(_, _)),
     "q_tpch_q10" -> (tpchQ10(_, _)),
     "q_tpch_q17" -> (tpchQ17(_, _)),
     "q_tpch_q19" -> (tpchQ19(_, _)),
@@ -724,6 +760,26 @@ object Relational extends QueryModule {
          |    AND l_quantity BETWEEN 10 AND 30)
          |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
          |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q_tpch_q7" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(sum($discSql) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    year(l_shipdate) AS l_year, l_extendedprice, l_discount
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |    AND n1.n_name IN ('NATION_1', 'NATION_2')
+         |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |    AND n1.n_name <> n2.n_name
+         |)
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_tpch_q6" ->
       s"""SELECT
          |  CAST(sum(${d2("l_extendedprice")} * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,

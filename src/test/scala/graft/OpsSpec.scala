@@ -552,4 +552,47 @@ class OpsSpec extends AnyFunSuite {
         s"bucket $b unbalanced")
     }
   }
+
+  test("sim_semantic_dedup: pairs share a cluster, clear the threshold, keeper is farther from centroid") {
+    import spark.implicits._
+    val asg = Similarity.ivfAssign(spark, dir)
+      .select("vec_id", "assigned", "cos_sim")
+      .as[(Long, Int, Double)].collect()
+      .map { case (v, c, cs) => v -> (c, cs) }.toMap
+    val rows = Similarity.semanticDedup(spark, dir)
+      .select("cluster", "keep_id", "drop_id", "cos_sim")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (cl, keep, drop, cs) =>
+      assert(cs >= Similarity.SemT)
+      assert(asg(keep)._1 === cl && asg(drop)._1 === cl) // same coarse cluster
+      // the keeper is the member FARTHER from the centroid (ties to lower id)
+      assert(asg(keep)._2 < asg(drop)._2 ||
+        (asg(keep)._2 === asg(drop)._2 && keep < drop))
+    }
+  }
+
+  test("ev_markov: transition rows sum to ~1 per current type over the full matrix") {
+    import spark.implicits._
+    val rows = graft.ops.Streamish.markov(spark, dir)
+      .select("cur_type", "n", "p").as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cur, rs) =>
+      val pSum = rs.map(_._3).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$cur rows sum to $pSum")
+      assert(rs.forall(_._2 > 0))
+    }
+  }
+
+  test("txt_collocations: support floor holds and PMI is finite") {
+    import spark.implicits._
+    val rows = TextOps.collocations(spark, dir)
+      .select("bigram", "cnt", "pmi").as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (bg, cnt, pmi) =>
+      assert(bg.split(" ").length === 2)
+      assert(cnt >= 5)
+      assert(!pmi.isNaN && !pmi.isInfinite)
+    }
+  }
 }

@@ -30,7 +30,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // crossJoined in as broadcasts — a bounded BNLJ by construction, same
     // class as ev_range_join's threshold scalar
     "txt_lm_perplexity", "txt_mix_weights", "txt_ppl_bucket",
-    "txt_vocab_coverage", "dd_cluster_stats")
+    "txt_vocab_coverage", "dd_cluster_stats",
+    "sim_semantic_dedup", // same bounded centroid-broadcast subtree
+    "txt_collocations") // 1-row (nu, nb) corpus-totals scalar broadcast
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)
