@@ -338,6 +338,45 @@ object Relational extends QueryModule {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q8 (national market share): NATION_0's share of ECONOMY-part
+    * revenue sold into AFRICA-region customers, by order year. Every
+    * dimension chain (part type, supplier→nation, customer→nation→region)
+    * pre-filters and broadcasts; the single corpus-scale shuffle is
+    * lineitem⋈orders on the orderkey. The share is a conditional exact
+    * DECIMAL sum over the same rows as the total — one double division per
+    * year at the end, so no float accumulation anywhere.
+    */
+  def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+        col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val vol = discPrice(col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        coalesce(sum(when(col("supp_nation") === "NATION_0", vol)).cast("double"),
+          lit(0.0)).as("nation_volume"),
+        sum(vol).cast("double").as("total_volume"),
+        count(lit(1)).as("n_items"))
+      .withColumn("mkt_share",
+        round(col("nation_volume") / col("total_volume"), 6))
+      .orderBy("o_year")
+  }
+
   /** TPC-H Q10 (returned-item reporting), adapted to the fixture schema:
     * which customers returned the most revenue in a quarter. The quarter
     * filter prunes orders at the scan; orders⋈lineitem is the one big
@@ -568,6 +607,7 @@ object Relational extends QueryModule {
     "q_tpch_q4" -> (tpchQ4(_, _)),
     "q_tpch_q6" -> (tpchQ6(_, _)),
     "q_tpch_q7" -> (tpchQ7(_, _)),
+    "q_tpch_q8" -> (tpchQ8(_, _)),
     "q_tpch_q10" -> (tpchQ10(_, _)),
     "q_tpch_q17" -> (tpchQ17(_, _)),
     "q_tpch_q19" -> (tpchQ19(_, _)),
@@ -780,6 +820,27 @@ object Relational extends QueryModule {
          |)
          |GROUP BY supp_nation, cust_nation, l_year
          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      s"""SELECT o_year, nation_volume, total_volume, n_items,
+         |  round(nation_volume / total_volume, 6) AS mkt_share
+         |FROM (
+         |  SELECT year(o_orderdate) AS o_year,
+         |    coalesce(CAST(sum(CASE WHEN n1.n_name = 'NATION_0' THEN $discSql END) AS DOUBLE), 0.0)
+         |      AS nation_volume,
+         |    CAST(sum($discSql) AS DOUBLE) AS total_volume,
+         |    count(*) AS n_items
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey
+         |  WHERE p_type = 'ECONOMY' AND r_name = 'AFRICA'
+         |  GROUP BY o_year
+         |)
+         |ORDER BY o_year""".stripMargin,
     "q_tpch_q6" ->
       s"""SELECT
          |  CAST(sum(${d2("l_extendedprice")} * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,

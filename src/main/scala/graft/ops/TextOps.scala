@@ -662,6 +662,41 @@ object TextOps extends QueryModule {
     * bounded by construction, with integer-exact running sums and a single
     * double division against the broadcast corpus total.
     */
+  /** Zipf fit over the vocabulary head — the corpus-health scalar: OLS
+    * slope (and intercept) of ln(freq) on ln(rank) across the
+    * top-[[VocabTop]] tokens. Natural text sits near slope −1; a strongly
+    * deviating slope flags templated or synthetic text.
+    *
+    * Scale shape: identical to [[vocabCoverage]] up to the ranked head
+    * (map-side-partial vocab count → salted two-phase top-k → one window
+    * over ≤ [[VocabTop]] rows); the regression then folds the ≤ VocabTop
+    * (x, y) pairs with PRE-ROUNDED ln values summed as exact DECIMAL — the
+    * txt_entropy determinism trick — so both engines fit the identical
+    * normal equations, with two double divisions at the very end.
+    */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val local = Window.partitionBy("salt").orderBy(col("n").desc, col("token").asc)
+    val global = Window.partitionBy().orderBy(col("n").desc, col("token").asc)
+    val head = c.withColumn("salt", pmod(hash(col("token")), lit(64)))
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= VocabTop)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= VocabTop)
+    val x = round(log(col("rank").cast("double")), 8).cast(DecimalType(18, 8))
+    val y = round(log(col("n").cast("double")), 8).cast(DecimalType(18, 8))
+    val fit = head.select(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+      .divide((col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    fit.select(col("k").as("n_tokens"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("k"), 6).as("intercept"))
+  }
+
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
     // the vocab counts feed BOTH the corpus total and the head extraction —
     // persist so the explode+aggregate scan runs once
@@ -818,6 +853,7 @@ object TextOps extends QueryModule {
     "txt_term_freq" -> (termFrequency(_, _)),
     "txt_bigrams" -> (topBigrams(_, _)),
     "txt_collocations" -> (collocations(_, _)),
+    "txt_zipf" -> (zipfFit(_, _)),
     "txt_quality" -> (qualityScore(_, _)),
     "txt_langid" -> (languageId(_, _)),
     "txt_fingerprint" -> (fingerprints(_, _)),
@@ -1022,6 +1058,29 @@ object TextOps extends QueryModule {
          |  round(ln(cb::DOUBLE * nu / nb / u1.c * nu / u2.c), 6) AS pmi
          |FROM cb JOIN uni u1 ON u1.t = w1 JOIN uni u2 ON u2.t = w2, tot
          |ORDER BY pmi DESC, bigram ASC LIMIT 100""".stripMargin,
+    "txt_zipf" ->
+      s"""WITH c AS (
+         |  SELECT t AS token, count(*) AS n
+         |  FROM (SELECT unnest(toks) AS t
+         |        FROM (SELECT $toksSql AS toks FROM documents))
+         |  GROUP BY t
+         |), head AS (
+         |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+         |  FROM c QUALIFY rank <= $VocabTop
+         |), p AS (
+         |  SELECT round(ln(rank::DOUBLE), 8)::DECIMAL(18,8) AS x,
+         |    round(ln(n::DOUBLE), 8)::DECIMAL(18,8) AS y
+         |  FROM head
+         |), f AS (
+         |  SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(x * y) AS sxy
+         |  FROM p
+         |)
+         |SELECT k AS n_tokens,
+         |  round((k * sxy - sx * sy)::DOUBLE / (k * sxx - sx * sx)::DOUBLE, 6) AS slope,
+         |  round((sy::DOUBLE - ((k * sxy - sx * sy)::DOUBLE / (k * sxx - sx * sx)::DOUBLE)
+         |    * sx::DOUBLE) / k, 6) AS intercept
+         |FROM f""".stripMargin,
     "txt_quality" ->
       s"""SELECT doc_id, n_chars,
          |  len(toks)::INT AS n_tokens,
