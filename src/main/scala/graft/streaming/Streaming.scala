@@ -16,6 +16,14 @@ final case class OpenSession(start: Long, last: Long, n: Long)
 /** A closed session emitted by [[Streaming.sessionsViaState]]. */
 final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)
 
+/** The last seen event per user carried by [[Streaming.transitionsViaState]]
+  * (timestamp as epoch micros, event_id as the tie-break).
+  */
+final case class LastEvent(us: Long, event_id: Long, event_type: String)
+
+/** One consecutive-event transition emitted by [[Streaming.transitionsViaState]]. */
+final case class Transition(cur_type: String, next_type: String)
+
 /** Structured Streaming surface: the same event-time semantics as the batch
   * [[graft.ops.Streamish]] battery, expressed incrementally —
   * `readStream` → transforms → `writeStream`. The reference has no streaming
@@ -214,6 +222,34 @@ object Streaming {
           }
           cur.foreach(state.update)
           closed.iterator
+      }
+  }
+
+  /** Streaming twin of the batch ev_markov transition extraction: one
+    * [[LastEvent]] state row per user bridges micro-batches, so a
+    * transition spanning a batch boundary (user's last event of batch N →
+    * first of batch N+1) is emitted exactly once — the lead() window
+    * restated incrementally. Intra-batch arrival disorder is absorbed by
+    * the same (ts, event_id) sort the batch window orders by; cross-batch
+    * disorder is the watermark regime's out-of-scope (in-order chunk
+    * arrival, like the other stateful twins). Downstream, the transition
+    * stream aggregates to the running Markov matrix with a plain
+    * `groupBy(cur_type, next_type).count()` in update mode.
+    */
+  def transitionsViaState(s: SparkSession, events: DataFrame): Dataset[Transition] = {
+    import s.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[LastEvent]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          val seq = state.getOption.map(le => (le.us, le.event_id, le.event_type)).toList ++
+            sorted.iterator.map(r => (r._2, r._3, r._4)).toList
+          seq.lastOption.foreach { l => state.update(LastEvent(l._1, l._2, l._3)) }
+          seq.sliding(2).collect { case List(a, b) => Transition(a._3, b._3) }
       }
   }
 

@@ -108,6 +108,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming per-user transitions accumulate to the batch ev_markov counts") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.ntile
+    import spark.implicits._
+    // 4 time-ordered micro-batches (the incremental-arrival regime): the
+    // per-user LastEvent state must stitch transitions across batch
+    // boundaries so the accumulated counts equal the batch lead() window's.
+    val src = "/tmp/graft-stream-src-markov"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val batchEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val chunked = batchEvents
+      .withColumn("chunk", ntile(4).over(W.orderBy("ts", "event_id")))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val got = runToMemory(
+      Streaming.transitionsViaState(spark, stream).toDF(), "t_markov", "append")
+      .groupBy("cur_type", "next_type").count()
+      .as[(String, String, Long)].collect().toSet
+    val want = Streamish.markov(spark, dir)
+      .select("cur_type", "next_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("streaming dedup keeps exactly one document per batch dd_exact fingerprint") {
     // Which doc_id survives per fingerprint is arrival-order-dependent (the
     // batch picks min doc_id; the stream picks first-processed), so the pin
