@@ -533,6 +533,31 @@ object Relational extends QueryModule {
         count(lit(1)).as("n_items"))
   }
 
+  /** The full ranking-function family (rank / dense_rank / percent_rank /
+    * ntile / cume_dist) in one window — the SQL-surface completeness check
+    * for analytic ranking. Partitioned by (priority, order month) so
+    * partition count scales with the data's time span rather than pinning
+    * the corpus onto 5 priority partitions; the (price desc, key) ordering
+    * is total, so every rank is deterministic. percent_rank and cume_dist
+    * are single integer-ratio divisions — engine-stable without rounding
+    * tricks (rounded to 6 for hash display anyway).
+    */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"), col("omonth"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-04-01")
+      .withColumn("omonth", month(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("omonth"),
+        col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
   /** Exact interpolated percentiles (median / p95) per order priority —
     * `percentile` is exact two-phase (sort-based partial state), matching
     * DuckDB's quantile_cont interpolation bit-for-bit on the same doubles.
@@ -598,6 +623,7 @@ object Relational extends QueryModule {
     "q_join_anti" -> (joinAnti(_, _)),
     "q_window" -> (windowOrders(_, _)),
     "q_window_range" -> (windowRange(_, _)),
+    "q_window_ranks" -> (windowRanks(_, _)),
     "q_topk" -> (topK(_, _)),
     "q_setops" -> (setOps(_, _)),
     "q_scalar_string" -> (scalarString(_, _)),
@@ -696,6 +722,20 @@ object Relational extends QueryModule {
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS run_total
         |  FROM orders
         |) WHERE rnk <= 3""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority, month(o_orderdate) AS omonth,
+        |  o_totalprice,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |WINDOW w AS (PARTITION BY o_orderpriority, month(o_orderdate)
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_range" ->
       s"""SELECT o_custkey, o_orderkey, o_orderdate,
          |  count(*) OVER w AS n_trailing_30d,
