@@ -533,6 +533,52 @@ object Relational extends QueryModule {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q12 shape (shipping modes and order priority), adapted: this
+    * schema carries no l_shipmode/l_commitdate/l_receiptdate, so the mode
+    * split becomes a ship-DELAY class (SLOW = shipped >30 days after the
+    * order date, FAST otherwise — the same late-shipment semantics tpchQ4
+    * uses) and the priority split is Q12's verbatim URGENT/HIGH vs rest.
+    * One corpus-scale shuffle (lineitem⋈orders on the orderkey, the date
+    * filter pre-pruning the fact scan); the conditional counts are
+    * map-side-partial hash aggregates over 2 groups, so the final exchange
+    * carries ~nothing. count(CASE…) not sum(CASE…1): both engines emit
+    * BIGINT for count, where DuckDB's sum(int) widens to HUGEINT and would
+    * desync the schema hash.
+    */
+  def tpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "SLOW").otherwise("FAST").as("ship_speed"))
+      .agg(
+        count(when(high, lit(1))).as("high_line_count"),
+        count(when(!high, lit(1))).as("low_line_count"))
+      .orderBy("ship_speed")
+  }
+
+  /** TPC-H Q13 (customer distribution): how many customers placed k orders,
+    * including k=0 — the LEFT OUTER join is the load-bearing operator (an
+    * inner join would silently drop never-ordered customers, the population
+    * Q13 exists to surface). The priority filter stands in for Q13's
+    * comment NOT LIKE and prunes the orders scan BEFORE the join (right-side
+    * pre-filter ≡ ON-clause predicate for left outer). Two aggregations:
+    * per-customer counts shuffle on the custkey the join already
+    * partitioned by, then the k-histogram reduces |customers| rows to
+    * ~max(k) rows — both hash aggregates with map-side partials. At 100 TB
+    * the plan is one custkey shuffle + a trivial second exchange.
+    */
+  def tpchQ13(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** The full ranking-function family (rank / dense_rank / percent_rank /
     * ntile / cume_dist) in one window — the SQL-surface completeness check
     * for analytic ranking. Partitioned by (priority, order month) so
@@ -639,6 +685,8 @@ object Relational extends QueryModule {
     "q_tpch_q19" -> (tpchQ19(_, _)),
     "q_tpch_q14" -> (tpchQ14(_, _)),
     "q_tpch_q18" -> (tpchQ18(_, _)),
+    "q_tpch_q12" -> (tpchQ12(_, _)),
+    "q_tpch_q13" -> (tpchQ13(_, _)),
     "q_percentiles" -> (percentiles(_, _)))
 
   private def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -925,6 +973,28 @@ object Relational extends QueryModule {
          |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT
+        |  CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |    THEN 'SLOW' ELSE 'FAST' END AS ship_speed,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
