@@ -579,6 +579,61 @@ object Relational extends QueryModule {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
 
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, then the
+    * supplier(s) hitting the maximum — Q15's CREATE VIEW + scalar subquery
+    * re-expressed as a reused DataFrame. The revenue frame is ONE suppkey
+    * shuffle with map-side partials (|suppliers| rows out); the max is a
+    * 1-row aggregate of that frame that broadcasts back as an equi-join —
+    * no global sort and no single-partition window anywhere, which is what
+    * a rank().over(Window.orderBy(...)) formulation would have cost at
+    * 100 TB. The double equality join is safe because both sides surface
+    * the SAME exact-decimal sum cast to double.
+    */
+  def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-04-01")
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("total_revenue"))
+    rev.join(broadcast(rev.agg(max(col("total_revenue")).as("mx"))),
+        col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("supplier_no"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val Q22InactiveSince = "2000-01-01" // no orders on/after ⇒ dormant
+
+  /** TPC-H Q22 (global sales opportunity), adapted: no c_phone in this
+    * schema, so the country-code IN-list becomes a market-segment IN-list,
+    * and "no orders in 7 years" becomes no orders since
+    * [[Q22InactiveSince]]. Dormant rich customers = acctbal above the
+    * segment-slice's positive-balance average (1-row exact-decimal
+    * aggregate, broadcast — the scalar subquery) ANTI-joined against
+    * recent orders. The anti join's right side is pre-pruned to one
+    * column by pushdown and the date filter prunes at the orders scan;
+    * distinct() makes the shuffle carry each custkey once (map-side
+    * partial dedup) instead of once per order — at 100 TB that is the
+    * difference between shuffling |recent orders| and |active customers|.
+    */
+  def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val sel = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+    val avgBal = sel.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val active = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= Q22InactiveSince)
+      .select("o_custkey").distinct()
+    sel.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(active, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** The full ranking-function family (rank / dense_rank / percent_rank /
     * ntile / cume_dist) in one window — the SQL-surface completeness check
     * for analytic ranking. Partitioned by (priority, order month) so
@@ -687,6 +742,8 @@ object Relational extends QueryModule {
     "q_tpch_q18" -> (tpchQ18(_, _)),
     "q_tpch_q12" -> (tpchQ12(_, _)),
     "q_tpch_q13" -> (tpchQ13(_, _)),
+    "q_tpch_q15" -> (tpchQ15(_, _)),
+    "q_tpch_q22" -> (tpchQ22(_, _)),
     "q_percentiles" -> (percentiles(_, _)))
 
   private def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -995,6 +1052,34 @@ object Relational extends QueryModule {
         |)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    CAST(sum($discSql) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q22" ->
+      s"""WITH sel AS (
+         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+         |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+         |)
+         |SELECT c_mktsegment, count(*) AS numcust,
+         |  ${sum2("c_acctbal")} AS totacctbal
+         |FROM sel
+         |WHERE c_acctbal > (
+         |    SELECT ${sum2("c_acctbal")} / count(*) FROM sel WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '$Q22InactiveSince')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
