@@ -590,16 +590,78 @@ object Relational extends QueryModule {
     * the SAME exact-decimal sum cast to double.
     */
   def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    // rev feeds BOTH the 1-row max aggregate and the final join's probe
+    // side — persist the |suppliers|-row frame so the quarter's lineitem
+    // scan + shuffle runs once, not once per consumer.
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-04-01")
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("total_revenue"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rev.join(broadcast(rev.agg(max(col("total_revenue")).as("mx"))),
         col("total_revenue") === col("mx"))
       .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("supplier_no"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q9 shape (product type profit), adapted: no partsupp table, so
+    * supply cost is proxied as 60% of the part's retail price — the profit
+    * expression keeps Q9's exact shape (revenue minus cost×quantity, folded
+    * entirely in DECIMAL so the sum is order-independent). Part (name
+    * LIKE-filtered) and supplier→nation both broadcast; the single
+    * corpus-scale shuffle is lineitem⋈orders on the orderkey, then a
+    * (nation, year) hash aggregate with map-side partials.
+    */
+  def tpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.part(s, dir).filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val amount = discPrice(col("l_extendedprice"), col("l_discount")) -
+      dec2(col("p_retailprice")) * lit(0.6).cast(DecimalType(4, 2)) *
+        dec2(col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val Q11Fraction = 0.001 // part qualifies above this share of value
+
+  /** TPC-H Q11 shape (important stock identification), adapted: no partsupp,
+    * so a part's "stock value" is the summed extendedprice of one nation's
+    * suppliers' lineitems for it. The scalar-subquery HAVING becomes a 1-row
+    * broadcast: per-part values fold in exact DECIMAL (one suppkey-pruned
+    * fact scan + one partkey hash aggregate), the corpus total re-sums those
+    * decimals (exact, order-free), and the strict `>` compares doubles both
+    * engines derived from identical exact sums. The values frame feeds both
+    * the threshold aggregate and the filter probe — persisted so the scan
+    * and shuffle run once; |parts| rows, so the cache is trivially small.
+    */
+  def tpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = Tables.lineitem(s, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(dec2(col("l_extendedprice"))).as("value_dec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = vals
+      .agg((sum(col("value_dec")).cast("double") * lit(Q11Fraction)).as("thr"))
+    vals.join(broadcast(thr))
+      .filter(col("value_dec").cast("double") > col("thr"))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey").asc)
   }
 
   private val Q22InactiveSince = "2000-01-01" // no orders on/after ⇒ dormant
@@ -744,6 +806,8 @@ object Relational extends QueryModule {
     "q_tpch_q13" -> (tpchQ13(_, _)),
     "q_tpch_q15" -> (tpchQ15(_, _)),
     "q_tpch_q22" -> (tpchQ22(_, _)),
+    "q_tpch_q9" -> (tpchQ9(_, _)),
+    "q_tpch_q11" -> (tpchQ11(_, _)),
     "q_percentiles" -> (percentiles(_, _)))
 
   private def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -1080,6 +1144,33 @@ object Relational extends QueryModule {
          |    WHERE o_custkey = c_custkey
          |      AND o_orderdate >= TIMESTAMP '$Q22InactiveSince')
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  CAST(sum($discSql
+         |      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(4,2))
+         |        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q_tpch_q11" ->
+      s"""WITH vals AS (
+         |  SELECT l_partkey, sum(${d2("l_extendedprice")}) AS value_dec
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'
+         |  GROUP BY l_partkey
+         |)
+         |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+         |FROM vals
+         |WHERE CAST(value_dec AS DOUBLE) >
+         |  (SELECT CAST(sum(value_dec) AS DOUBLE) * $Q11Fraction FROM vals)
+         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
