@@ -664,6 +664,63 @@ object Relational extends QueryModule {
       .orderBy(col("value").desc, col("l_partkey").asc)
   }
 
+  /** TPC-H Q2 shape (minimum cost supplier), adapted: no partsupp, so a
+    * supplier's "cost" for a part is the minimum extendedprice it ever
+    * shipped it at, observed from lineitem. The correlated
+    * min-subquery-per-part becomes a (part, supplier) hash aggregate
+    * followed by a row_number argmin window partitioned by partkey —
+    * partition count scales with |parts|, so no skew pin at 100 TB; the
+    * filtered part dimension broadcasts so the fact never shuffles for the
+    * dim join. min over DECIMAL is exact, and (min_price, suppkey) is a
+    * total order, so the argmin row is deterministic in both engines.
+    */
+  def tpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.part(s, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") < 10)
+      .select(col("p_partkey"), col("p_name"))
+    val offers = Tables.lineitem(s, dir)
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(dec2(col("l_extendedprice"))).as("min_price"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("min_price").asc, col("l_suppkey").asc)
+    offers.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("min_price").cast("double").as("best_price"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted: late =
+    * shipped >30 days after the order date (no commit/receipt dates here).
+    * Q21's EXISTS (another supplier) + NOT EXISTS (another LATE supplier)
+    * pair collapses into ONE per-order aggregate — distinct suppliers,
+    * distinct late suppliers, and the late suppkey (max over a null-else
+    * CASE; exact because the n_late_supp = 1 filter pins it to the only
+    * late supplier). That turns two corpus-scale lineitem self-joins into a
+    * single orderkey shuffle — the formulation that survives 100 TB. The
+    * final per-supplier count is |orders|-bounded and the top-20 is
+    * TakeOrderedAndProject on the total (numwait desc, s_name) order.
+    */
+  def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("late_supp"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
   private val Q22InactiveSince = "2000-01-01" // no orders on/after ⇒ dormant
 
   /** TPC-H Q22 (global sales opportunity), adapted: no c_phone in this
@@ -808,6 +865,8 @@ object Relational extends QueryModule {
     "q_tpch_q22" -> (tpchQ22(_, _)),
     "q_tpch_q9" -> (tpchQ9(_, _)),
     "q_tpch_q11" -> (tpchQ11(_, _)),
+    "q_tpch_q2" -> (tpchQ2(_, _)),
+    "q_tpch_q21" -> (tpchQ21(_, _)),
     "q_percentiles" -> (percentiles(_, _)))
 
   private def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -1171,6 +1230,39 @@ object Relational extends QueryModule {
          |WHERE CAST(value_dec AS DOUBLE) >
          |  (SELECT CAST(sum(value_dec) AS DOUBLE) * $Q11Fraction FROM vals)
          |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'STANDARD' AND p_size < 10
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY p_partkey ORDER BY min_price, l_suppkey) AS rn
+        |  FROM offers
+        |)
+        |SELECT p_partkey, p_name, s_suppkey, s_name,
+        |  CAST(min_price AS DOUBLE) AS best_price
+        |FROM best JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH pa AS (
+        |  SELECT o_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |      THEN l_suppkey END) AS n_late_supp,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |      THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY o_orderkey
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM pa JOIN supplier ON s_suppkey = late_supp
+        |WHERE n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
