@@ -721,6 +721,60 @@ object Relational extends QueryModule {
       .limit(20)
   }
 
+  /** TPC-H Q16 shape (parts/supplier relationship), adapted: the
+    * part–supplier relation is observed from lineitem (no partsupp), and
+    * the "customer complaints" exclusion becomes a low-balance supplier
+    * anti set (both are NOT IN subqueries over supplier). The part
+    * predicate rides the broadcast dim join; the bad-supplier set is tiny
+    * and broadcasts as a LEFT ANTI; countDistinct dedups repeat
+    * (part, supplier) shipments through two-phase partial aggregation, so
+    * the shuffle carries distinct pairs, not raw lineitems.
+    */
+  def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").startsWith("PROMO")
+        && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val badSupp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 500.0).select(col("s_suppkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val Q20Qty = 300 // 1997 shipped-quantity bar for "excess stock"
+
+  /** TPC-H Q20 shape (potential part promotion), adapted: suppliers who
+    * moved more than [[Q20Qty]] units of red parts in 1997, restricted to
+    * two nations — partsupp's availqty-vs-half-shipped check becomes a
+    * shipped-quantity bar, keeping Q20's nested-semi-join shape. The
+    * qualifying-supplier set is a part-pruned fact aggregate (exact DECIMAL
+    * quantities, so the bar cannot flip between engines) that semi-joins
+    * the supplier dim; the nation filter broadcasts. Output is
+    * |suppliers|-bounded.
+    */
+  def tpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.part(s, dir).filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val qualifying = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > Q20Qty)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name").isin("NATION_5", "NATION_9"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
   private val Q22InactiveSince = "2000-01-01" // no orders on/after ⇒ dormant
 
   /** TPC-H Q22 (global sales opportunity), adapted: no c_phone in this
@@ -867,6 +921,8 @@ object Relational extends QueryModule {
     "q_tpch_q11" -> (tpchQ11(_, _)),
     "q_tpch_q2" -> (tpchQ2(_, _)),
     "q_tpch_q21" -> (tpchQ21(_, _)),
+    "q_tpch_q16" -> (tpchQ16(_, _)),
+    "q_tpch_q20" -> (tpchQ20(_, _)),
     "q_percentiles" -> (percentiles(_, _)))
 
   private def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
@@ -1263,6 +1319,30 @@ object Relational extends QueryModule {
         |WHERE n_supp >= 2 AND n_late_supp = 1
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q20" ->
+      s"""SELECT s_suppkey, s_name, s_acctbal, n_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_5', 'NATION_9')
+         |  AND s_suppkey IN (
+         |    SELECT l_suppkey
+         |    FROM lineitem JOIN part ON l_partkey = p_partkey
+         |    WHERE p_name LIKE 'red%'
+         |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+         |      AND l_shipdate < TIMESTAMP '1998-01-01'
+         |    GROUP BY l_suppkey
+         |    HAVING sum(${d2("l_quantity")}) > $Q20Qty)
+         |ORDER BY s_suppkey""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
