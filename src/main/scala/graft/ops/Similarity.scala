@@ -372,6 +372,59 @@ object Similarity extends QueryModule {
     r.select(col("vec_id"), col("r").as("pagerank")).orderBy("vec_id")
   }
 
+  // --------------------------------------------------------- sim_triangles
+
+  /** Triangle counts + local clustering coefficients over the [[knnGraph]] —
+    * the community-structure signal (a node whose neighbors also neighbor
+    * each other sits in a dense semantic cluster; clustering ≈ 0 flags
+    * hub-like or noisy embeddings).
+    *
+    * Scale shape is the Schank-style ORIENTED wedge join: symmetrize + dedup
+    * the kNN edges, then orient every undirected edge from its
+    * (degree, id)-smaller endpoint to the larger. Each triangle {u≺v≺w} then
+    * exists as exactly ONE wedge e(u,v)⋈e(v,w) closed by e(u,w), and —
+    * the load-bearing property at 100 TB — out-degree under degree
+    * orientation is O(√m) even on power-law graphs, so the wedge join's
+    * fan-out is Σ outdeg² ≈ m^1.5 worst-case instead of the Σ deg²
+    * hub-explosion of the naive direction. The closing check is a LEFT SEMI
+    * (wedges never fan out further). Edges/degrees persist across the three
+    * self-join consumers.
+    */
+  def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    val und = knnGraph(s, dir)
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val orient = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = orient.as("e1")
+      .join(orient.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+      .join(orient.as("e3"),
+        col("u") === col("e3.src") && col("w") === col("e3.dst"), "left_semi")
+    val perNode = tri.select(col("u").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, col("v") === col("node"), "left")
+      .select(col("v").as("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(coalesce(col("n_tri"), lit(0L)) * lit(2.0)
+          / (col("deg") * (col("deg") - 1)), 6).as("clustering"))
+      .orderBy("vec_id")
+  }
+
   // -------------------------------------------------------- sim_ivf_assign
 
   /** Per-group exact centroids from a (grp, vq) frame: integer component
@@ -831,6 +884,7 @@ object Similarity extends QueryModule {
     "sim_pq_topk" -> (pqTopK(_, _)),
     "sim_pq_rerank" -> (pqRerank(_, _)),
     "sim_graph_rank" -> (graphRank(_, _)),
+    "sim_triangles" -> (triangleStats(_, _)),
     "sim_recall_at_k" -> (recallAtK(_, _)),
     "sim_semantic_dedup" -> (semanticDedup(_, _)))
 
@@ -979,6 +1033,46 @@ object Similarity extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_triangles" ->
+      s"""WITH $corpusSql, $bandSql, cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id <> b.vec_id
+         |), pairs AS (
+         |  SELECT cand.vec_id, nbr_id,
+         |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
+         |), ${rankCtesSql("pairs", "vec_id", "nbr_id")}, und AS (
+         |  SELECT DISTINCT least(vec_id, nbr_id) AS a, greatest(vec_id, nbr_id) AS b
+         |  FROM ranked WHERE rnk <= $GraphK
+         |), dg AS (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+         |  GROUP BY v
+         |), orient AS (
+         |  SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |      THEN a ELSE b END AS src,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         |      THEN b ELSE a END AS dst
+         |  FROM und JOIN dg da ON da.v = a JOIN dg db ON db.v = b
+         |), tri AS (
+         |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |  FROM orient e1
+         |  JOIN orient e2 ON e2.src = e1.dst
+         |  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst
+         |), pernode AS (
+         |  SELECT node, count(*) AS n_tri FROM (
+         |    SELECT u AS node FROM tri
+         |    UNION ALL SELECT v AS node FROM tri
+         |    UNION ALL SELECT w AS node FROM tri)
+         |  GROUP BY node
+         |)
+         |SELECT dg.v AS vec_id, dg.deg, coalesce(n_tri, 0)::BIGINT AS n_tri,
+         |  round(coalesce(n_tri, 0) * 2.0 / (dg.deg * (dg.deg - 1)), 6) AS clustering
+         |FROM dg LEFT JOIN pernode ON node = dg.v
+         |WHERE dg.deg >= 2
+         |ORDER BY vec_id""".stripMargin,
     "sim_graph_rank" ->
       s"""WITH $corpusSql, $bandSql, cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
