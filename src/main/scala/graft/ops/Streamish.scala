@@ -394,7 +394,46 @@ object Streamish extends QueryModule {
       .orderBy("cur_type", "next_type")
   }
 
+  // ------------------------------------------------------------------ ev_lift
+
+  /** Event-type co-occurrence association (market-basket lift over users):
+    * for each unordered type pair, the share of users exhibiting both and
+    * the lift over independence — the signal that separates "error follows
+    * purchase structurally" from "both are just common". lift > 1 ⇒
+    * attraction, < 1 ⇒ repulsion.
+    *
+    * Scale shape: the (user, type) frame dedups through partial aggregation
+    * BEFORE the self-join (the shuffle carries each pair once, not once per
+    * raw event), and the self-join is user-keyed with per-user fan-out
+    * bounded by |types|² — a vocabulary bound, independent of corpus size.
+    * Marginals and the 1-row user-count scalar ride broadcasts (the bounded
+    * BNLJ class PlanShapeSpec allow-lists). Both ratios are mirrored
+    * textually in the oracle: one double division for support, a
+    * double-product ratio for lift (no long·long overflow at 1e9 users).
+    */
+  def lift(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val nn = broadcast(ut.select(countDistinct(col("user_id")).as("n_users")))
+    ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id")
+          && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(nn)
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") / col("n_users"), 6).as("support"),
+        round((col("n_both").cast("double") * col("n_users"))
+          / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_lift" -> (lift(_, _)),
     "ev_markov" -> (markov(_, _)),
     "ev_paths" -> (paths(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
@@ -412,6 +451,28 @@ object Streamish extends QueryModule {
   // ------------------------------------------------------------ oracle SQL
 
   val oracles: Map[String, String] = Map(
+    "ev_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), nn AS (
+        |  SELECT count(DISTINCT user_id) AS n_users FROM ut
+        |), marg AS (
+        |  SELECT event_type, count(*) AS n FROM ut GROUP BY event_type
+        |), pairs AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut x JOIN ut y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_both, ma.n AS n_a, mb.n AS n_b,
+        |  round(n_both::DOUBLE / n_users, 6) AS support,
+        |  round((n_both::DOUBLE * n_users) / (ma.n::DOUBLE * mb.n), 6) AS lift
+        |FROM pairs
+        |JOIN marg ma ON ma.event_type = type_a
+        |JOIN marg mb ON mb.event_type = type_b
+        |CROSS JOIN nn
+        |ORDER BY type_a, type_b""".stripMargin,
     "ev_markov" ->
       s"""WITH tr AS (
          |  SELECT event_type AS cur_type,

@@ -34,7 +34,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_semantic_dedup", // same bounded centroid-broadcast subtree
     "txt_collocations", // 1-row (nu, nb) corpus-totals scalar broadcast
     "q_tpch_q11", // 1-row value-threshold scalar broadcast
-    "q_tpch_q22") // 1-row avg-balance scalar broadcast
+    "q_tpch_q22", // 1-row avg-balance scalar broadcast
+    "ev_lift") // 1-row user-count scalar broadcast
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)
