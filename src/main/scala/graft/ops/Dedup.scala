@@ -194,18 +194,24 @@ object Dedup extends QueryModule {
     * arrays are re-joined by id afterwards so they cross the shuffle once
     * per verified candidate, not once per band row.
     */
+  /** Distinct LSH candidate pairs (doc_a < doc_b) from a shingled frame —
+    * the band equi-join shared by the Jaccard and edit-distance verifiers.
+    */
+  private def lshCandidates(sh: DataFrame): DataFrame = {
+    val lng = bandLong(sh)
+    lng.as("a").join(lng.as("b"),
+        col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // sh feeds the signature path AND both verify sides — persist to avoid
     // re-tokenizing/re-shingling three times (the ngramJaccard lesson).
     val sh = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lng = bandLong(sh)
-    val cand = lng.as("a").join(lng.as("b"),
-        col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
+    lshCandidates(sh)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       // |A∪B| = |A| + |B| − |A∩B| (arrays are distinct) — one array op
@@ -222,6 +228,41 @@ object Dedup extends QueryModule {
     minhashPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+
+  // ------------------------------------------------------- dd_edit_verify
+
+  private val EditSimT = 0.8 // normalized edit-similarity acceptance bar
+
+  /** The character-exact verifier: the same MinHash-LSH candidate pairs,
+    * accepted by normalized Levenshtein similarity
+    * (1 − lev / max(|a|, |b|)) instead of shingle Jaccard. Where Jaccard is
+    * blind to token ORDER (a shuffled paragraph can clear it), edit
+    * similarity is not — this is the verifier to use when near-dup removal
+    * must not collapse reordered quotations or templated boilerplate with
+    * swapped slots.
+    *
+    * Scale shape: candidates stay the banded equi-join (never all-pairs);
+    * the O(|a|·|b|) Levenshtein DP runs only on the |candidates|-bounded
+    * pair list with both texts joined back by id — the classic
+    * cheap-filter / expensive-verify split, with the quadratic step pinned
+    * to the bounded side. levenshtein() is a codegen'd builtin in both
+    * engines with identical unit-cost DP semantics.
+    */
+  def editVerify(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    lshCandidates(sh)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .withColumn("sim", lit(1.0) - col("lev").cast("double")
+        / greatest(length(col("ta")), length(col("tb"))))
+      .filter(col("sim") >= EditSimT)
+      .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"),
+        round(col("sim"), 4).as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   // ---------------------------------------------------------- dd_cluster
 
@@ -692,6 +733,7 @@ object Dedup extends QueryModule {
     "dd_exact" -> (exactDedup(_, _)),
     "dd_incremental" -> (incrementalDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
+    "dd_edit_verify" -> (editVerify(_, _)),
     "dd_cluster" -> (cluster(_, _)),
     "dd_cluster_stats" -> (clusterStats(_, _)),
     "dd_survivors" -> (survivors(_, _)),
@@ -794,6 +836,17 @@ object Dedup extends QueryModule {
       s"""WITH $neardupVerSql
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM ver
          |WHERE jac >= $JaccardT ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_edit_verify" ->
+      s"""WITH $neardupVerSql
+         |SELECT doc_a, doc_b, lev, round(sim, 4) AS edit_sim FROM (
+         |  SELECT doc_a, doc_b, levenshtein(da.text, db.text)::BIGINT AS lev,
+         |    1.0 - levenshtein(da.text, db.text)::DOUBLE
+         |      / greatest(len(da.text), len(db.text)) AS sim
+         |  FROM cand
+         |  JOIN documents da ON da.doc_id = doc_a
+         |  JOIN documents db ON db.doc_id = doc_b
+         |)
+         |WHERE sim >= $EditSimT ORDER BY doc_a, doc_b""".stripMargin,
     "dd_cluster" ->
       s"""WITH RECURSIVE $neardupVerSql, pr AS (
          |  SELECT doc_a, doc_b FROM ver WHERE jac >= $JaccardT
