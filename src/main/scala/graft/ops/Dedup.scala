@@ -59,9 +59,12 @@ object Dedup extends QueryModule {
         element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
 
   /** docs → (doc_id, carry..., sh: distinct shingle array). */
-  private def shingled(s: SparkSession, dir: String, carry: Seq[String] = Nil): DataFrame = {
+  private def shingled(s: SparkSession, dir: String, carry: Seq[String] = Nil): DataFrame =
+    shingledOf(Tables.documents(s, dir), carry)
+
+  private def shingledOf(documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val keep = col("doc_id") +: carry.map(col)
-    Tables.documents(s, dir)
+    documents
       .select(keep :+ toks.as("toks"): _*)
       .filter(size(col("toks")) >= 3)
       .select(keep :+ shingles(col("toks")).as("sh"): _*)
@@ -248,10 +251,13 @@ object Dedup extends QueryModule {
     * to the bounded side. levenshtein() is a codegen'd builtin in both
     * engines with identical unit-cost DP semantics.
     */
-  def editVerify(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
+  def editVerify(s: SparkSession, dir: String): DataFrame =
+    editVerifyOf(Tables.documents(s, dir))
+
+  private[graft] def editVerifyOf(documents: DataFrame): DataFrame = {
+    val sh = shingledOf(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val docs = documents.select(col("doc_id"), col("text"))
     lshCandidates(sh)
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")

@@ -390,11 +390,17 @@ object Similarity extends QueryModule {
     * (wedges never fan out further). Edges/degrees persist across the three
     * self-join consumers.
     */
-  def triangleStats(s: SparkSession, dir: String): DataFrame = {
-    val und = knnGraph(s, dir)
+  def triangleStats(s: SparkSession, dir: String): DataFrame =
+    triangleStatsOf(knnGraph(s, dir)
       .select(least(col("vec_id"), col("nbr_id")).as("a"),
         greatest(col("vec_id"), col("nbr_id")).as("b"))
-      .distinct()
+      .distinct())
+
+  /** The oriented-wedge core over an undirected edge frame (a < b, distinct)
+    * — factored for fixture tests with hand-countable triangles.
+    */
+  private[graft] def triangleStatsOf(undirected: DataFrame): DataFrame = {
+    val und = undirected
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))

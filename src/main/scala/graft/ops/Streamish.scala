@@ -411,8 +411,11 @@ object Streamish extends QueryModule {
     * textually in the oracle: one double division for support, a
     * double-product ratio for lift (no long·long overflow at 1e9 users).
     */
-  def lift(s: SparkSession, dir: String): DataFrame = {
-    val ut = Tables.events(s, dir)
+  def lift(s: SparkSession, dir: String): DataFrame =
+    liftOf(Tables.events(s, dir))
+
+  private[graft] def liftOf(events: DataFrame): DataFrame = {
+    val ut = events
       .select(col("user_id"), col("event_type")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n"))

@@ -595,4 +595,52 @@ class OpsSpec extends AnyFunSuite {
       assert(!pmi.isNaN && !pmi.isInfinite)
     }
   }
+
+  test("sim_triangles: K4 is all-triangles, C4 is triangle-free, path endpoints drop") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, clustering 1), a 4-cycle on 10-13 (0
+    // triangles, deg 2), and a 3-path 20-21-22 (endpoints deg 1 → excluded)
+    val und = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L)) ++
+      Seq((20L, 21L), (21L, 22L))).toDF("a", "b")
+    val out = Similarity.triangleStatsOf(und)
+      .select("vec_id", "deg", "n_tri", "clustering")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val expected = Seq(
+      (1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0),
+      (10L, 2L, 0L, 0.0), (11L, 2L, 0L, 0.0), (12L, 2L, 0L, 0.0), (13L, 2L, 0L, 0.0),
+      (21L, 2L, 0L, 0.0))
+    assert(out.toSeq === expected)
+  }
+
+  test("ev_lift: hand-computed support and lift on a 3-user fixture") {
+    import spark.implicits._
+    // u1:{a,b} u2:{a,b} u3:{a} → P(a∧b)=2/3, P(a)=1, P(b)=2/3, lift=1
+    val events = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"), // duplicate raw events must not count
+      (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("user_id", "event_type")
+    val out = graft.ops.Streamish.liftOf(events)
+      .select("type_a", "type_b", "n_both", "n_a", "n_b", "support", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    assert(out.toSeq === Seq(("a", "b", 2L, 3L, 2L, 0.666667, 1.0)))
+  }
+
+  test("dd_edit_verify: near-identical docs accepted with the exact edit distance; unrelated docs never pair") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val t2 = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, t1), (2L, t2),
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editVerifyOf(docs)
+      .select("doc_a", "doc_b", "lev", "edit_sim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq((1L, 2L)))
+    val lev = out.head._3
+    assert(lev > 0 && lev <= 7) // today→tonight
+    val expSim = 1.0 - lev.toDouble / math.max(t1.length, t2.length)
+    assert(math.abs(out.head._4 - expSim) < 1e-3)
+  }
 }
