@@ -99,5 +99,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramHashes(children.head, n,
           NgramHashes.DefaultBase1, NgramHashes.DefaultBase2, NgramHashes.DefaultMod)
       }))
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      BloomFuncs.aggBuilder))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      BloomFuncs.mightBuilder))
   }
 }

@@ -682,6 +682,53 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------- dd_bloom_decontaminate
+
+  private val BloomItems = 1L << 20 // est distinct bench shingles (sized up-front)
+  private val BloomBits = BloomItems * 8 // ~2% fpp, 1 MiB — broadcastable
+
+  /** [[passageDecontaminate]] with an EXPLICIT bloom pre-filter — identical
+    * output (it shares the oracle), different physical plan: a ~1 MiB bloom
+    * of the bench shingle digests broadcasts to the training side, and
+    * `bloom_might_contain` drops ~98% of clean shingles BEFORE the exact
+    * semi join — so the join's shuffle carries candidate rows only, not the
+    * whole training corpus. This is Spark's own runtime-filter machinery
+    * ([[graft.functions.BloomFuncs]] registers the internal expression
+    * pair), driven explicitly where the optimizer's automatic injection
+    * (spark.sql.optimizer.runtime.bloomFilter) wouldn't fire — across a
+    * persisted boundary, or when the build side is a derived frame. The
+    * bloom's false positives are removed by the exact semi join that
+    * follows: the bloom changes the PLAN, never the ANSWER.
+    */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFuncs.register(s)
+    val g = passageShingles(Tables.documents(s, dir), carry = Seq("source"))
+      .withColumn("is_bench", col("source").isin(BenchSources: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // benchSet feeds the bloom build AND the exact verify side
+    val benchSet = g.filter(col("is_bench")).select("gh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE sketch row to the driver, re-shipped as a foldable binary literal
+    // (might_contain requires a constant/scalar-subquery bloom) — the same
+    // build-collect-rebroadcast hop Spark's own InjectRuntimeFilter takes
+    // via its scalar subquery; ~1 MiB, independent of corpus size.
+    val bfBytes = benchSet
+      .agg(expr(s"bloom_agg(xxhash64(gh), ${BloomItems}L, ${BloomBits}L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val train = g.filter(!col("is_bench"))
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train
+      .filter(call_function("bloom_might_contain",
+        lit(bfBytes), expr("xxhash64(gh)")))
+      .join(benchSet, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, "doc_id") // inner: clean docs drop, mirroring >= 1
+      .withColumn("contam_frac",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .select("doc_id", "n_shingles", "n_contaminated", "contam_frac")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------- dd_containment
 
   private val ContainT = 0.5 // containment threshold (share of smaller set)
@@ -748,7 +795,8 @@ object Dedup extends QueryModule {
     "dd_ngram_jaccard" -> (ngramJaccard(_, _)),
     "dd_embed_neardup" -> (embedNearDup(_, _)),
     "dd_passage_overlap" -> (passageOverlap(_, _)),
-    "dd_passage_decontaminate" -> (passageDecontaminate(_, _)))
+    "dd_passage_decontaminate" -> (passageDecontaminate(_, _)),
+    "dd_bloom_decontaminate" -> (bloomDecontaminate(_, _)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -808,6 +856,29 @@ object Dedup extends QueryModule {
        |  JOIN s sb ON sb.doc_id = doc_b
        |)""".stripMargin
 
+
+  private lazy val passageDecontSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $toksSql AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, source IN (${BenchSources.map(x => s"'$x'").mkString(", ")}) AS is_bench,
+       |    list_distinct(list_apply(range(1, len(toks) - ${PassW - 2}),
+       |    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+       |             toks[i + 3] || ' ' || toks[i + 4]))) AS ghs
+       |  FROM t WHERE len(toks) >= $PassW
+       |), g AS (
+       |  SELECT doc_id, is_bench, unnest(ghs) AS gh FROM s
+       |), bench AS (
+       |  SELECT DISTINCT gh FROM g WHERE is_bench
+       |)
+       |SELECT g.doc_id, count(*) AS n_shingles,
+       |  sum(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       |  round(sum(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+       |    AS contam_frac
+       |FROM g LEFT JOIN bench ON g.gh = bench.gh
+       |WHERE NOT g.is_bench
+       |GROUP BY g.doc_id HAVING n_contaminated >= 1
+       |ORDER BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -1031,28 +1102,9 @@ object Dedup extends QueryModule {
          |  round(inter::DOUBLE / least(na, nb), 4) AS containment
          |FROM agg WHERE inter::DOUBLE / least(na, nb) >= $ContainT
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "dd_passage_decontaminate" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, source, $toksSql AS toks FROM documents
-         |), s AS (
-         |  SELECT doc_id, source IN (${BenchSources.map(x => s"'$x'").mkString(", ")}) AS is_bench,
-         |    list_distinct(list_apply(range(1, len(toks) - ${PassW - 2}),
-         |    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
-         |             toks[i + 3] || ' ' || toks[i + 4]))) AS ghs
-         |  FROM t WHERE len(toks) >= $PassW
-         |), g AS (
-         |  SELECT doc_id, is_bench, unnest(ghs) AS gh FROM s
-         |), bench AS (
-         |  SELECT DISTINCT gh FROM g WHERE is_bench
-         |)
-         |SELECT g.doc_id, count(*) AS n_shingles,
-         |  sum(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
-         |  round(sum(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
-         |    AS contam_frac
-         |FROM g LEFT JOIN bench ON g.gh = bench.gh
-         |WHERE NOT g.is_bench
-         |GROUP BY g.doc_id HAVING n_contaminated >= 1
-         |ORDER BY g.doc_id""".stripMargin,
+    "dd_passage_decontaminate" -> passageDecontSql,
+    // same answer by construction — the bloom is a plan-only pre-filter
+    "dd_bloom_decontaminate" -> passageDecontSql,
     "dd_embed_neardup" ->
       s"""WITH ${Similarity.corpusSql}, ${Similarity.bandSql}, cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

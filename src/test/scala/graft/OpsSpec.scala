@@ -626,6 +626,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("a", "b", 2L, 3L, 2L, 0.666667, 1.0)))
   }
 
+  test("bloom_agg/bloom_might_contain: no false negatives, real pruning power") {
+    import spark.implicits._
+    graft.functions.BloomFuncs.register(spark)
+    val members = (1L to 1000L).toDF("k")
+    val bf = members.agg(expr("bloom_agg(xxhash64(k), 1000L, 16000L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probeHit = members
+      .filter(call_function("bloom_might_contain", lit(bf), expr("xxhash64(k)")))
+      .count()
+    assert(probeHit === 1000L) // a bloom can NEVER reject a member
+    val nonMembers = (1000000L to 1010000L).toDF("k")
+    val fp = nonMembers
+      .filter(call_function("bloom_might_contain", lit(bf), expr("xxhash64(k)")))
+      .count()
+    assert(fp < 1000L, s"fp=$fp of 10001") // prunes ≥90% of clean keys
+  }
+
   test("dd_edit_verify: near-identical docs accepted with the exact edit distance; unrelated docs never pair") {
     import spark.implicits._
     val t1 = "the quick brown fox jumps over the lazy dog today"
