@@ -420,10 +420,13 @@ object Streamish extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
     val nn = broadcast(ut.select(countDistinct(col("user_id")).as("n_users")))
-    ut.as("x").join(ut.as("y"),
-        col("x.user_id") === col("y.user_id")
-          && col("x.event_type") < col("y.event_type"))
-      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+    // rename through projections (not frame aliases): keeps the self-join
+    // unambiguous even when `events` is a view over the same plan object
+    // (e.g. the streaming twin's memory sink)
+    ut.select(col("user_id").as("u_a"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id").as("u_b"), col("event_type").as("type_b")),
+        col("u_a") === col("u_b") && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_both"))
       .join(broadcast(marg.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
       .join(broadcast(marg.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")

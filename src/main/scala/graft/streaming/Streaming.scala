@@ -21,6 +21,12 @@ final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
   */
 final case class LastEvent(us: Long, event_id: Long, event_type: String)
 
+/** Per-user distinct event types already emitted (ev_lift streaming twin). */
+final case class SeenTypes(types: Seq[String])
+
+/** A first-sighting (user, type) pair from [[Streaming.firstSeenPairsViaState]]. */
+final case class TypePair(user_id: Long, event_type: String)
+
 /** One consecutive-event transition emitted by [[Streaming.transitionsViaState]]. */
 final case class Transition(cur_type: String, next_type: String)
 
@@ -250,6 +256,32 @@ object Streaming {
             sorted.iterator.map(r => (r._2, r._3, r._4)).toList
           seq.lastOption.foreach { l => state.update(LastEvent(l._1, l._2, l._3)) }
           seq.sliding(2).collect { case List(a, b) => Transition(a._3, b._3) }
+      }
+  }
+
+  /** Streaming twin of ev_lift's (user, type) DEDUP stage: one bounded
+    * [[SeenTypes]] state row per user (≤ |event types| entries — a
+    * vocabulary bound, not a history bound) emits each (user, type) pair
+    * exactly ONCE, on first sight, across micro-batch boundaries. The
+    * batch `.distinct()` restated incrementally: downstream, the pair
+    * stream feeds the same marginal/pair aggregates, so co-occurrence lift
+    * stays maintainable over an unbounded event stream without ever
+    * re-scanning history.
+    */
+  def firstSeenPairsViaState(s: SparkSession, events: DataFrame): Dataset[TypePair] = {
+    import s.implicits._
+    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String)], state: GroupState[SeenTypes]) =>
+          val seen = scala.collection.mutable.LinkedHashSet(
+            state.getOption.map(_.types).getOrElse(Seq.empty): _*)
+          val out = scala.collection.mutable.ArrayBuffer[TypePair]()
+          rows.foreach { r =>
+            if (seen.add(r._2)) out += TypePair(user, r._2)
+          }
+          state.update(SeenTypes(seen.toSeq))
+          out.iterator
       }
   }
 

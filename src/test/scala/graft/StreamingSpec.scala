@@ -235,6 +235,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._3.isDefined))
   }
 
+  test("streaming first-seen (user, type) pairs reproduce the batch ev_lift exactly") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.ntile
+    import spark.implicits._
+    // 3 micro-batches: the per-user SeenTypes state must emit each pair
+    // exactly once even when a user's repeat types span batch boundaries.
+    val src = "/tmp/graft-stream-src-lift"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val batchEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val chunked = batchEvents
+      .withColumn("chunk", ntile(3).over(W.orderBy("ts", "event_id")))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val pairs = runToMemory(
+      Streaming.firstSeenPairsViaState(spark, stream).toDF(), "t_lift", "append")
+    val got = pairs.as[(Long, String)].collect().toSeq
+    assert(got.size === got.distinct.size, "a pair was emitted twice")
+    val want = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(got.toSet === want)
+    // the emitted pair stream drives the SAME lift computation bit-for-bit
+    val streamLift = graft.ops.Streamish.liftOf(pairs)
+      .collect().map(_.toSeq).toSeq
+    val batchLift = graft.ops.Streamish.lift(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamLift === batchLift)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
