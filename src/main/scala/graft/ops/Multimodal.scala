@@ -170,6 +170,46 @@ object Multimodal extends QueryModule {
     * jpeg decode). Deterministic fake: treats the payload bytes themselves
     * as the decoded sample stream and reports their count / mean / md5.
     */
+  // -------------------------------------------------------- mm_shard_manifest
+
+  private val ShardBudget = 64 * 1024 // bytes per training shard (fixture-scaled)
+  private val SubShards = 16 // running-sum parallelism per media type
+
+  /** WebDataset-style training-shard manifest: assign every asset to a
+    * byte-budgeted shard (deterministic doc_id order within its lane) and
+    * emit one manifest row per shard — count, bytes, doc-id range — the
+    * index a streaming data loader reads to fetch shards without listing
+    * the corpus.
+    *
+    * Scale shape is the txt_pack trick restated for binary payloads: the
+    * running byte-sum window partitions on (media_type, md5-hash sub-lane),
+    * not media_type alone — 4 media types would pin a 100 TB corpus onto 4
+    * window partitions, while [[SubShards]] hash lanes per type keep every
+    * partition 1/64th of the corpus and the window's sort local to a lane.
+    * Shard ids derive from the running sum (floor(cum_before / budget)), so
+    * assignment needs no sequential pass; only payload LENGTH is read
+    * (codegen'd `length(binary)`), blob bytes never move.
+    */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    val sub = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(SubShards.toLong))
+    val w = Window.partitionBy("media_type", "sub").orderBy("doc_id")
+    assets(s, dir)
+      .select(col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("sub", sub)
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .withColumn("shard_seq",
+        floor((col("cum") - col("n_bytes")) / lit(ShardBudget.toDouble)).cast("long"))
+      .groupBy("media_type", "sub", "shard_seq")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("media_type", "sub", "shard_seq")
+  }
+
   private def decodeStub(a: MediaAsset): DecodedAsset = {
     var sum = 0L
     var i = 0
@@ -201,7 +241,8 @@ object Multimodal extends QueryModule {
     "mm_frame_sample" -> (frameSample(_, _)),
     "mm_frame_dedup" -> (frameDedup(_, _)),
     "mm_resize" -> (resize(_, _)),
-    "mm_typed_decode" -> (typedDecode(_, _)))
+    "mm_typed_decode" -> (typedDecode(_, _)),
+    "mm_shard_manifest" -> (shardManifest(_, _)))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -209,6 +250,26 @@ object Multimodal extends QueryModule {
     "(['image', 'audio', 'video', 'text'])[(substr(source, 4)::INT % 4) + 1]"
 
   val oracles: Map[String, String] = Map(
+    "mm_shard_manifest" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, $mtSql AS media_type,
+         |    octet_length(text::BLOB)::BIGINT AS n_bytes,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $SubShards AS sub
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, media_type, sub, n_bytes,
+         |    sum(n_bytes) OVER (PARTITION BY media_type, sub ORDER BY doc_id) AS cum
+         |  FROM a
+         |), g AS (
+         |  SELECT media_type, sub, n_bytes, doc_id,
+         |    floor((cum - n_bytes) / $ShardBudget.0)::BIGINT AS shard_seq
+         |  FROM c
+         |)
+         |SELECT media_type, sub, shard_seq, count(*) AS n_assets,
+         |  sum(n_bytes)::BIGINT AS shard_bytes,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM g GROUP BY media_type, sub, shard_seq
+         |ORDER BY media_type, sub, shard_seq""".stripMargin,
     "mm_meta_stats" ->
       s"""SELECT media_type, count(*) AS n,
          |  sum(octet_length(payload))::BIGINT AS total_bytes,
