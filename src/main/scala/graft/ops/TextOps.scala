@@ -840,7 +840,68 @@ object TextOps extends QueryModule {
       .orderBy("lang", "source")
   }
 
+  // ------------------------------------------------------------- txt_dsir
+
+  private val DsirBuckets = 256 // hashed-unigram feature space (paper uses 10k)
+  private val DsirTargetLang = "en" // the target-domain slice
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-importance weights log p_target(x)/p_raw(x) under hashed-unigram
+    * bag-of-words models — the principled upgrade over hard language/
+    * quality filters: sample training docs ∝ importance instead of
+    * keep/drop. Target here = the [[DsirTargetLang]] slice; features =
+    * md5-hashed tokens in [[DsirBuckets]] buckets, add-1 smoothed.
+    *
+    * Scale shape: ONE token explode (persisted — it feeds raw counts,
+    * target counts, and per-doc bucket counts); the two distributions
+    * reduce to a [[DsirBuckets]]-row broadcast table; the per-doc score is
+    * a (doc, bucket)-grouped count joined against that broadcast and
+    * DECIMAL-summed — so the only corpus-scale shuffles are the (doc,
+    * bucket) partial-agg and the final per-doc fold, both keyed on
+    * high-cardinality doc_id. Cross-engine determinism: exact-integer
+    * probability inputs → identical double ratio → ln pre-rounded to 8
+    * decimals → exact DECIMAL sum (the lm_perplexity regime). Token-less
+    * docs emit n_tokens = 0 with null importance (documented contract,
+    * same as lm_perplexity).
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"),
+          lit(DsirBuckets.toLong)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("craw"))
+    val tgt = tok.filter(col("lang") === DsirTargetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = broadcast(tok.agg(count(lit(1)).as("nraw"),
+      count(when(col("lang") === DsirTargetLang, 1)).as("nt")))
+    val buckets = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(totals)
+      .select(col("b"), round(log(
+          ((col("ct") + 1).cast("double") * (col("nraw") + DsirBuckets).cast("double")) /
+          ((col("craw") + 1).cast("double") * (col("nt") + DsirBuckets).cast("double"))), 8)
+        .cast(DecimalType(18, 8)).as("r8"))
+    val scored = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
+      .join(broadcast(buckets), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("r8") * col("k").cast(DecimalType(18, 0))).as("lw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lw").cast("double"), 6).as("log_importance"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("log_importance"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_dsir" -> (dsirWeights(_, _)),
     "txt_shuffle_shard" -> (shuffleShard(_, _)),
     "txt_lm_perplexity" -> (lmPerplexity(_, _)),
     "txt_chunk_windows" -> (chunkWindows(_, _)),
@@ -910,6 +971,39 @@ object TextOps extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "txt_dsir" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |), tok AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(t), 1, 8))::BIGINT % $DsirBuckets AS b
+         |  FROM d, unnest(toks) AS u(t)
+         |), raw AS (
+         |  SELECT b, count(*) AS craw FROM tok GROUP BY b
+         |), tgt AS (
+         |  SELECT b, count(*) AS ct FROM tok WHERE lang = '$DsirTargetLang' GROUP BY b
+         |), tot AS (
+         |  SELECT count(*) AS nraw,
+         |    count(CASE WHEN lang = '$DsirTargetLang' THEN 1 END) AS nt
+         |  FROM tok
+         |), bk AS (
+         |  SELECT raw.b,
+         |    round(ln(
+         |      ((coalesce(ct, 0) + 1)::DOUBLE * (nraw + $DsirBuckets)::DOUBLE) /
+         |      ((craw + 1)::DOUBLE * (nt + $DsirBuckets)::DOUBLE)), 8)
+         |      ::DECIMAL(18,8) AS r8
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+         |), db AS (
+         |  SELECT doc_id, b, count(*) AS k FROM tok GROUP BY doc_id, b
+         |), sc AS (
+         |  SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+         |    round(sum(r8 * k::DECIMAL(18,0))::DOUBLE, 6) AS log_importance
+         |  FROM db JOIN bk ON db.b = bk.b GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+         |  log_importance
+         |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "txt_shuffle_shard" ->
       s"""WITH k AS (
          |  SELECT doc_id, md5('ep0:' || doc_id::VARCHAR) AS skey FROM documents

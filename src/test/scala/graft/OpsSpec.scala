@@ -626,6 +626,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("a", "b", 2L, 3L, 2L, 0.666667, 1.0)))
   }
 
+  test("txt_dsir: target-language docs score higher importance; every doc emitted") {
+    import spark.implicits._
+    val total = Tables.documents(spark, dir).count()
+    val scored = TextOps.dsirWeights(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+    assert(scored.count() === total) // token-less docs still emit a row
+    val means = scored.filter(col("log_importance").isNotNull)
+      .groupBy(col("lang") === "en")
+      .agg(avg("log_importance")).as[(Boolean, Double)].collect().toMap
+    // the importance model must rank its own target domain above the rest —
+    // the selection signal DSIR exists to produce
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} !> other mean ${means(false)}")
+  }
+
   test("bloom_agg/bloom_might_contain: no false negatives, real pruning power") {
     import spark.implicits._
     graft.functions.BloomFuncs.register(spark)
