@@ -35,7 +35,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "txt_collocations", // 1-row (nu, nb) corpus-totals scalar broadcast
     "q_tpch_q11", // 1-row value-threshold scalar broadcast
     "q_tpch_q22", // 1-row avg-balance scalar broadcast
-    "ev_lift") // 1-row user-count scalar broadcast
+    "ev_lift", // 1-row user-count scalar broadcast
+    "txt_dsir") // 1-row corpus/target token-totals scalar broadcast
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)
@@ -45,6 +46,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(2000))
     // the quarter window pushes into the orders scan
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(2000))
+  }
+
+  test("q_tpch_q21: lineitem is scanned once — the EXISTS pair collapsed into one aggregate") {
+    val plan = graft.ops.Relational.tpchQ21(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the classic Q21 plan self-joins lineitem twice (EXISTS + NOT EXISTS);
+    // the one-pass aggregate formulation must read the fact exactly once
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans === 1, s"$factScans lineitem scans\n${plan.take(2000)}")
+    // supplier rides a broadcast, never a shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("dd_bloom_decontaminate: the bloom pre-filter sits in the executed plan") {
+    val plan = graft.ops.Dedup.bloomDecontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the explicit runtime filter must survive planning (a regression that
+    // drops it would still be CORRECT — same exact join — just not pruned)
+    assert(plan.contains("might_contain"), plan.take(2000))
   }
 
   test("txt_chunk_windows plans with zero exchanges (pure per-row generate)") {
