@@ -840,6 +840,47 @@ object TextOps extends QueryModule {
       .orderBy("lang", "source")
   }
 
+  // --------------------------------------------------- txt_weighted_sample
+
+  private val WSampleK = 20 // docs kept per language stratum
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): per language, keep the [[WSampleK]] docs with the
+    * largest u^(1/w) keys — here ranked by the equivalent ln(u)/w — where
+    * u is a hash-derived uniform and w = token count, so inclusion
+    * probability tracks each doc's share of the token budget. The
+    * token-budget-proportional sampler every mix-building pipeline needs
+    * one step after [[mixWeights]] decides the per-slice budgets; replayable
+    * because u comes from md5(doc_id), not an RNG.
+    *
+    * Scale shape: keys are per-row expressions on an aggregate-free scan;
+    * the per-stratum top-k is the salted two-phase ranking (local top-k per
+    * (lang, salt) lane, then a global rank over ≤ 64·k survivors) — never
+    * a |corpus| sort pinned onto |langs| window partitions. The ln is
+    * pre-rounded to 8 decimals so rank order is engine-stable; remaining
+    * ties break on doc_id.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + 1).cast("double") / lit(4294967296.0) // (0, 1]
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("w"))
+      .filter(col("w") > 0)
+      .withColumn("skey", round(log(u) / col("w"), 8))
+      .withColumn("salt", pmod(col("doc_id"), lit(64)))
+    val local = Window.partitionBy("lang", "salt")
+      .orderBy(col("skey").desc, col("doc_id").asc)
+    val global = Window.partitionBy("lang")
+      .orderBy(col("skey").desc, col("doc_id").asc)
+    keyed
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= WSampleK)
+      .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= WSampleK)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("w").as("n_tokens"),
+        col("skey"))
+      .orderBy("lang", "rnk")
+  }
+
   // ------------------------------------------------------------- txt_dsir
 
   private val DsirBuckets = 256 // hashed-unigram feature space (paper uses 10k)
@@ -902,6 +943,7 @@ object TextOps extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_dsir" -> (dsirWeights(_, _)),
+    "txt_weighted_sample" -> (weightedSample(_, _)),
     "txt_shuffle_shard" -> (shuffleShard(_, _)),
     "txt_lm_perplexity" -> (lmPerplexity(_, _)),
     "txt_chunk_windows" -> (chunkWindows(_, _)),
@@ -971,6 +1013,19 @@ object TextOps extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "txt_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, lang, len($toksSql)::BIGINT AS n_tokens,
+         |    round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE
+         |      / 4294967296.0) / len($toksSql), 8) AS skey
+         |  FROM documents WHERE len($toksSql) > 0
+         |), r AS (
+         |  SELECT lang, doc_id, n_tokens, skey,
+         |    row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id ASC)::INT AS rnk
+         |  FROM k
+         |)
+         |SELECT lang, rnk, doc_id, n_tokens, skey
+         |FROM r WHERE rnk <= $WSampleK ORDER BY lang, rnk""".stripMargin,
     "txt_dsir" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, $toksSql AS toks FROM documents
