@@ -402,8 +402,7 @@ object Similarity extends QueryModule {
   private[graft] def triangleStatsOf(undirected: DataFrame): DataFrame = {
     val und = undirected
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = und.select(col("a").as("v"))
-      .union(und.select(col("b").as("v")))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
@@ -418,9 +417,8 @@ object Similarity extends QueryModule {
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
       .join(orient.as("e3"),
         col("u") === col("e3.src") && col("w") === col("e3.dst"), "left_semi")
-    val perNode = tri.select(col("u").as("node"))
-      .union(tri.select(col("v").as("node")))
-      .union(tri.select(col("w").as("node")))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     deg.filter(col("deg") >= 2)
       .join(perNode, col("v") === col("node"), "left")
