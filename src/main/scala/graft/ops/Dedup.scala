@@ -339,8 +339,13 @@ object Dedup extends QueryModule {
     */
   private[graft] def labelPropagate(pairs: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+    // both directions in ONE pass over the (unpersisted, expensive) pairs
+    // pipeline — a self-union would execute it once per branch
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(MEMORY_AND_DISK)
     // localCheckpoint (eager) per round: materializes the labels AND
     // truncates plan lineage to a LogicalRDD. Without it each round's plan
