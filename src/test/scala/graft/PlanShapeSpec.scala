@@ -48,6 +48,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(2000))
   }
 
+  test("every TPC-H macro broadcasts at least one dimension and pushes filters to a scan") {
+    val macros = SparkEntry.queries.keys.filter(_.startsWith("q_tpch_")).toSeq.sorted
+    val offenders = macros.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // a joining macro where NO join is broadcast means a dimension is
+      // being shuffled — the shape that breaks first at 100 TB. Exempt:
+      // Q6 joins nothing (pure scan-aggregate) and Q13's two-table outer
+      // join legitimately shuffles both corpus-scale sides.
+      val bcast = plan.contains("BroadcastHashJoin") ||
+        !plan.contains("Join") || name == "q_tpch_q13"
+      val pushed = plan.contains("PushedFilters: [")
+      if (bcast && pushed) None
+      else Some(s"$name: bcast=$bcast pushed=$pushed")
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("q_tpch_q21: lineitem is scanned once — the EXISTS pair collapsed into one aggregate") {
     val plan = graft.ops.Relational.tpchQ21(spark, dir)
       .queryExecution.executedPlan.toString
