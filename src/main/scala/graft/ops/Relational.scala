@@ -115,6 +115,31 @@ object Relational extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** The 100 TB percentile path: approx_percentile (a positional sketch
+    * with bounded state) beside the exact two-phase percentile, with
+    * self-reported relative error — the q_approx_distinct pattern for
+    * quantiles. Exact `percentile` keeps full value multisets through the
+    * shuffle (fine at thousands of rows per group, fatal at billions);
+    * the sketch ships fixed-size state per map partition. Declared WITHOUT
+    * an oracle (sketch internals are engine-specific) → rows-only check,
+    * with the accuracy contract hard-gated by SketchSpec.
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val exact = o.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+        expr("percentile(o_totalprice, 0.95)").as("p95_exact"))
+    val approx = o.groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(o_totalprice, 0.95, 1000)").as("p95_approx"))
+    exact.join(approx, "o_orderpriority")
+      .withColumn("rel_err_p50",
+        round(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact"), 4))
+      .withColumn("rel_err_p95",
+        round(abs(col("p95_approx") - col("p95_exact")) / col("p95_exact"), 4))
+      .orderBy("o_orderpriority")
+  }
+
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.
     */
@@ -887,6 +912,7 @@ object Relational extends QueryModule {
     "q_agg_pricing" -> (aggPricing(_, _)),
     "q_distinct_having" -> (distinctHaving(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
+    "q_approx_percentiles" -> (approxPercentiles(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
     "q_cube" -> (cubeOrders(_, _)),
     "q_grouping_sets" -> (groupingSetsPricing(_, _)),

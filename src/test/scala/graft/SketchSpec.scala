@@ -30,4 +30,25 @@ class SketchSpec extends AnyFunSuite {
   test("approx_count_distinct rel_err within 2.5x rsd at sf0.01") {
     assertBound("/root/testdata/sf0.01")
   }
+
+  private def assertPctBound(dir: String): Unit = {
+    // accuracy=1000 bounds rank error at n/1000 per group; on these group
+    // sizes a 2% value-space tolerance is comfortably above that and still
+    // catches a broken sketch outright
+    val rows = Relational.approxPercentiles(spark, dir)
+      .select("o_orderpriority", "rel_err_p50", "rel_err_p95").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= 0.02, s"${r.getString(0)}: p50 err ${r.getDouble(1)}")
+      assert(r.getDouble(2) <= 0.02, s"${r.getString(0)}: p95 err ${r.getDouble(2)}")
+    }
+  }
+
+  test("approx_percentile rel_err within 2% at sf0.001") {
+    assertPctBound(TestSpark.sfDir)
+  }
+
+  test("approx_percentile rel_err within 2% at sf0.01") {
+    assertPctBound("/root/testdata/sf0.01")
+  }
 }
