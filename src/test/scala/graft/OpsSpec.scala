@@ -613,6 +613,40 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq === expected)
   }
 
+  test("sim_triangles: oriented-wedge counts equal brute force on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // the distributed degree-oriented join against an O(n³) reference —
+    // random graphs exercise hubs, isolates, and tie-broken equal degrees
+    val edgeGen = for {
+      n <- Gen.choose(4, 10)
+      density <- Gen.choose(0.2, 0.8)
+      picks <- Gen.listOfN(n * n, Gen.choose(0.0, 1.0))
+    } yield {
+      val all = for (a <- 0 until n; b <- a + 1 until n) yield (a.toLong, b.toLong)
+      all.zip(picks).collect { case (e, p) if p < density => e }
+    }
+    val prop = Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val adj = edges.toSet
+        def linked(x: Long, y: Long) = adj((x min y, x max y))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val brute = (for {
+          i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+          if linked(i, j) && linked(j, k) && linked(i, k)
+        } yield Seq(i, j, k)).flatten
+          .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+        val got = Similarity.triangleStatsOf(edges.toDF("a", "b"))
+          .select("vec_id", "n_tri").as[(Long, Long)].collect().toMap
+        nodes.forall { v =>
+          got.getOrElse(v, 0L) == brute.getOrElse(v, 0L)
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ev_lift: hand-computed support and lift on a 3-user fixture") {
     import spark.implicits._
     // u1:{a,b} u2:{a,b} u3:{a} → P(a∧b)=2/3, P(a)=1, P(b)=2/3, lift=1
