@@ -429,6 +429,42 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------- sim_sq_encode
+
+  /** Scalar quantization (SQ8) — the third leg of the compression family
+    * beside the IVF coarse quantizer and PQ: each dimension linearly maps
+    * to an 8-bit code against its corpus [min, max], an 8× shrink with
+    * per-vector reconstruction RMSE reported (the accuracy audit a
+    * pipeline runs before swapping SQ in for raw floats). Codes are pinned
+    * by a position-weighted checksum; RMSE is EXACT up to the final two
+    * IEEE ops — the error term e = 255·v − (255·mn + code·(mx − mn)) is
+    * integer arithmetic (no decode rounding at all), squared in long and
+    * summed as DECIMAL, so both engines sqrt the same number.
+    *
+    * Scale shape: per-dim stats are one posexplode + 64-group partial
+    * aggregate; the stats ride a 64-row broadcast back onto the exploded
+    * frame (persisted — it feeds both); encode/error are per-row
+    * expressions and the final fold is a doc-keyed hash aggregate.
+    */
+  def sqEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ex = corpus(s, dir)
+      .select(col("vec_id"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = ex.groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+    ex.join(broadcast(dim), "pos")
+      .withColumn("code", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(expr("((v - mn) * 255) DIV (mx - mn)")))
+      .withColumn("err255",
+        col("v") * 255 - (col("mn") * 255 + col("code") * (col("mx") - col("mn"))))
+      .groupBy("vec_id")
+      .agg(sum(col("code") * (col("pos") + 1)).as("code_checksum"),
+        sum((col("err255") * col("err255")).cast(DecimalType(38, 0))).as("se"))
+      .select(col("vec_id"), col("code_checksum"),
+        round(sqrt(col("se").cast("double") / Dim) / (255.0 * Scale), 6).as("rmse"))
+      .orderBy("vec_id")
+  }
+
   // -------------------------------------------------------- sim_ivf_assign
 
   /** Per-group exact centroids from a (grp, vq) frame: integer component
@@ -889,6 +925,7 @@ object Similarity extends QueryModule {
     "sim_pq_rerank" -> (pqRerank(_, _)),
     "sim_graph_rank" -> (graphRank(_, _)),
     "sim_triangles" -> (triangleStats(_, _)),
+    "sim_sq_encode" -> (sqEncode(_, _)),
     "sim_recall_at_k" -> (recallAtK(_, _)),
     "sim_semantic_dedup" -> (semanticDedup(_, _)))
 
@@ -1037,6 +1074,25 @@ object Similarity extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_sq_encode" ->
+      s"""WITH $corpusSql, ex AS (
+         |  SELECT vec_id, i AS pos, vq[(i + 1)::INT] AS v FROM e, range($Dim) r(i)
+         |), dim AS (
+         |  SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos
+         |), enc AS (
+         |  SELECT vec_id, ex.pos, v, mn, mx,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE ((v - mn) * 255) // (mx - mn) END AS code
+         |  FROM ex JOIN dim ON ex.pos = dim.pos
+         |), er AS (
+         |  SELECT vec_id, pos, code,
+         |    v * 255 - (mn * 255 + code * (mx - mn)) AS err255
+         |  FROM enc
+         |)
+         |SELECT vec_id, sum(code * (pos + 1))::BIGINT AS code_checksum,
+         |  round(sqrt(sum((err255 * err255)::DECIMAL(38,0))::DOUBLE / $Dim)
+         |    / ${255.0 * Scale}, 6) AS rmse
+         |FROM er GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "sim_triangles" ->
       s"""WITH $corpusSql, $bandSql, cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
