@@ -140,6 +140,29 @@ object Relational extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Unpivot (melt): the Q1-style wide aggregate turned into long-form
+    * (group, metric, value) rows — the reshape every metrics store and
+    * plotting layer wants, and the inverse of ev_pivot. `Dataset.unpivot`
+    * is a zero-shuffle per-row generate over the (tiny) aggregated frame;
+    * the only exchange in the plan is the aggregate's own. Values align on
+    * exact-DECIMAL sums cast to double, so the melted rows hash-match the
+    * oracle's UNPIVOT.
+    */
+  def unpivotPricing(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumd2(col("l_quantity")).as("sum_qty"),
+        sumd2(col("l_extendedprice")).as("sum_base_price"),
+        count(lit(1)).cast("double").as("n_items"))
+    wide.unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty"), col("sum_base_price"), col("n_items")),
+        "metric", "value")
+      .orderBy("l_returnflag", "l_linestatus", "metric")
+  }
+
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.
     */
@@ -913,6 +936,7 @@ object Relational extends QueryModule {
     "q_distinct_having" -> (distinctHaving(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_approx_percentiles" -> (approxPercentiles(_, _)),
+    "q_unpivot" -> (unpivotPricing(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
     "q_cube" -> (cubeOrders(_, _)),
     "q_grouping_sets" -> (groupingSetsPricing(_, _)),
@@ -1312,6 +1336,19 @@ object Relational extends QueryModule {
          |WHERE CAST(value_dec AS DOUBLE) >
          |  (SELECT CAST(sum(value_dec) AS DOUBLE) * $Q11Fraction FROM vals)
          |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |    ${sum2("l_quantity")} AS sum_qty,
+         |    ${sum2("l_extendedprice")} AS sum_base_price,
+         |    count(*)::DOUBLE AS n_items
+         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |  GROUP BY l_returnflag, l_linestatus
+         |)
+         |SELECT l_returnflag, l_linestatus, metric, value
+         |FROM wide
+         |UNPIVOT (value FOR metric IN (sum_qty, sum_base_price, n_items))
+         |ORDER BY l_returnflag, l_linestatus, metric""".stripMargin,
     "q_tpch_q2" ->
       """WITH offers AS (
         |  SELECT p_partkey, p_name, l_suppkey,
