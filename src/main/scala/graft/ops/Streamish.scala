@@ -394,6 +394,36 @@ object Streamish extends QueryModule {
       .orderBy("cur_type", "next_type")
   }
 
+  // --------------------------------------------------------- ev_windowed_topk
+
+  private val TrendK = 2 // types reported per window
+
+  /** Trending event types: the top-[[TrendK]] types per 6-hour tumbling
+    * window by event count (value-sum tie-break folded in exact DECIMAL,
+    * then type) — the "what's hot right now" leaderboard every event
+    * pipeline serves.
+    *
+    * Scale shape: the (window, type) aggregate is a hash aggregate with
+    * map-side partials; the rank window partitions per TIME WINDOW, so
+    * partition count grows with the stream's span (never a global sort),
+    * and each partition holds ≤ |types| rows — bounded by vocabulary, not
+    * volume. The streaming twin is the same aggregate under a watermark
+    * with the rank applied per emitted window.
+    */
+  def windowedTopK(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumd2(col("value")).as("sum_value"))
+    val rk = Window.partitionBy(col("w"))
+      .orderBy(col("n").desc, col("sum_value").desc, col("event_type").asc)
+    counts
+      .withColumn("rnk", row_number().over(rk))
+      .filter(col("rnk") <= TrendK)
+      .select(col("w.start").as("w_start"), col("rnk"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "rnk")
+  }
+
   // ------------------------------------------------------------------ ev_lift
 
   /** Event-type co-occurrence association (market-basket lift over users):
@@ -439,6 +469,7 @@ object Streamish extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_windowed_topk" -> (windowedTopK(_, _)),
     "ev_lift" -> (lift(_, _)),
     "ev_markov" -> (markov(_, _)),
     "ev_paths" -> (paths(_, _)),
@@ -457,6 +488,23 @@ object Streamish extends QueryModule {
   // ------------------------------------------------------------ oracle SQL
 
   val oracles: Map[String, String] = Map(
+    "ev_windowed_topk" ->
+      s"""WITH b AS (
+         |  SELECT make_timestamp(
+         |      (epoch_us(ts::TIMESTAMP) // 21600000000) * 21600000000) AS w_start,
+         |    event_type, value
+         |  FROM events
+         |), c AS (
+         |  SELECT w_start, event_type, count(*) AS n,
+         |    sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+         |  FROM b GROUP BY w_start, event_type
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY w_start
+         |    ORDER BY n DESC, sum_value DESC, event_type ASC)::INT AS rnk
+         |  FROM c
+         |)
+         |SELECT w_start, rnk, event_type, n, sum_value
+         |FROM r WHERE rnk <= $TrendK ORDER BY w_start, rnk""".stripMargin,
     "ev_lift" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, event_type FROM events
