@@ -139,6 +139,23 @@ object Streaming {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Streaming twin of `ev_windowed_topk`'s aggregate half: watermarked
+    * 6-hour tumbling (window, type) counts with exact-DECIMAL value sums.
+    * The rank is deliberately NOT in the stream — row_number over a
+    * window's types only makes sense once the window is FINAL, so the
+    * leaderboard rank runs as a cheap bounded post-pass (foreachBatch or
+    * the serving read) over emitted windows; StreamingSpec applies exactly
+    * that post-rank and pins the result to the batch operator.
+    */
+  def trendingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
   /** Streaming twin of `ev_session`: Spark's native gap-based
     * `session_window` (30-minute gap), the incremental form of the batch
     * lag+cumsum sessionization — the state store merges/extends open

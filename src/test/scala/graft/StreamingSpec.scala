@@ -33,6 +33,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming trending counts + post-rank equal the batch ev_windowed_topk") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.row_number
+    val counts = runToMemory(
+      Streaming.trendingCounts(Streaming.eventsStream(spark, dir)),
+      "t_trending", "complete")
+    // the bounded post-pass the operator's contract prescribes: rank each
+    // finalized window's ≤ |types| rows
+    val rk = W.partitionBy("w_start")
+      .orderBy(col("n").desc, col("sum_value").desc, col("event_type").asc)
+    val got = counts.withColumn("rnk", row_number().over(rk))
+      .filter(col("rnk") <= 2)
+      .select("w_start", "rnk", "event_type", "n", "sum_value")
+      .orderBy("w_start", "rnk").collect().toSeq
+    val want = Streamish.windowedTopK(spark, dir)
+      .orderBy("w_start", "rnk").collect().toSeq
+    assert(got === want)
+  }
+
   test("streaming session windows equal the batch lag+cumsum sessionization") {
     val got = runToMemory(
       Streaming.sessionCounts(Streaming.eventsStream(spark, dir)),
