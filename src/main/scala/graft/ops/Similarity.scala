@@ -429,6 +429,51 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------- sim_bfs_reach
+
+  private val ReachHops = 3 // fixed traversal depth
+
+  /** Bounded multi-hop reachability over the [[knnGraph]]: for each of the
+    * [[NumQueries]] seed vectors, the count of distinct nodes within 1, 2,
+    * and [[ReachHops]] undirected hops — the neighborhood-growth profile
+    * that separates centrally-embedded documents (fast expansion) from
+    * isolates, and the connectivity audit run before trusting graph-based
+    * label propagation.
+    *
+    * Scale shape: a FIXED number of frontier expansions, each one equi-join
+    * of the current frontier against the symmetric edge list (both keyed on
+    * the node id) followed by a distinct — never unbounded iteration, and
+    * the frontier is |seeds|·reach bounded. The per-seed distinct count is
+    * a hash aggregate; nothing scales with more than edges × hops.
+    */
+  def bfsReach(s: SparkSession, dir: String): DataFrame = {
+    val und = knnGraph(s, dir)
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .distinct()
+    val edges = und
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = corpus(s, dir).select(col("vec_id"))
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("seed"), col("vec_id").as("node"))
+    // reached(h) = nodes within ≤ h hops, seed included at h = 0
+    val reached = (1 to ReachHops).scanLeft(seeds) { (acc, _) =>
+      acc.join(edges, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"))
+        .union(acc)
+        .distinct()
+    }
+    val counts = reached.zipWithIndex.drop(1).map { case (r, h) =>
+      r.groupBy("seed").agg((count(lit(1)) - 1).as(s"reach_$h"))
+    }
+    counts.reduce((x, y) => x.join(y, "seed"))
+      .orderBy("seed")
+  }
+
   // --------------------------------------------------------- sim_sq_encode
 
   /** Scalar quantization (SQ8) — the third leg of the compression family
@@ -926,6 +971,7 @@ object Similarity extends QueryModule {
     "sim_graph_rank" -> (graphRank(_, _)),
     "sim_triangles" -> (triangleStats(_, _)),
     "sim_sq_encode" -> (sqEncode(_, _)),
+    "sim_bfs_reach" -> (bfsReach(_, _)),
     "sim_recall_at_k" -> (recallAtK(_, _)),
     "sim_semantic_dedup" -> (semanticDedup(_, _)))
 
@@ -1074,6 +1120,41 @@ object Similarity extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_bfs_reach" ->
+      s"""WITH $corpusSql, $bandSql, cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id <> b.vec_id
+         |), pairs AS (
+         |  SELECT cand.vec_id, nbr_id,
+         |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
+         |), ${rankCtesSql("pairs", "vec_id", "nbr_id")}, und AS (
+         |  SELECT DISTINCT least(vec_id, nbr_id) AS a, greatest(vec_id, nbr_id) AS b
+         |  FROM ranked WHERE rnk <= $GraphK
+         |), sym AS (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b AS src, a AS dst FROM und
+         |), r0 AS (
+         |  SELECT vec_id AS seed, vec_id AS node FROM e WHERE vec_id < $NumQueries
+         |), r1 AS (
+         |  SELECT DISTINCT seed, node FROM (
+         |    SELECT seed, dst AS node FROM r0 JOIN sym ON node = src
+         |    UNION ALL SELECT seed, node FROM r0)
+         |), r2 AS (
+         |  SELECT DISTINCT seed, node FROM (
+         |    SELECT seed, dst AS node FROM r1 JOIN sym ON node = src
+         |    UNION ALL SELECT seed, node FROM r1)
+         |), r3 AS (
+         |  SELECT DISTINCT seed, node FROM (
+         |    SELECT seed, dst AS node FROM r2 JOIN sym ON node = src
+         |    UNION ALL SELECT seed, node FROM r2)
+         |), c1 AS (SELECT seed, count(*) - 1 AS reach_1 FROM r1 GROUP BY seed),
+         |c2 AS (SELECT seed, count(*) - 1 AS reach_2 FROM r2 GROUP BY seed),
+         |c3 AS (SELECT seed, count(*) - 1 AS reach_3 FROM r3 GROUP BY seed)
+         |SELECT c1.seed, reach_1, reach_2, reach_3
+         |FROM c1 JOIN c2 ON c1.seed = c2.seed JOIN c3 ON c1.seed = c3.seed
+         |ORDER BY c1.seed""".stripMargin,
     "sim_sq_encode" ->
       s"""WITH $corpusSql, ex AS (
          |  SELECT vec_id, i AS pos, vq[(i + 1)::INT] AS v FROM e, range($Dim) r(i)
