@@ -647,6 +647,40 @@ class OpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("sim_sq_encode: rmse bounded by one quantization step, codes pin decode") {
+    import spark.implicits._
+    val rows = Similarity.sqEncode(spark, dir)
+      .select("vec_id", "rmse").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // err255 = 255·(v − decode), so rmse is the per-dim error in original
+    // float units; floor quantization error per dim < one step =
+    // (mx−mn)/255 ≤ 2/255 for unit-range embeddings
+    val bound = 2.0 / 255.0
+    rows.foreach { case (v, r) =>
+      assert(r >= 0.0 && r <= bound, s"vec $v rmse $r > $bound")
+    }
+  }
+
+  test("sim_bfs_reach: neighborhood growth is monotone and hop-1 equals seed degree") {
+    import spark.implicits._
+    val reach = Similarity.bfsReach(spark, dir)
+      .select("seed", "reach_1", "reach_2", "reach_3")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(reach.length === 8)
+    reach.foreach { case (s, r1, r2, r3) =>
+      assert(r1 <= r2 && r2 <= r3, s"seed $s: $r1 > $r2 or $r2 > $r3")
+    }
+    // hop-1 = the seed's undirected degree in the kNN graph
+    val und = Similarity.knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").count().as[(Long, Long)].collect().toMap
+    reach.foreach { case (s, r1, _, _) =>
+      assert(r1 === deg.getOrElse(s, 0L), s"seed $s hop-1 $r1 != degree")
+    }
+  }
+
   test("ev_lift: hand-computed support and lift on a 3-user fixture") {
     import spark.implicits._
     // u1:{a,b} u2:{a,b} u3:{a} → P(a∧b)=2/3, P(a)=1, P(b)=2/3, lift=1
