@@ -172,8 +172,20 @@ object Multimodal extends QueryModule {
     */
   // -------------------------------------------------------- mm_shard_manifest
 
-  private val ShardBudget = 64 * 1024 // bytes per training shard (fixture-scaled)
+  private[graft] val ShardBudget = 64 * 1024 // bytes per training shard (fixture-scaled)
   private val SubShards = 16 // running-sum parallelism per media type
+
+  /** (doc_id, media_type, sub-lane, payload bytes) for every document —
+    * the shared input of the batch [[shardManifest]] and its streaming
+    * twin (`Streaming.shardAssignViaState`), factored so the two cannot
+    * drift on lane derivation.
+    */
+  private[graft] def assetLanes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), mediaType(col("source")).as("media_type"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("sub", pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(SubShards.toLong)))
 
   /** WebDataset-style training-shard manifest: assign every asset to a
     * byte-budgeted shard (deterministic doc_id order within its lane) and
@@ -191,14 +203,8 @@ object Multimodal extends QueryModule {
     * (codegen'd `length(binary)`), blob bytes never move.
     */
   def shardManifest(s: SparkSession, dir: String): DataFrame = {
-    val sub = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(SubShards.toLong))
     val w = Window.partitionBy("media_type", "sub").orderBy("doc_id")
-    assets(s, dir)
-      .select(col("doc_id"), col("media_type"),
-        length(col("payload")).cast("long").as("n_bytes"))
-      .withColumn("sub", sub)
+    assetLanes(Tables.documents(s, dir))
       .withColumn("cum", sum(col("n_bytes")).over(w))
       .withColumn("shard_seq",
         floor((col("cum") - col("n_bytes")) / lit(ShardBudget.toDouble)).cast("long"))

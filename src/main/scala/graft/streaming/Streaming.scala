@@ -27,6 +27,13 @@ final case class SeenTypes(types: Seq[String])
 /** A first-sighting (user, type) pair from [[Streaming.firstSeenPairsViaState]]. */
 final case class TypePair(user_id: Long, event_type: String)
 
+/** Running byte total of one (media_type, lane) shard stream. */
+final case class LaneCum(cum: Long)
+
+/** A shard assignment emitted by [[Streaming.shardAssignViaState]]. */
+final case class ShardAssign(doc_id: Long, media_type: String, sub: Long,
+    n_bytes: Long, shard_seq: Long)
+
 /** One consecutive-event transition emitted by [[Streaming.transitionsViaState]]. */
 final case class Transition(cur_type: String, next_type: String)
 
@@ -298,6 +305,37 @@ object Streaming {
             if (seen.add(r._2)) out += TypePair(user, r._2)
           }
           state.update(SeenTypes(seen.toSeq))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of mm_shard_manifest's assignment half: one [[LaneCum]]
+    * running-byte-total state row per (media_type, sub-lane) assigns every
+    * arriving asset to its byte-budgeted shard incrementally — the ingest
+    * path that keeps appending crawled blobs to open training shards
+    * without ever re-scanning the corpus. The batch window's running sum
+    * restated as state; lane derivation is SHARED code
+    * ([[graft.ops.Multimodal.assetLanes]]) so batch and stream cannot
+    * drift. In-order arrival per lane (the chunked-ingest regime of the
+    * other stateful twins) makes assignments equal the batch operator's.
+    */
+  def shardAssignViaState(s: SparkSession, docs: DataFrame): Dataset[ShardAssign] = {
+    import s.implicits._
+    graft.ops.Multimodal.assetLanes(docs)
+      .select(col("media_type"), col("sub"), col("doc_id"), col("n_bytes"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lane: (String, Long), rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[LaneCum]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toArray.sortBy(_._3).map { r =>
+            val a = ShardAssign(r._3, lane._1, lane._2, r._4,
+              cum / graft.ops.Multimodal.ShardBudget)
+            cum += r._4
+            a
+          }
+          state.update(LaneCum(cum))
           out.iterator
       }
   }

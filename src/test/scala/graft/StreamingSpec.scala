@@ -289,6 +289,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamLift === batchLift)
   }
 
+  test("streaming shard assignment accumulates to the batch mm_shard_manifest") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.ntile
+    import spark.implicits._
+    // 3 doc_id-ordered micro-batches (the chunked-ingest regime): the
+    // per-lane running-byte state must keep filling the shard a previous
+    // batch left open
+    val src = "/tmp/graft-stream-src-shards"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val docs = Tables.documents(spark, dir)
+    val chunked = docs.withColumn("chunk", ntile(3).over(W.orderBy("doc_id")))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val assigns = runToMemory(
+      Streaming.shardAssignViaState(spark, stream).toDF(), "t_shards", "append")
+    val fn = org.apache.spark.sql.functions
+    val got = assigns.groupBy("media_type", "sub", "shard_seq")
+      .agg(fn.count(fn.lit(1)).as("n_assets"), fn.sum("n_bytes").as("shard_bytes"),
+        fn.min("doc_id").as("first_doc"), fn.max("doc_id").as("last_doc"))
+      .orderBy("media_type", "sub", "shard_seq").collect().toSeq
+    val want = graft.ops.Multimodal.shardManifest(spark, dir)
+      .orderBy("media_type", "sub", "shard_seq").collect().toSeq
+    assert(got === want)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
