@@ -163,6 +163,43 @@ object Relational extends QueryModule {
       .orderBy("l_returnflag", "l_linestatus", "metric")
   }
 
+  /** MERGE INTO (upsert) expressed relationally — plain parquet has no
+    * transactional MERGE, but the combine step every ingest pipeline needs
+    * (update matched rows, insert new ones, keep the rest) is a FULL OUTER
+    * join + per-column coalesce, and that plan IS what lakehouse MERGE
+    * compiles to before the write. The "changes" feed is derived
+    * deterministically here (a 5% price adjustment for one priority slice
+    * + synthetic new orders above the max key); action tags report what a
+    * writer would do. One orderkey shuffle joins base to changes; at scale
+    * AQE broadcasts a small change-set instead.
+    */
+  def upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+    val changes = base.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("c_key"),
+        // exact decimal product (no double rounding-tie risk at the cast)
+        (dec2(col("o_totalprice")) * lit(1.05).cast(DecimalType(4, 2)))
+          .cast("double").as("c_price"))
+      .union(base.agg(max(col("o_orderkey")).as("mx"))
+        .select(explode(sequence(col("mx") + 1, col("mx") + 100)).as("c_key"),
+          lit(1000.0).as("c_price")))
+    base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("c_key")).as("o_orderkey"),
+        coalesce(col("c_price"), col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey").isNull, "insert")
+          .when(col("c_key").isNull, "keep")
+          .otherwise("update").as("action"))
+      .groupBy("action")
+      // scale-4 decimal: the 1.05-adjusted prices carry 4 decimals, and a
+      // scale-2 recast would land on .005 ties where the engines' rounding
+      // modes differ
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .cast("double").as("total_price"))
+      .orderBy("action")
+  }
+
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.
     */
@@ -937,6 +974,7 @@ object Relational extends QueryModule {
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_approx_percentiles" -> (approxPercentiles(_, _)),
     "q_unpivot" -> (unpivotPricing(_, _)),
+    "q_upsert" -> (upsert(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
     "q_cube" -> (cubeOrders(_, _)),
     "q_grouping_sets" -> (groupingSetsPricing(_, _)),
@@ -1336,6 +1374,24 @@ object Relational extends QueryModule {
          |WHERE CAST(value_dec AS DOUBLE) >
          |  (SELECT CAST(sum(value_dec) AS DOUBLE) * $Q11Fraction FROM vals)
          |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_upsert" ->
+      s"""WITH changes AS (
+         |  SELECT o_orderkey AS c_key,
+         |    (${d2("o_totalprice")} * CAST(1.05 AS DECIMAL(4,2)))::DOUBLE AS c_price
+         |  FROM orders WHERE o_orderpriority = '1-URGENT'
+         |  UNION ALL
+         |  SELECT unnest(range(mx + 1, mx + 101)) AS c_key, 1000.0 AS c_price
+         |  FROM (SELECT max(o_orderkey) AS mx FROM orders)
+         |), m AS (
+         |  SELECT coalesce(c_price, o_totalprice) AS price,
+         |    CASE WHEN o_orderkey IS NULL THEN 'insert'
+         |         WHEN c_key IS NULL THEN 'keep'
+         |         ELSE 'update' END AS action
+         |  FROM orders FULL OUTER JOIN changes ON o_orderkey = c_key
+         |)
+         |SELECT action, count(*) AS n_rows,
+         |  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+         |FROM m GROUP BY action ORDER BY action""".stripMargin,
     "q_unpivot" ->
       s"""WITH wide AS (
          |  SELECT l_returnflag, l_linestatus,
