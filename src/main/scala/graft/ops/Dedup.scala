@@ -724,7 +724,11 @@ object Dedup extends QueryModule {
     // it ships the ~1 MiB sketch ONCE as a subquery result — a foldable
     // byte-array literal instead was measured 10× slower end-to-end (the
     // megabyte constant poisons codegen for every consumer stage).
-    val bloomView = s"graft_bloom_bench_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    // fixed name: createOrReplaceTempView replaces the prior registration,
+    // so repeated bench/verify invocations cannot accumulate catalog
+    // entries (a UUID-suffixed name leaked one view + its pinned 1 MiB
+    // sketch per invocation for the session lifetime)
+    val bloomView = "graft_bloom_bench"
     benchSet
       .agg(expr(s"bloom_agg(xxhash64(gh), ${BloomItems}L, ${BloomBits}L)").as("bf"))
       .createOrReplaceTempView(bloomView)

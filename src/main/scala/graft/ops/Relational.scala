@@ -801,9 +801,11 @@ object Relational extends QueryModule {
       .groupBy("late_supp")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("late_supp"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name").asc)
+      // suppkey tie-break keeps the limit-20 boundary deterministic even if
+      // two suppliers share (numwait, s_name) — mirrored in the oracle
+      .orderBy(col("numwait").desc, col("s_name").asc, col("s_suppkey").asc)
       .limit(20)
+      .select(col("s_name"), col("numwait"))
   }
 
   /** TPC-H Q16 shape (parts/supplier relationship), adapted: the
@@ -1436,8 +1438,8 @@ object Relational extends QueryModule {
         |SELECT s_name, count(*) AS numwait
         |FROM pa JOIN supplier ON s_suppkey = late_supp
         |WHERE n_supp >= 2 AND n_late_supp = 1
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""".stripMargin,
     "q_tpch_q16" ->
       """SELECT p_brand, p_type, p_size,
         |  count(DISTINCT l_suppkey) AS supplier_cnt

@@ -333,43 +333,57 @@ object Similarity extends QueryModule {
     * start. Nodes outside the graph (no candidates, or dangling) still hold
     * the (1−d)/N floor; dangling mass is NOT redistributed (the simple
     * variant — documented contract, same in the oracle).
+    */
+  def graphRank(s: SparkSession, dir: String): DataFrame =
+    graphRankOf(
+      knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+      Tables.embeddings(s, dir).select("vec_id"))
+
+  /** The power-method core over an explicit (src, dst) edge frame and a
+    * vec_id node frame — factored for fixture tests with hand-computable
+    * ranks.
     *
     * Scale shape per round: one equi-join of edges against the current rank
     * vector (both partitioned by src) + one groupBy dst with map-side
-    * partials — the classic distributed PageRank step; edges and degrees
-    * persist across the [[RankIters]] rounds so the LSH candidate build
-    * runs once. A FIXED iteration count keeps plan lineage bounded
-    * (contrast [[graft.ops.Dedup.labelPropagate]]'s localCheckpoint loop).
+    * partials — the classic distributed PageRank step; edges persist across
+    * the [[RankIters]] rounds so the LSH candidate build runs once. A FIXED
+    * iteration count keeps plan lineage bounded (contrast
+    * [[graft.ops.Dedup.labelPropagate]]'s localCheckpoint loop).
     *
-    * Cross-engine determinism: every contribution d·r(u)/deg(u) is computed
-    * on identical doubles, pre-rounded to 12 decimals, and summed as exact
-    * DECIMAL (the txt_entropy trick), so each round's rank vector is
-    * bit-identical in both engines by induction.
+    * Cross-engine determinism — the r9 lesson: rounding a DOUBLE quotient
+    * per contribution (`round(d·r/deg, 12)`) diverged between engines at a
+    * tie/ulp boundary (Spark rounds doubles via BigDecimal HALF_UP, DuckDB
+    * via libm), and the error compounds through the recurrence. The entire
+    * recurrence is therefore SCALED-INTEGER: ranks live as BIGINT `r12`
+    * (rank × 10¹²), each contribution is `(r12 × 85) DIV (100 × deg)` —
+    * exact integer division, bit-identical in any engine — and each round
+    * adds `(15·10¹⁰ DIV n) + Σ inflow` in exact BIGINT. Only the final
+    * projection converts to DECIMAL(24,12), via a decimal multiply by 10⁻¹²
+    * (DECIMAL(24,0) × DECIMAL(12,12) → scale-12, exact by construction; no
+    * double ever appears).
     */
-  def graphRank(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def graphRankOf(edgeList: DataFrame, nodeList: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(24, 12)
-    val edges = knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = edgeList.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = Tables.embeddings(s, dir).select("vec_id")
-    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val base = round(lit(1.0 - Damp) / col("n"), 12).cast(dec)
-    var r = nodes.crossJoin(nn)
-      .select(col("vec_id"), round(lit(1.0) / col("n"), 12).cast(dec).as("r"))
+    val nn = broadcast(nodeList.agg(count(lit(1)).as("n")))
+    var r = nodeList.crossJoin(nn)
+      .select(col("vec_id"), expr("1000000000000 DIV n").as("r12"))
     for (_ <- 1 to RankIters) {
       val inflow = edges.join(deg, "src")
-        .join(r.select(col("vec_id").as("src"), col("r")), "src")
-        .select(col("dst"),
-          round(lit(Damp) * col("r").cast("double") / col("deg"), 12)
-            .cast(dec).as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("inflow"))
-      r = nodes.join(inflow, col("vec_id") === col("dst"), "left")
+        .join(r.select(col("vec_id").as("src"), col("r12")), "src")
+        .select(col("dst"), expr("r12 * 85 DIV (100 * deg)").as("c12"))
+        .groupBy("dst").agg(sum(col("c12")).as("inflow12"))
+      r = nodeList.join(inflow, col("vec_id") === col("dst"), "left")
         .crossJoin(nn)
         .select(col("vec_id"),
-          (base + coalesce(col("inflow"), lit(0).cast(dec))).cast(dec).as("r"))
+          (expr("150000000000 DIV n") + coalesce(col("inflow12"), lit(0L))).as("r12"))
     }
-    r.select(col("vec_id"), col("r").as("pagerank")).orderBy("vec_id")
+    r.select(col("vec_id"),
+        (col("r12").cast(DecimalType(24, 0)) *
+          lit(new java.math.BigDecimal("0.000000000001")))
+          .cast(DecimalType(24, 12)).as("pagerank"))
+      .orderBy("vec_id")
   }
 
   // --------------------------------------------------------- sim_triangles
@@ -826,9 +840,14 @@ object Similarity extends QueryModule {
     * per consumer branch).
     */
   private def pqCsub(s: SparkSession, dir: String): DataFrame =
-    centroidsBy(
-      Tables.embeddings(s, dir)
-        .select(col("label"), quantize(col("embedding")).as("vq")), "label")
+    pqCsubOf(Tables.embeddings(s, dir)
+      .select(col("label"), quantize(col("embedding")).as("vq")))
+
+  /** Sub-codebook from an explicit (label, vq) frame — lets callers that
+    * already hold a (persisted) quantized-embeddings frame share its scan.
+    */
+  private def pqCsubOf(vecs: DataFrame): DataFrame =
+    centroidsBy(vecs.select(col("label"), col("vq")), "label")
       .select(col("c_label"),
         posexplode(subSlices(col("cv"))).as(Seq("m", "cs")))
       .withColumn("cn2", call_function("array_dot", col("cs"), col("cs")))
@@ -884,16 +903,22 @@ object Similarity extends QueryModule {
   private def adcScores(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     graft.functions.ArrayDot.register(s)
+    // ONE embeddings scan: the quantized frame feeds the codebook build,
+    // the full-corpus code table, AND the query LUT (previously three
+    // separate parquet scans + three quantize passes). The persist is the
+    // standard index-build caches-its-input pattern; the LUT branch filters
+    // the cached frame instead of re-scanning with pushdown.
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("vq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the centroid aggregation feeds BOTH consumer branches (codes + LUT);
     // persisting the tiny |clusters|·M sub-codebook keeps it to one run
-    val csub = pqCsub(s, dir)
+    val csub = pqCsubOf(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("vq"))
-    val codes = pqCodes(pqScoredAgainst(e, csub)).select("vec_id", "m", "code")
-    // source-filtered query frame: the LUT branch scans only the query
-    // vectors by construction instead of relying on pushdown pruning
-    val lut = pqScoredAgainst(e.filter(col("vec_id") < NumQueries), csub)
+    val codes = pqCodes(pqScoredAgainst(e.select("vec_id", "vq"), csub))
+      .select("vec_id", "m", "code")
+    val lut = pqScoredAgainst(
+        e.filter(col("vec_id") < NumQueries).select("vec_id", "vq"), csub)
       .select(col("vec_id").as("q_id"), col("m").as("lm"), col("c_label"),
         round(col("dist") / lit(Scale.toDouble * Scale), 6)
           .cast(DecimalType(18, 6)).as("d6"))
@@ -1108,13 +1133,12 @@ object Similarity extends QueryModule {
   private def rankIterSql(i: Int): String = {
     val prev = s"r${i - 1}"
     s"""c$i AS (
-       |  SELECT dst, sum(round($Damp * r::DOUBLE / deg, 12)::DECIMAL(24,12)) AS infl
+       |  SELECT dst, sum((r12 * 85) // (100 * deg)) AS infl12
        |  FROM edges JOIN dg USING (src) JOIN $prev ON $prev.vec_id = edges.src
        |  GROUP BY dst
        |), r$i AS (
        |  SELECT e.vec_id,
-       |    (round(${1.0 - Damp} / n, 12)::DECIMAL(24,12)
-       |      + coalesce(infl, 0::DECIMAL(24,12)))::DECIMAL(24,12) AS r
+       |    ((150000000000 // n) + coalesce(infl12, 0))::BIGINT AS r12
        |  FROM e CROSS JOIN nnn LEFT JOIN c$i ON c$i.dst = e.vec_id
        |)""".stripMargin
   }
@@ -1238,9 +1262,12 @@ object Similarity extends QueryModule {
          |), nnn AS (
          |  SELECT count(*) AS n FROM e
          |), r0 AS (
-         |  SELECT vec_id, round(1.0 / n, 12)::DECIMAL(24,12) AS r FROM e, nnn
+         |  SELECT vec_id, (1000000000000 // n)::BIGINT AS r12 FROM e, nnn
          |), ${(1 to RankIters).map(rankIterSql).mkString(", ")}
-         |SELECT vec_id, r AS pagerank FROM r$RankIters ORDER BY vec_id""".stripMargin,
+         |SELECT vec_id,
+         |  (r12::DECIMAL(24,0) * 0.000000000001::DECIMAL(13,12))::DECIMAL(24,12)
+         |    AS pagerank
+         |FROM r$RankIters ORDER BY vec_id""".stripMargin,
     "sim_recall_at_k" ->
       s"""WITH $corpusSql, $bandSql, bp AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

@@ -596,6 +596,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_graph_rank: hand-computed 3-node fixture under the scaled-integer recurrence") {
+    import spark.implicits._
+    // Graph: 0→{1,2}, 1→2, 2→0; n=3, d=0.85, 3 rounds, rank scale 10^12.
+    // r0 = 10^12 DIV 3 = 333333333333 each; base = 15·10^10 DIV 3 = 5·10^10.
+    // Each contribution is (r12·85) DIV (100·deg); hand-unrolled:
+    //   r1 = (333333333333, 191666666666, 474999999999)
+    //   r2 = (453749999999, 191666666666, 354583333332)
+    //   r3 = (351395833332, 242843749999, 405760416665)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("vec_id")
+    val out = Similarity.graphRankOf(edges, nodes)
+      .select(col("vec_id"), col("pagerank").cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val expected = Seq(
+      (0L, "0.351395833332"),
+      (1L, "0.242843749999"),
+      (2L, "0.405760416665"))
+    assert(out === expected)
+  }
+
   test("sim_triangles: K4 is all-triangles, C4 is triangle-free, path endpoints drop") {
     import spark.implicits._
     // K4 on 1-4 (4 triangles, clustering 1), a 4-cycle on 10-13 (0
