@@ -706,10 +706,13 @@ object Dedup extends QueryModule {
     * follows: the bloom changes the PLAN, never the ANSWER.
     *
     * Crossover: at bench-scale fixtures the sketch build is pure overhead
-    * (measured 2.2 s vs 0.9 s plain at sf0.1 — nothing to prune); the
-    * variant wins when the training side dwarfs the bench side, where the
-    * ~98% shingle drop removes shuffle volume the semi join would
-    * otherwise pay for.
+    * (r10 controlled min-of-3 at sf0.1: 1.49 s vs 0.94 s for the
+    * identical-answer plain twin — nothing to prune; the r9 in-suite
+    * 5.94 s was suite-contention noise plus the per-invocation temp-view
+    * leak, both fixed/confirmed by the isolated re-measure); the variant
+    * wins when the training side dwarfs the bench side, where the ~98%
+    * shingle drop removes shuffle volume the semi join would otherwise
+    * pay for.
     */
   def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     graft.functions.BloomFuncs.register(s)

@@ -27,12 +27,17 @@ final case class SeenTypes(types: Seq[String])
 /** A first-sighting (user, type) pair from [[Streaming.firstSeenPairsViaState]]. */
 final case class TypePair(user_id: Long, event_type: String)
 
-/** Running byte total of one (media_type, lane) shard stream. */
-final case class LaneCum(cum: Long)
+/** Running byte total + last-assigned doc of one (media_type, lane) shard
+  * stream; `lastDoc` enforces the in-order-per-lane arrival contract.
+  */
+final case class LaneCum(cum: Long, lastDoc: Long)
 
-/** A shard assignment emitted by [[Streaming.shardAssignViaState]]. */
+/** A shard assignment emitted by [[Streaming.shardAssignViaState]];
+  * `in_order=false` flags an arrival that violated the per-lane ordering
+  * contract (its assignment may diverge from the batch manifest).
+  */
 final case class ShardAssign(doc_id: Long, media_type: String, sub: Long,
-    n_bytes: Long, shard_seq: Long)
+    n_bytes: Long, shard_seq: Long, in_order: Boolean)
 
 /** One consecutive-event transition emitted by [[Streaming.transitionsViaState]]. */
 final case class Transition(cur_type: String, next_type: String)
@@ -317,7 +322,13 @@ object Streaming {
     * restated as state; lane derivation is SHARED code
     * ([[graft.ops.Multimodal.assetLanes]]) so batch and stream cannot
     * drift. In-order arrival per lane (the chunked-ingest regime of the
-    * other stateful twins) makes assignments equal the batch operator's.
+    * other stateful twins) makes assignments equal the batch operator's —
+    * and the contract is ENFORCED, not assumed: the state carries the
+    * lane's last-assigned doc_id, and a later micro-batch delivering a
+    * smaller doc_id is flagged `in_order=false` on its emitted row (it is
+    * still assigned — shards already sealed can't be retro-packed — but
+    * the divergence from the batch manifest is now observable downstream
+    * instead of silent).
     */
   def shardAssignViaState(s: SparkSession, docs: DataFrame): Dataset[ShardAssign] = {
     import s.implicits._
@@ -328,14 +339,17 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (lane: (String, Long), rows: Iterator[(String, Long, Long, Long)],
          state: GroupState[LaneCum]) =>
-          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val prev = state.getOption.getOrElse(LaneCum(0L, Long.MinValue))
+          var cum = prev.cum
+          var lastDoc = prev.lastDoc
           val out = rows.toArray.sortBy(_._3).map { r =>
             val a = ShardAssign(r._3, lane._1, lane._2, r._4,
-              cum / graft.ops.Multimodal.ShardBudget)
+              cum / graft.ops.Multimodal.ShardBudget, r._3 > lastDoc)
             cum += r._4
+            lastDoc = math.max(lastDoc, r._3)
             a
           }
-          state.update(LaneCum(cum))
+          state.update(LaneCum(cum, lastDoc))
           out.iterator
       }
   }

@@ -317,6 +317,38 @@ class StreamingSpec extends AnyFunSuite {
     val want = graft.ops.Multimodal.shardManifest(spark, dir)
       .orderBy("media_type", "sub", "shard_seq").collect().toSeq
     assert(got === want)
+    // chunked (doc_id-ordered) ingest satisfies the per-lane ordering
+    // contract, so no row may carry the violation flag
+    assert(assigns.filter(!col("in_order")).count() === 0)
+  }
+
+  test("shard assignment flags an out-of-order arrival instead of diverging silently") {
+    import spark.implicits._
+    // pick two docs from the SAME lane, deliver the larger doc_id first and
+    // the smaller in a later micro-batch — a contract violation that must
+    // surface as in_order=false on the late row (and only there)
+    val src = "/tmp/graft-stream-src-shards-ooo"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val lanes = graft.ops.Multimodal.assetLanes(Tables.documents(spark, dir))
+      .select("media_type", "sub", "doc_id")
+      .as[(String, Long, Long)].collect()
+    val (lo, hi) = lanes.groupBy(r => (r._1, r._2)).values
+      .find(_.length >= 2)
+      .map { g => val ids = g.map(_._3).sorted; (ids.head, ids.last) }
+      .getOrElse(fail("fixture has no lane with two assets"))
+    val mk = (id: Long) =>
+      Tables.documents(spark, dir).filter(col("doc_id") === id)
+    mk(hi).coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    mk(lo).coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(Tables.documents(spark, dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val assigns = runToMemory(
+      Streaming.shardAssignViaState(spark, stream).toDF(), "t_shards_ooo", "append")
+    val flags = assigns.select("doc_id", "in_order")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(hi), "first arrival can never be out of order")
+    assert(!flags(lo), "late smaller doc_id in the same lane must be flagged")
   }
 
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
