@@ -175,14 +175,7 @@ object Relational extends QueryModule {
     */
   def upsert(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(s, dir)
-    val changes = base.filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey").as("c_key"),
-        // exact decimal product (no double rounding-tie risk at the cast)
-        (dec2(col("o_totalprice")) * lit(1.05).cast(DecimalType(4, 2)))
-          .cast("double").as("c_price"))
-      .union(base.agg(max(col("o_orderkey")).as("mx"))
-        .select(explode(sequence(col("mx") + 1, col("mx") + 100)).as("c_key"),
-          lit(1000.0).as("c_price")))
+    val changes = upsertChanges(base)
     base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
       .select(
         coalesce(col("o_orderkey"), col("c_key")).as("o_orderkey"),
@@ -199,6 +192,22 @@ object Relational extends QueryModule {
           .cast("double").as("total_price"))
       .orderBy("action")
   }
+
+  /** The deterministic "changes" feed [[upsert]] merges: a 5% price
+    * adjustment for the urgent slice + 100 synthetic new orders above the
+    * max key — factored so the streaming twin
+    * ([[graft.streaming.Streaming.upsertAuditViaState]]) replays the SAME
+    * feed and the two cannot drift.
+    */
+  private[graft] def upsertChanges(base: DataFrame): DataFrame =
+    base.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("c_key"),
+        // exact decimal product (no double rounding-tie risk at the cast)
+        (dec2(col("o_totalprice")) * lit(1.05).cast(DecimalType(4, 2)))
+          .cast("double").as("c_price"))
+      .union(base.agg(max(col("o_orderkey")).as("mx"))
+        .select(explode(sequence(col("mx") + 1, col("mx") + 100)).as("c_key"),
+          lit(1000.0).as("c_price")))
 
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.

@@ -386,6 +386,58 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------- sim_graph_rank_full
+
+  /** Standard-formulation PageRank over the [[knnGraph]]: [[graphRank]]
+    * plus dangling-mass redistribution — each round, the rank mass held by
+    * nodes with NO out-edges is shared equally across all nodes (the
+    * textbook stochastic-matrix completion), so total mass is conserved up
+    * to integer truncation: r ← (1−d)/N + d·(Σ_in r(u)/deg(u) + D/N) with
+    * D = Σ over dangling v of r(v). On a kNN graph the dangling set is the
+    * LSH isolates, so the full variant stops leaking their mass out of the
+    * system each round.
+    *
+    * Same scaled-integer machinery as [[graphRankOf]] (nothing but BIGINT
+    * inside the recurrence); the dangling mass is a 1-row scalar per round
+    * — a LEFT ANTI of the rank vector against edge sources, summed, then
+    * broadcast back onto the node frame. One extra tiny aggregate per
+    * round; nothing corpus-scale is added.
+    */
+  def graphRankFull(s: SparkSession, dir: String): DataFrame =
+    graphRankFullOf(
+      knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+      Tables.embeddings(s, dir).select("vec_id"))
+
+  private[graft] def graphRankFullOf(edgeList: DataFrame, nodeList: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = edgeList.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg feeds the per-round inflow join AND the dangling anti join
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = broadcast(nodeList.agg(count(lit(1)).as("n")))
+    var r = nodeList.crossJoin(nn)
+      .select(col("vec_id"), expr("1000000000000 DIV n").as("r12"))
+    for (_ <- 1 to RankIters) {
+      val inflow = edges.join(deg, "src")
+        .join(r.select(col("vec_id").as("src"), col("r12")), "src")
+        .select(col("dst"), expr("r12 * 85 DIV (100 * deg)").as("c12"))
+        .groupBy("dst").agg(sum(col("c12")).as("inflow12"))
+      val dangling = broadcast(
+        r.join(deg.select(col("src").as("vec_id")), Seq("vec_id"), "left_anti")
+          .agg(coalesce(sum(col("r12")), lit(0L)).as("dmass12")))
+      r = nodeList.join(inflow, col("vec_id") === col("dst"), "left")
+        .crossJoin(nn).crossJoin(dangling)
+        .select(col("vec_id"),
+          (expr("150000000000 DIV n") + coalesce(col("inflow12"), lit(0L)) +
+            expr("dmass12 * 85 DIV (100 * n)")).as("r12"))
+    }
+    r.select(col("vec_id"),
+        (col("r12").cast(DecimalType(24, 0)) *
+          lit(new java.math.BigDecimal("0.000000000001")))
+          .cast(DecimalType(24, 12)).as("pagerank"))
+      .orderBy("vec_id")
+  }
+
   // --------------------------------------------------------- sim_triangles
 
   /** Triangle counts + local clustering coefficients over the [[knnGraph]] —
@@ -994,6 +1046,7 @@ object Similarity extends QueryModule {
     "sim_pq_topk" -> (pqTopK(_, _)),
     "sim_pq_rerank" -> (pqRerank(_, _)),
     "sim_graph_rank" -> (graphRank(_, _)),
+    "sim_graph_rank_full" -> (graphRankFull(_, _)),
     "sim_triangles" -> (triangleStats(_, _)),
     "sim_sq_encode" -> (sqEncode(_, _)),
     "sim_bfs_reach" -> (bfsReach(_, _)),
@@ -1143,6 +1196,27 @@ object Similarity extends QueryModule {
        |)""".stripMargin
   }
 
+  /** [[rankIterSql]] plus the per-round dangling-mass scalar — the SQL twin
+    * of the [[graphRankFullOf]] loop body.
+    */
+  private def rankIterFullSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""d$i AS (
+       |  SELECT coalesce(sum(r12), 0) AS dmass12
+       |  FROM $prev LEFT JOIN dg ON dg.src = $prev.vec_id
+       |  WHERE deg IS NULL
+       |), c$i AS (
+       |  SELECT dst, sum((r12 * 85) // (100 * deg)) AS infl12
+       |  FROM edges JOIN dg USING (src) JOIN $prev ON $prev.vec_id = edges.src
+       |  GROUP BY dst
+       |), r$i AS (
+       |  SELECT e.vec_id,
+       |    ((150000000000 // n) + coalesce(infl12, 0)
+       |      + (dmass12 * 85) // (100 * n))::BIGINT AS r12
+       |  FROM e CROSS JOIN nnn CROSS JOIN d$i LEFT JOIN c$i ON c$i.dst = e.vec_id
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_bfs_reach" ->
       s"""WITH $corpusSql, $bandSql, cand AS (
@@ -1264,6 +1338,36 @@ object Similarity extends QueryModule {
          |), r0 AS (
          |  SELECT vec_id, (1000000000000 // n)::BIGINT AS r12 FROM e, nnn
          |), ${(1 to RankIters).map(rankIterSql).mkString(", ")}
+         |SELECT vec_id,
+         |  (r12::DECIMAL(24,0) * 0.000000000001::DECIMAL(13,12))::DECIMAL(24,12)
+         |    AS pagerank
+         |FROM r$RankIters ORDER BY vec_id""".stripMargin,
+    "sim_graph_rank_full" ->
+      s"""WITH $corpusSql, $bandSql, cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id <> b.vec_id
+         |), pairs AS (
+         |  SELECT cand.vec_id, nbr_id,
+         |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
+         |), gsc AS (
+         |  SELECT vec_id, nbr_id,
+         |    $dotSql::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) AS cos
+         |  FROM pairs
+         |), grk AS (
+         |  SELECT vec_id, nbr_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS rnk
+         |  FROM gsc
+         |), edges AS (
+         |  SELECT vec_id AS src, nbr_id AS dst FROM grk WHERE rnk <= $GraphK
+         |), dg AS (
+         |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+         |), nnn AS (
+         |  SELECT count(*) AS n FROM e
+         |), r0 AS (
+         |  SELECT vec_id, (1000000000000 // n)::BIGINT AS r12 FROM e, nnn
+         |), ${(1 to RankIters).map(rankIterFullSql).mkString(", ")}
          |SELECT vec_id,
          |  (r12::DECIMAL(24,0) * 0.000000000001::DECIMAL(13,12))::DECIMAL(24,12)
          |    AS pagerank

@@ -42,6 +42,12 @@ final case class ShardAssign(doc_id: Long, media_type: String, sub: Long,
 /** One consecutive-event transition emitted by [[Streaming.transitionsViaState]]. */
 final case class Transition(cur_type: String, next_type: String)
 
+/** One exactly-once MERGE action from [[Streaming.upsertAuditViaState]]:
+  * `prev_price` is the replaced base price for an update, None for an insert.
+  */
+final case class UpsertAction(o_orderkey: Long, o_totalprice: Double,
+    prev_price: Option[Double], action: String)
+
 /** Structured Streaming surface: the same event-time semantics as the batch
   * [[graft.ops.Streamish]] battery, expressed incrementally —
   * `readStream` → transforms → `writeStream`. The reference has no streaming
@@ -351,6 +357,43 @@ object Streaming {
           }
           state.update(LaneCum(cum, lastDoc))
           out.iterator
+      }
+  }
+
+  /** Streaming twin of q_upsert's action audit: the MERGE "changes" feed
+    * arrives in micro-batches; each change row is tagged `update` (its key
+    * exists in the static base — a stream-static LEFT join, the dimension
+    * side broadcastable) or `insert` (new key), and one Boolean state row
+    * per key makes the audit EXACTLY-ONCE — a change re-delivered by a
+    * later micro-batch (at-least-once sources do this) emits nothing the
+    * second time instead of double-counting the action. `keep` rows are
+    * the batch operator's complement (base minus updated keys) and are
+    * never streamed — the spec derives them from base + the emitted
+    * updates and pins the full three-action audit against batch q_upsert.
+    *
+    * Scale shape: the only per-key state is one Boolean; the base side
+    * joins on its key (broadcast or shuffled once per micro-batch), and
+    * nothing scales with history beyond the distinct changed-key set.
+    */
+  def upsertAuditViaState(s: SparkSession, changes: DataFrame, base: DataFrame): Dataset[UpsertAction] = {
+    import s.implicits._
+    changes
+      .join(base.select(col("o_orderkey"), col("o_totalprice").cast("double").as("prev")),
+        col("c_key") === col("o_orderkey"), "left_outer")
+      .select(col("c_key"), col("c_price"), col("prev"))
+      .as[(Long, Double, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double, Option[Double])],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // re-delivery: already audited
+          else {
+            state.update(true)
+            // deterministic pick if one batch carries duplicate rows
+            val r = rows.toArray.minBy(x => (x._2, x._3.getOrElse(Double.NaN)))
+            Iterator.single(UpsertAction(key, r._2, r._3,
+              if (r._3.isDefined) "update" else "insert"))
+          }
       }
   }
 

@@ -616,6 +616,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("sim_graph_rank_full: dangling node's mass redistributes; hand-computed 4-node fixture") {
+    import spark.implicits._
+    // Graph: 0→{1,2}, 1→2, 2→0; node 3 dangling (no out-edges). n=4.
+    // r0 = 250000000000 each; base = 37500000000; each round adds the
+    // dangling share (r(3)·85) DIV (100·4) to every node. Hand-unrolled:
+    //   r1 = (303125000000, 196875000000, 409375000000,  90625000000)
+    //   r2 = (404726562500, 185585937500, 352929687500,  56757812500)
+    //   r3 = (349551269531, 221569824218, 379317871093,  49561035156)
+    // Mass conservation: Σ r3 = 999999999998 (truncation loss only).
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("vec_id")
+    val out = Similarity.graphRankFullOf(edges, nodes)
+      .select(col("vec_id"), col("pagerank").cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val expected = Seq(
+      (0L, "0.349551269531"),
+      (1L, "0.221569824218"),
+      (2L, "0.379317871093"),
+      (3L, "0.049561035156"))
+    assert(out === expected)
+  }
+
   test("sim_triangles: K4 is all-triangles, C4 is triangle-free, path endpoints drop") {
     import spark.implicits._
     // K4 on 1-4 (4 triangles, clustering 1), a 4-cycle on 10-13 (0

@@ -36,7 +36,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_tpch_q11", // 1-row value-threshold scalar broadcast
     "q_tpch_q22", // 1-row avg-balance scalar broadcast
     "ev_lift", // 1-row user-count scalar broadcast
-    "txt_dsir") // 1-row corpus/target token-totals scalar broadcast
+    "txt_dsir", // 1-row corpus/target token-totals scalar broadcast
+    "sim_graph_rank_full") // 1-row per-round dangling-mass scalar broadcast
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)

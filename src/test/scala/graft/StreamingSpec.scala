@@ -351,6 +351,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(!flags(lo), "late smaller doc_id in the same lane must be flagged")
   }
 
+  test("streaming upsert audit accumulates to the batch q_upsert actions, exactly-once") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    // the SAME deterministic changes feed as batch q_upsert, delivered in 3
+    // doc-ordered micro-batches, then chunk 2 RE-DELIVERED (at-least-once
+    // source behavior) — the state gate must keep the audit exactly-once
+    val src = "/tmp/graft-stream-src-upsert"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val base = Tables.orders(spark, dir)
+    val changes = graft.ops.Relational.upsertChanges(base)
+      .withColumn("chunk", ntile(3).over(W.orderBy("c_key")))
+    (1 to 3).foreach { i =>
+      changes.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    changes.filter(col("chunk") === 2).drop("chunk")
+      .coalesce(1).write.mode("append").parquet(src) // duplicate delivery
+    val stream = spark.readStream
+      .schema(changes.drop("chunk").schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val audit = runToMemory(
+      Streaming.upsertAuditViaState(spark, stream, base).toDF(), "t_upsert", "append")
+    // exactly-once: every changed key audited once despite the re-delivery
+    assert(audit.count() === graft.ops.Relational.upsertChanges(base).count())
+    // accumulate the streamed update/insert actions (exact decimal sums)
+    // and derive keep as the batch operator's complement over base
+    val d4 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 4))
+    val streamed = audit.groupBy("action")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d4(col("o_totalprice"))).as("tp"), sum(d4(col("prev_price"))).as("pp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2), r.getDecimal(3)))
+      .toMap
+    val Row2 = base.agg(count(lit(1)), sum(d4(col("o_totalprice")))).head
+    val (nBase, tpBase) = (Row2.getLong(0), Row2.getDecimal(1))
+    val got = Seq(
+      ("insert", streamed("insert")._1, streamed("insert")._2.doubleValue),
+      ("keep", nBase - streamed("update")._1,
+        tpBase.subtract(streamed("update")._3).doubleValue),
+      ("update", streamed("update")._1, streamed("update")._2.doubleValue))
+    val want = graft.ops.Relational.upsert(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
