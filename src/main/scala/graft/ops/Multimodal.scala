@@ -216,6 +216,81 @@ object Multimodal extends QueryModule {
       .orderBy("media_type", "sub", "shard_seq")
   }
 
+  // ------------------------------------------------------ mm_phash_neardup
+
+  private val PhashBits = 64     // signature width (one aHash bit per sample)
+  private val PhashBandBits = 16 // 4 bands of 16 bits
+  private val PhashHamT = 10     // accept pairs with hamming <= T
+  private val PhashMinBytes = 64 // tiny blobs carry no signal (all-zero sigs)
+
+  /** Perceptual-hash-style near-duplicate detection over binary payloads —
+    * the ASSET-level near-dup that exact checksums (identical bytes only)
+    * and [[frameDedup]] (shared aligned chunks) both miss. The signature is
+    * a 1-D average hash (aHash): the payload is "resized" to [[PhashBits]]
+    * position-normalized byte samples (nearest-neighbor over byte offsets —
+    * robust to length drift the way image aHash is robust to resolution),
+    * and bit i = sample i > sample mean, compared integer-exactly as
+    * 64·sample > Σ samples. A REAL pHash swaps the sampler for a DCT over
+    * decoded pixels (the [[typedDecode]] stub slot); every stage after the
+    * sampler — banding, candidate join, hamming verify — is the production
+    * plumbing unchanged.
+    *
+    * Scale shape: signatures band into 4×16-bit keys, candidates come ONLY
+    * from an equi-join on (band_idx, band_val) — pigeonhole-complete for
+    * hamming ≤ 3 (a pair differing in ≤ 3 bits cannot dirty all 4 bands);
+    * pairs between 4 and [[PhashHamT]] surface when at least one band
+    * survives untouched — the documented LSH recall tradeoff, same class
+    * as dd_embed_neardup's banding. The exact verify runs on the bounded
+    * candidate list via codegen'd xor+bit_count. No pairwise scan anywhere;
+    * a production corpus would add the LshBanding bucket-size cap before
+    * the self-join to bound flat-signature pileups.
+    */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame =
+    phashNearDupOf(assets(s, dir))
+
+  /** The aHash+banding core over an explicit (doc_id, payload) frame —
+    * factored for fixture tests with constructed near-dup payloads.
+    */
+  private[graft] def phashNearDupOf(assetFrame: DataFrame): DataFrame = {
+    val sampled = assetFrame
+      .filter(length(col("payload")) >= PhashMinBytes)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("long").as("len"),
+        posexplode(graft.functions.Exprs.boundedSequence(lit(0), lit(PhashBits - 1)))
+          .as(Seq("p", "i")))
+      .withColumn("pos", (expr(s"i * (len - 1) DIV ${PhashBits - 1}") + 1).cast("int"))
+      .withColumn("sample",
+        conv(hex(expr("substring(payload, pos, 1)")), 16, 10).cast("long"))
+    val bits = sampled
+      .withColumn("ssum", sum(col("sample")).over(Window.partitionBy("doc_id")))
+      .withColumn("bit", (col("sample") * PhashBits > col("ssum")).cast("long"))
+    // per-(doc, band) packed value: Σ bit·2^(15 − i mod 16) — integer-exact
+    // in both engines; feeds the candidate self-join AND the wide signature
+    val bands = bits
+      .groupBy(col("doc_id"), (col("i") / PhashBandBits).cast("int").as("band_idx"))
+      .agg(sum(expr(s"bit * shiftleft(1, ${PhashBandBits - 1} - i % $PhashBandBits)"))
+        .cast("long").as("band_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wide = bands.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("band_idx"), col("band_val")))),
+        x => x.getField("band_val")).as("bands"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(wide.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
+      .join(wide.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
+      .withColumn("hamming", expr(
+        "bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1]) + " +
+          "bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3])"))
+      .filter(col("hamming") <= PhashHamT)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def decodeStub(a: MediaAsset): DecodedAsset = {
     var sum = 0L
     var i = 0
@@ -248,7 +323,8 @@ object Multimodal extends QueryModule {
     "mm_frame_dedup" -> (frameDedup(_, _)),
     "mm_resize" -> (resize(_, _)),
     "mm_typed_decode" -> (typedDecode(_, _)),
-    "mm_shard_manifest" -> (shardManifest(_, _)))
+    "mm_shard_manifest" -> (shardManifest(_, _)),
+    "mm_phash_neardup" -> (phashNearDup(_, _)))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -276,6 +352,49 @@ object Multimodal extends QueryModule {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM g GROUP BY media_type, sub, shard_seq
          |ORDER BY media_type, sub, shard_seq""".stripMargin,
+    "mm_phash_neardup" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE octet_length(text::BLOB) >= $PhashMinBytes
+         |), sm AS (
+         |  SELECT doc_id, i,
+         |    ascii(substr(text,
+         |      ((i * (length(text) - 1)) // ${PhashBits - 1} + 1)::INT, 1))::BIGINT
+         |      AS sample
+         |  FROM a, range($PhashBits) r(i)
+         |), ws AS (
+         |  SELECT doc_id, i, sample,
+         |    sum(sample) OVER (PARTITION BY doc_id) AS ssum
+         |  FROM sm
+         |), bits AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN sample * $PhashBits > ssum THEN 1 ELSE 0 END AS bit
+         |  FROM ws
+         |), bands AS (
+         |  SELECT doc_id, (i // $PhashBandBits)::INT AS band_idx,
+         |    sum(bit * (1::BIGINT << (${PhashBandBits - 1} - (i % $PhashBandBits))::INT))::BIGINT
+         |      AS band_val
+         |  FROM bits GROUP BY doc_id, i // $PhashBandBits
+         |), wide AS (
+         |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bands
+         |  FROM bands GROUP BY doc_id
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |      AND x.doc_id < y.doc_id
+         |), ham AS (
+         |  SELECT doc_a, doc_b,
+         |    (bit_count(xor(wa.bands[1], wb.bands[1]))
+         |     + bit_count(xor(wa.bands[2], wb.bands[2]))
+         |     + bit_count(xor(wa.bands[3], wb.bands[3]))
+         |     + bit_count(xor(wa.bands[4], wb.bands[4])))::INT AS hamming
+         |  FROM cand
+         |  JOIN wide wa ON wa.doc_id = doc_a
+         |  JOIN wide wb ON wb.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= $PhashHamT ORDER BY doc_a, doc_b""".stripMargin,
     "mm_meta_stats" ->
       s"""SELECT media_type, count(*) AS n,
          |  sum(octet_length(payload))::BIGINT AS total_bytes,

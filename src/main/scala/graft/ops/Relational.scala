@@ -209,6 +209,38 @@ object Relational extends QueryModule {
         .select(explode(sequence(col("mx") + 1, col("mx") + 100)).as("c_key"),
           lit(1000.0).as("c_price")))
 
+  /** SCD Type-2 dimension build — the lakehouse history pattern: applying
+    * the [[upsertChanges]] feed to the base produces a VERSIONED dimension
+    * instead of an in-place overwrite. An updated key closes version 1
+    * (is_current=false) and opens version 2 at the new price; an inserted
+    * key opens version 1; an untouched key keeps its single current
+    * version. Row count = |base| + |updates| + |inserts|, so the history
+    * is auditable by construction.
+    *
+    * Scale shape: identical to [[upsert]] (one full-outer orderkey join;
+    * AQE broadcasts a small change-set) plus a per-row ≤2-element array
+    * explode — the version fan-out never corpus-multiplies.
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+    val changes = upsertChanges(base)
+    def v(ver: Int, price: Column, cur: Column) =
+      struct(lit(ver).as("version"), price.cast("double").as("price"),
+        cur.as("is_current"))
+    base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+      .select(coalesce(col("o_orderkey"), col("c_key")).as("key"),
+        when(col("o_orderkey").isNotNull && col("c_key").isNotNull,
+          array(v(1, col("o_totalprice"), lit(false)),
+            v(2, col("c_price"), lit(true))))
+          .when(col("o_orderkey").isNull,
+            array(v(1, col("c_price"), lit(true))))
+          .otherwise(array(v(1, col("o_totalprice"), lit(true)))).as("vs"))
+      .select(col("key").as("o_orderkey"), explode(col("vs")).as("v"))
+      .select(col("o_orderkey"), col("v.version").as("version"),
+        col("v.price").as("o_totalprice"), col("v.is_current").as("is_current"))
+      .orderBy("o_orderkey", "version")
+  }
+
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.
     */
@@ -986,6 +1018,7 @@ object Relational extends QueryModule {
     "q_approx_percentiles" -> (approxPercentiles(_, _)),
     "q_unpivot" -> (unpivotPricing(_, _)),
     "q_upsert" -> (upsert(_, _)),
+    "q_scd2" -> (scd2(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
     "q_cube" -> (cubeOrders(_, _)),
     "q_grouping_sets" -> (groupingSetsPricing(_, _)),
@@ -1403,6 +1436,27 @@ object Relational extends QueryModule {
          |SELECT action, count(*) AS n_rows,
          |  CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS total_price
          |FROM m GROUP BY action ORDER BY action""".stripMargin,
+    "q_scd2" ->
+      s"""WITH changes AS (
+         |  SELECT o_orderkey AS c_key,
+         |    (${d2("o_totalprice")} * CAST(1.05 AS DECIMAL(4,2)))::DOUBLE AS c_price
+         |  FROM orders WHERE o_orderpriority = '1-URGENT'
+         |  UNION ALL
+         |  SELECT unnest(range(mx + 1, mx + 101)) AS c_key, 1000.0 AS c_price
+         |  FROM (SELECT max(o_orderkey) AS mx FROM orders)
+         |)
+         |SELECT o_orderkey, 1 AS version, o_totalprice::DOUBLE AS o_totalprice,
+         |  (c_key IS NULL) AS is_current
+         |FROM orders LEFT JOIN changes ON o_orderkey = c_key
+         |UNION ALL
+         |SELECT o_orderkey, 2 AS version, c_price AS o_totalprice, true AS is_current
+         |FROM orders JOIN changes ON o_orderkey = c_key
+         |UNION ALL
+         |SELECT c_key AS o_orderkey, 1 AS version, c_price AS o_totalprice,
+         |  true AS is_current
+         |FROM changes LEFT JOIN orders ON o_orderkey = c_key
+         |WHERE o_orderkey IS NULL
+         |ORDER BY o_orderkey, version""".stripMargin,
     "q_unpivot" ->
       s"""WITH wide AS (
          |  SELECT l_returnflag, l_linestatus,

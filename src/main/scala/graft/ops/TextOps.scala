@@ -446,6 +446,59 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ txt_ngram_novelty
+
+  /** Forward n-gram novelty — the curation-ordering signal: for each doc,
+    * the fraction of its DISTINCT trigrams whose corpus-wide first
+    * occurrence (minimum doc_id) is this document. Novelty ≈ 1 → the doc
+    * introduces fresh phrasing; ≈ 0 → spliced from already-seen phrases
+    * (template/boilerplate assembly) — the cheap signal data-ordering
+    * papers use to front-load novel text and to cap near-copy chains that
+    * per-pair dedup misses.
+    *
+    * Scale shape: one explode+lead pass builds distinct (doc, trigram)
+    * pairs (the [[repetitionOf]] trigram shape, multiplicity pre-folded by
+    * the distinct); first-occurrence is a trigram-keyed hash aggregate
+    * with map-side partials (the inverted index a streaming curation pass
+    * would maintain incrementally); novelty joins the pairs back on the
+    * trigram key — equi-joins on high-cardinality keys only, no corpus
+    * windows, AQE skew-splits any hot boilerplate trigram. Docs with <3
+    * tokens carry n_tri_distinct=0 and NULL novelty (the lm_perplexity
+    * contract: unscoreable ≠ dropped).
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(s, dir))
+
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // distinct (doc, trigram) pairs feed BOTH the first-doc index build and
+    // the join-back probe — persist so the explode+window pass runs once
+    val docTri = tok
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t2"), col("t3")).as("tri"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstDoc = docTri.groupBy("tri").agg(min("doc_id").as("first_doc"))
+    val nov = docTri.join(firstDoc, "tri")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri_distinct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select("doc_id")
+      .join(nov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri_distinct"), lit(0L)).cast("int").as("n_tri_distinct"),
+        coalesce(col("n_novel"), lit(0L)).cast("int").as("n_novel"),
+        when(coalesce(col("n_tri_distinct"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_novel").cast("double") / col("n_tri_distinct"), 6))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   // PII patterns restricted to syntax Java regex and RE2 share (explicit
   // character classes, no \d/\b/backrefs) so Spark and DuckDB match the
   // same spans. Redaction order: emails first (their local parts can embed
@@ -967,6 +1020,7 @@ object TextOps extends QueryModule {
     "txt_sample_stratified" -> (stratifiedSample(_, _)),
     "txt_pack" -> (packSequences(_, _)),
     "txt_repetition" -> (repetition(_, _)),
+    "txt_ngram_novelty" -> (ngramNovelty(_, _)),
     "txt_pii_redact" -> (piiRedact(_, _)),
     "txt_c4_filter" -> (c4Filter(_, _)))
 
@@ -1342,6 +1396,29 @@ object TextOps extends QueryModule {
          |SELECT doc_id, n_tokens, top_token_frac, n_tri, dup_trigram_frac,
          |  (top_token_frac > 0.2 OR dup_trigram_frac > 0.3) AS repetitive
          |FROM r ORDER BY doc_id""".stripMargin,
+    "txt_ngram_novelty" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), dt AS (
+         |  SELECT DISTINCT doc_id, tri FROM (
+         |    SELECT doc_id, unnest(list_apply(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tri
+         |    FROM d
+         |  )
+         |), fd AS (
+         |  SELECT tri, min(doc_id) AS first_doc FROM dt GROUP BY tri
+         |), nov AS (
+         |  SELECT dt.doc_id, count(*) AS n_tri_distinct,
+         |    sum(CASE WHEN first_doc = dt.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM dt JOIN fd USING (tri) GROUP BY dt.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(n_tri_distinct, 0)::INT AS n_tri_distinct,
+         |  coalesce(n_novel, 0)::INT AS n_novel,
+         |  CASE WHEN coalesce(n_tri_distinct, 0) = 0 THEN NULL
+         |    ELSE round(n_novel::DOUBLE / n_tri_distinct, 6) END AS novelty
+         |FROM d LEFT JOIN nov ON d.doc_id = nov.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "txt_pii_redact" ->
       s"""WITH f AS (
          |  SELECT doc_id,

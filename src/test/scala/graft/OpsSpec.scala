@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.MapReduce
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Operator-level invariants on the sf0.001 fixtures — cheap structural
   * checks that hold at any scale (the value-level gate is the DuckDB oracle
@@ -594,6 +594,43 @@ class OpsSpec extends AnyFunSuite {
       assert(cnt >= 5)
       assert(!pmi.isNaN && !pmi.isInfinite)
     }
+  }
+
+  test("mm_phash_neardup: near-identical payloads pair at low hamming, unrelated don't") {
+    import spark.implicits._
+    // 128-byte payloads: b = a with a short mid-string patch (few samples
+    // move -> low hamming); c alternates the byte pattern (bits flip
+    // broadly); d is under the 64-byte floor and must be ignored entirely
+    val aTxt = ("abcdefgh" * 16)
+    val bTxt = aTxt.substring(0, 60) + "ZZZZ" + aTxt.substring(64)
+    val cTxt = "z" * 64 + "a" * 64 // half-high/half-low: ~32 bits differ vs a
+    val docs = Seq((1L, aTxt), (2L, bTxt), (3L, cTxt), (4L, "tiny"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.phashNearDupOf(docs)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(out.head._3 <= 4, s"patch moved too many bits: ${out.head._3}")
+  }
+
+  test("txt_ngram_novelty: first introduction wins, splices score low, short docs are NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // {a b c, b c d} both first here -> 1.0
+      (2L, "a b c x"),   // {a b c} seen in doc 1, {b c x} novel -> 0.5
+      (3L, "a b"),       // no trigrams -> NULL novelty
+      (4L, "a b c d")    // pure copy of doc 1 -> 0.0
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNoveltyOf(docs)
+      .select("doc_id", "n_tri_distinct", "n_novel", "novelty")
+      .as[(Long, Int, Int, Option[Double])].collect().toSeq
+    val expected = Seq(
+      (1L, 2, 2, Some(1.0)),
+      (2L, 2, 1, Some(0.5)),
+      (3L, 0, 0, None),
+      (4L, 2, 0, Some(0.0)))
+    assert(out === expected)
   }
 
   test("sim_graph_rank: hand-computed 3-node fixture under the scaled-integer recurrence") {
