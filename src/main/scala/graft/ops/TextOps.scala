@@ -699,6 +699,75 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- txt_kn_perplexity
+
+  private val KnD = 0.75 // absolute discount
+
+  /** Interpolated Kneser-Ney bigram perplexity — the standard n-gram LM
+    * (Kneser & Ney '95; Chen & Goodman '98) whose Laplace baseline is
+    * [[lmPerplexity]]: P(w2|w1) = max(c(w1w2)−d, 0)/c(w1·) +
+    * d·N1+(w1·)/c(w1·) · N1+(·w2)/B, with N1+(w1·)/N1+(·w2) the
+    * distinct-continuation / distinct-history counts and B the distinct
+    * bigram types — the continuation distribution that makes KN the
+    * production choice for n-gram corpus-quality scoring.
+    *
+    * Cross-engine determinism: every count is an exact integer; the
+    * probability is ONE fixed all-double expression over them (identical
+    * IEEE evaluation order in both engines — doubles forced explicitly so
+    * DuckDB cannot route the 0.75 literal through DECIMAL arithmetic), and
+    * each ln is pre-rounded to 8 decimals and summed as exact DECIMAL
+    * weighted by instance multiplicity (the txt_entropy trick).
+    *
+    * Scale shape: identical to [[lmPerplexity]] — one explode builds
+    * bigrams; counts and continuation stats are hash aggregates with
+    * map-side partials keyed on bigram/w1/w2; the 1-row type total
+    * broadcasts; the per-doc fold joins pre-folded distinct (doc, bigram)
+    * rows against the count tables (AQE skew-splits hot function-word
+    * bigrams). Docs with <2 tokens carry n_bigrams=0 and NULL scores.
+    */
+  def knPerplexity(s: SparkSession, dir: String): DataFrame =
+    knPerplexityOf(Tables.documents(s, dir))
+
+  private[graft] def knPerplexityOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val big = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val docBig = big.groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+    // the bigram count table feeds cs, nc, the type total AND the scoring
+    // join — persist so the explode+aggregate runs once
+    val cb = big.groupBy("bg").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = cb.groupBy("w1")
+      .agg(sum("cb").as("cstart"), count(lit(1)).as("n1h"))
+    val nc = cb.groupBy("w2").agg(count(lit(1)).as("n1c"))
+    val bt = broadcast(cb.agg(count(lit(1)).as("bt")))
+    val p = (greatest(col("cb").cast("double") - lit(KnD), lit(0.0)) +
+      lit(KnD) * col("n1h").cast("double") * col("n1c").cast("double")
+        / col("bt").cast("double")) / col("cstart").cast("double")
+    val lnTerm = round(log(p), 8).cast(DecimalType(18, 8)) *
+      col("k").cast(DecimalType(18, 0))
+    val scored = docBig.join(cb, "bg")
+      .join(cs, "w1").join(nc, "w2")
+      .crossJoin(bt)
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"), sum(lnTerm).as("slp"))
+      .withColumn("kn_logprob",
+        round(col("slp").cast("double") / col("n_bigrams"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_logprob"),
+        round(exp(-col("kn_logprob")), 4).as("kn_ppl"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("kn_logprob"), col("kn_ppl"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- txt_vocab_coverage
 
   private val VocabTop = 1000 // reported vocabulary head
@@ -999,6 +1068,7 @@ object TextOps extends QueryModule {
     "txt_weighted_sample" -> (weightedSample(_, _)),
     "txt_shuffle_shard" -> (shuffleShard(_, _)),
     "txt_lm_perplexity" -> (lmPerplexity(_, _)),
+    "txt_kn_perplexity" -> (knPerplexity(_, _)),
     "txt_chunk_windows" -> (chunkWindows(_, _)),
     "txt_vocab_coverage" -> (vocabCoverage(_, _)),
     "txt_ppl_bucket" -> (pplBucket(_, _)),
@@ -1126,6 +1196,45 @@ object TextOps extends QueryModule {
          |  skey
          |FROM s ORDER BY doc_id""".stripMargin,
     "txt_lm_perplexity" -> lmPerplexitySql,
+    "txt_kn_perplexity" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), big AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+         |  FROM docs, unnest(range(1, len(toks))) AS r(i)
+         |  WHERE len(toks) >= 2
+         |), doc_big AS (
+         |  SELECT doc_id, bg, count(*) AS k FROM big GROUP BY doc_id, bg
+         |), cb AS (
+         |  SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |    count(*) AS cb
+         |  FROM big GROUP BY bg
+         |), cs AS (
+         |  SELECT w1, sum(cb)::BIGINT AS cstart, count(*)::BIGINT AS n1h
+         |  FROM cb GROUP BY w1
+         |), nc AS (
+         |  SELECT w2, count(*)::BIGINT AS n1c FROM cb GROUP BY w2
+         |), bt AS (
+         |  SELECT count(*)::BIGINT AS bt FROM cb
+         |), terms AS (
+         |  SELECT doc_id, k,
+         |    round(ln((greatest(cb::DOUBLE - ${KnD}e0, 0e0)
+         |      + ${KnD}e0 * n1h::DOUBLE * n1c::DOUBLE / bt::DOUBLE)
+         |      / cstart::DOUBLE), 8)::DECIMAL(18,8) * k::DECIMAL(18,0) AS lnk
+         |  FROM doc_big JOIN cb USING (bg) JOIN cs USING (w1) JOIN nc USING (w2), bt
+         |), agg AS (
+         |  SELECT doc_id, sum(k)::BIGINT AS n_bigrams, sum(lnk) AS slp
+         |  FROM terms GROUP BY doc_id
+         |), sc AS (
+         |  SELECT doc_id, n_bigrams,
+         |    round(slp::DOUBLE / n_bigrams, 6) AS kn_logprob
+         |  FROM agg
+         |)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  kn_logprob,
+         |  round(exp(-kn_logprob), 4) AS kn_ppl
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "txt_chunk_windows" ->
       s"""WITH d AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

@@ -48,6 +48,9 @@ final case class Transition(cur_type: String, next_type: String)
 final case class UpsertAction(o_orderkey: Long, o_totalprice: Double,
     prev_price: Option[Double], action: String)
 
+/** A per-(doc, trigram) novelty verdict from [[Streaming.noveltyViaState]]. */
+final case class TriNovel(doc_id: Long, novel: Boolean)
+
 /** Structured Streaming surface: the same event-time semantics as the batch
   * [[graft.ops.Streamish]] battery, expressed incrementally —
   * `readStream` → transforms → `writeStream`. The reference has no streaming
@@ -393,6 +396,45 @@ object Streaming {
             val r = rows.toArray.minBy(x => (x._2, x._3.getOrElse(Double.NaN)))
             Iterator.single(UpsertAction(key, r._2, r._3,
               if (r._3.isDefined) "update" else "insert"))
+          }
+      }
+  }
+
+  /** Streaming twin of txt_ngram_novelty: novelty against everything
+    * ALREADY INGESTED, scored as the corpus arrives — one first-carrier
+    * state row per distinct trigram; each arriving doc's distinct trigrams
+    * come back flagged novel iff this doc introduced them. Under
+    * doc_id-ordered ingest (the chunked regime of the other twins) the
+    * accumulated verdicts equal the batch operator's min-doc_id semantics
+    * exactly — pinned by StreamingSpec.
+    *
+    * State is one Long per distinct trigram — the same unbounded-dedup
+    * class as the fingerprint-dedup twin; a production deployment bounds
+    * it with a TTL/watermark or an approximate-membership sketch, trading
+    * exactness at the horizon. Trigrams derive per-row (a transform over
+    * the token array — no cross-row window, which streaming disallows);
+    * within-batch duplicates collapse inside the state function.
+    */
+  def noveltyViaState(s: SparkSession, docs: DataFrame): Dataset[TriNovel] = {
+    import s.implicits._
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        graft.functions.Exprs.boundedSequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .as("tri"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tri: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val arrived = rows.map(_._1).toArray.distinct.sorted
+          if (state.exists) arrived.iterator.map(d => TriNovel(d, novel = false))
+          else {
+            state.update(arrived.head)
+            arrived.iterator.map(d => TriNovel(d, d == arrived.head))
           }
       }
   }

@@ -614,6 +614,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.head._3 <= 4, s"patch moved too many bits: ${out.head._3}")
   }
 
+  test("txt_kn_perplexity: hand-computed micro corpus hits exact rational checkpoints") {
+    import spark.implicits._
+    // Corpus {"a b", "a b", "a c"}: c(ab)=2, c(ac)=1, cstart(a)=3,
+    // N1+(a·)=2, N1+(·b)=N1+(·c)=1, B=2, d=0.75 =>
+    //   P(b|a) = (1.25 + 0.75·2·(1/2))/3 = 2/3  -> ppl exp(-ln 2/3) = 1.5
+    //   P(c|a) = (0.25 + 0.75·2·(1/2)·... ) = (0.25+0.75)/3 = 1/3 -> ppl 3.0
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.knPerplexityOf(docs)
+      .select("doc_id", "n_bigrams", "kn_logprob", "kn_ppl")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    val expected = Seq(
+      (1L, 1L, Some(-0.405465), Some(1.5)),
+      (2L, 1L, Some(-0.405465), Some(1.5)),
+      (3L, 1L, Some(-1.098612), Some(3.0)))
+    assert(out === expected)
+  }
+
   test("txt_ngram_novelty: first introduction wins, splices score low, short docs are NULL") {
     import spark.implicits._
     val docs = Seq(

@@ -29,7 +29,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // 1-ROW aggregate scalars (vocab size / corpus total / normalizer)
     // crossJoined in as broadcasts — a bounded BNLJ by construction, same
     // class as ev_range_join's threshold scalar
-    "txt_lm_perplexity", "txt_mix_weights", "txt_ppl_bucket",
+    "txt_lm_perplexity", "txt_kn_perplexity", "txt_mix_weights", "txt_ppl_bucket",
     "txt_vocab_coverage", "dd_cluster_stats",
     "sim_semantic_dedup", // same bounded centroid-broadcast subtree
     "txt_collocations", // 1-row (nu, nb) corpus-totals scalar broadcast

@@ -398,6 +398,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming trigram novelty accumulates to the batch txt_ngram_novelty") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val src = "/tmp/graft-stream-src-novelty"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val docs = Tables.documents(spark, dir)
+    val chunked = docs.withColumn("chunk", ntile(3).over(W.orderBy("doc_id")))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val verdicts = runToMemory(
+      Streaming.noveltyViaState(spark, stream).toDF(), "t_novelty", "append")
+    val got = docs.select("doc_id")
+      .join(verdicts.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri_distinct"),
+          sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri_distinct"), lit(0L)).cast("int").as("n_tri_distinct"),
+        coalesce(col("n_novel"), lit(0L)).cast("int").as("n_novel"),
+        when(coalesce(col("n_tri_distinct"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_novel").cast("double") / col("n_tri_distinct"), 6))
+          .as("novelty"))
+      .orderBy("doc_id").collect().toSeq
+    val want = graft.ops.TextOps.ngramNovelty(spark, dir).collect().toSeq
+    assert(got === want)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
