@@ -253,6 +253,43 @@ object Streamish extends QueryModule {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // -------------------------------------------------------------- ev_streaks
+
+  /** Activity streaks per user — the canonical gaps-and-islands pattern:
+    * consecutive active DAYS group into islands via the anchor trick
+    * (day − row_number·1d is constant within a run), then per-user streak
+    * stats: active days, number of distinct streaks, longest streak, and
+    * the day the longest streak started (earliest such start on ties) —
+    * the engagement signal behind habit metrics and streak badges.
+    *
+    * Scale shape: the (user, day) set collapses first (shuffle carries one
+    * row per user-day, not per event); the row_number window partitions on
+    * high-cardinality user_id; island lengths and per-user maxima are two
+    * hash aggregates with map-side partials. Everything after the first
+    * distinct is |user-days|-bounded. All-integer arithmetic (datediff on
+    * DATE anchors) — nothing for the engines to round.
+    */
+  def streaks(s: SparkSession, dir: String): DataFrame =
+    streaksOf(Tables.events(s, dir))
+
+  private[graft] def streaksOf(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = act
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"), min("day").as("streak_start"))
+    islands.groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"),
+        min_by(col("streak_start"), struct((-col("len")).as("nl"), col("streak_start")))
+          .as("longest_start"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------- ev_anomaly
 
   /** Daily traffic anomalies per event_type: z-score of each day's event
@@ -475,6 +512,7 @@ object Streamish extends QueryModule {
     "ev_paths" -> (paths(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
+    "ev_streaks" -> (streaks(_, _)),
     "ev_anomaly" -> (anomaly(_, _)),
     "ev_range_join" -> (rangeJoin(_, _)),
     "ev_tumbling" -> (tumbling(_, _)),
@@ -572,6 +610,30 @@ object Streamish extends QueryModule {
          |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
          |FROM ev JOIN win ON ev.us >= win.ws AND ev.us < win.we
          |GROUP BY ws ORDER BY w_start""".stripMargin,
+    "ev_streaks" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS day FROM events
+        |), isl AS (
+        |  SELECT user_id, day,
+        |    day - (row_number() OVER (PARTITION BY user_id ORDER BY day))::INT AS anchor
+        |  FROM act
+        |), runs AS (
+        |  SELECT user_id, anchor, count(*) AS len, min(day) AS streak_start
+        |  FROM isl GROUP BY user_id, anchor
+        |), rk AS (
+        |  SELECT user_id, len, streak_start,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY len DESC, streak_start ASC) AS rn
+        |  FROM runs
+        |), agg AS (
+        |  SELECT user_id, sum(len)::BIGINT AS n_active_days,
+        |    count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
+        |  FROM runs GROUP BY user_id
+        |)
+        |SELECT agg.user_id, n_active_days, n_streaks, longest_streak,
+        |  rk.streak_start AS longest_start
+        |FROM agg JOIN rk ON agg.user_id = rk.user_id AND rn = 1
+        |ORDER BY agg.user_id""".stripMargin,
     "ev_anomaly" ->
       """WITH daily AS (
         |  SELECT ts::TIMESTAMP::DATE AS day, event_type, count(*) AS n

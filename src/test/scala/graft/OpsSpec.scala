@@ -614,6 +614,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out.head._3 <= 4, s"patch moved too many bits: ${out.head._3}")
   }
 
+  test("ev_streaks: islands split on gaps, longest ties break to the earliest start") {
+    import spark.implicits._
+    // user 1: days 1,2,3 then 5,6 -> streaks 3 and 2, longest 3 starting d1
+    // user 2: days 1,2 and 4,5 -> two 2-day streaks, tie -> earliest (d1)
+    // user 3: one day, duplicate events same day collapse -> single streak 1
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-05"), (1L, "2024-01-06"),
+      (2L, "2024-01-01"), (2L, "2024-01-02"), (2L, "2024-01-04"), (2L, "2024-01-05"),
+      (3L, "2024-01-09"), (3L, "2024-01-09")
+    ).toDF("user_id", "d").select(col("user_id"), col("d").cast("timestamp").as("ts"))
+    val out = graft.ops.Streamish.streaksOf(ev)
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("longest_streak"), col("longest_start").cast("string"))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val expected = Seq(
+      (1L, 5L, 2L, 3L, "2024-01-01"),
+      (2L, 4L, 2L, 2L, "2024-01-01"),
+      (3L, 1L, 1L, 1L, "2024-01-09"))
+    assert(out === expected)
+  }
+
   test("txt_kn_perplexity: hand-computed micro corpus hits exact rational checkpoints") {
     import spark.implicits._
     // Corpus {"a b", "a b", "a c"}: c(ab)=2, c(ac)=1, cstart(a)=3,
