@@ -636,6 +636,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("ev_streaks: island stats equal brute force on random activity sets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val actGen = Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 5L)
+      d <- Gen.choose(1, 20) // day-of-month, Jan 2024
+    } yield (u, d)).map(_.distinct)
+    val prop = Prop.forAll(actGen) { act =>
+      act.isEmpty || {
+        val ev = act.map { case (u, d) => (u, f"2024-01-$d%02d") }
+          .toDF("user_id", "d")
+          .select(col("user_id"), col("d").cast("timestamp").as("ts"))
+        val got = graft.ops.Streamish.streaksOf(ev)
+          .select("user_id", "n_active_days", "n_streaks", "longest_streak")
+          .as[(Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+        val brute = act.groupBy(_._1).map { case (u, xs) =>
+          val days = xs.map(_._2).distinct.sorted
+          val runs = days.foldLeft(List.empty[List[Int]]) {
+            case (acc @ (run @ (last :: _)) :: rest, d) if d == last + 1 =>
+              (d :: run) :: rest
+            case (acc, d) => List(d) :: acc
+          }
+          u -> (days.size.toLong, runs.size.toLong, runs.map(_.size).max.toLong)
+        }
+        brute.forall { case (u, b) => got.get(u).contains(b) }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("txt_kn_perplexity: hand-computed micro corpus hits exact rational checkpoints") {
     import spark.implicits._
     // Corpus {"a b", "a b", "a c"}: c(ab)=2, c(ac)=1, cstart(a)=3,
