@@ -779,6 +779,66 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rnk")
   }
 
+  // --------------------------------------------------------- sim_ivfpq_topk
+
+  /** IVF-PQ search — the COMPOSED production ANN index (Jégou et al.
+    * TPAMI'11 §V; the FAISS IVFPQ serving path): the coarse quantizer
+    * restricts each query to its [[NProbe]] inverted lists, and the scan
+    * inside those lists reads only PQ codes via the ADC lookup table.
+    * Neither parent pays this little: [[pqTopK]] ADC-scans the WHOLE code
+    * table; [[ivfTopK]] reads full-precision vectors inside the probed
+    * lists. Here the per-query work is ~NProbe/|lists| of the corpus ×
+    * M one-byte codes — the multiplicative saving that serves
+    * billion-vector indexes.
+    *
+    * Scale shape: ONE persisted quantized-embeddings scan feeds the
+    * sub-codebook, the code table, the LUT, and the coarse scoring; the
+    * probe table (|Q|·NProbe rows) and LUT (|Q|·M·K rows) broadcast; list
+    * membership joins on the list id and ADC folds under a (q, vec) hash
+    * aggregate with map-side partials. Each corpus vector lives in exactly
+    * one list, so candidates need no dedup.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.ArrayDot.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("vq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val csub = pqCsubOf(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqCodes(pqScoredAgainst(e.select("vec_id", "vq"), csub))
+      .select("vec_id", "m", "code")
+    val lut = pqScoredAgainst(
+        e.filter(col("vec_id") < NumQueries).select("vec_id", "vq"), csub)
+      .select(col("vec_id").as("q2"), col("m").as("lm"), col("c_label"),
+        round(col("dist") / lit(Scale.toDouble * Scale), 6)
+          .cast(DecimalType(18, 6)).as("d6"))
+    val coarse = scoreAgainst(e.select(col("vec_id"), col("vq")),
+        centroidsBy(e.select(col("label"), col("vq")), "label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = coarse.groupBy("vec_id")
+      .agg(max_by(col("c_label"),
+        struct(col("cos"), (-col("c_label")).as("neg"))).as("cl"))
+    val probe = coarse.filter(col("vec_id") < NumQueries)
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_label").asc)))
+      .filter(col("crnk") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("c_label").as("cl"))
+    val cand = lists.join(broadcast(probe), "cl")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(lut),
+        col("q_id") === col("q2") && col("m") === col("lm") &&
+          col("code") === col("c_label"))
+      .groupBy("q_id", "vec_id").agg(sum(col("d6")).as("adc"))
+    topKPerGroup(adc, Seq("q_id"), "vec_id", TopK,
+        col("adc").asc, col("vec_id").asc)
+      .select(col("q_id"), col("vec_id"), col("rnk"),
+        round(col("adc").cast("double"), 6).as("adc_dist"))
+      .orderBy("q_id", "rnk")
+  }
+
   // -------------------------------------------------------- sim_kmeans_step
 
   /** One exact Lloyd iteration on top of the coarse quantizer: re-assign
@@ -1049,6 +1109,7 @@ object Similarity extends QueryModule {
     "sim_kmeans_train" -> (kmeansTrain(_, _)),
     "sim_pq_encode" -> (pqEncode(_, _)),
     "sim_pq_topk" -> (pqTopK(_, _)),
+    "sim_ivfpq_topk" -> (ivfPqTopK(_, _)),
     "sim_pq_rerank" -> (pqRerank(_, _)),
     "sim_graph_rank" -> (graphRank(_, _)),
     "sim_graph_rank_full" -> (graphRankFull(_, _)),
@@ -1477,6 +1538,43 @@ object Similarity extends QueryModule {
          |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.c_label
          |  WHERE c.vec_id <> l.q_id
          |  GROUP BY l.q_id, c.vec_id
+         |), rq AS (
+         |  SELECT q_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)::INT AS rnk
+         |  FROM adc
+         |)
+         |SELECT q_id, vec_id, rnk, round(adc::DOUBLE, 6) AS adc_dist
+         |FROM rq WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "sim_ivfpq_topk" ->
+      s"""WITH $pqChainSql, coarse AS (
+         |  SELECT vec_id, c_label,
+         |    list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT]::DOUBLE * cv[(i + 1)::INT])) /
+         |      (sqrt(${n2.format("vq")}::DOUBLE) * sqrt(list_sum(list_apply(cv, x -> x * x)))) AS cos
+         |  FROM eq, cent
+         |), crk AS (
+         |  SELECT vec_id, c_label,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS crnk
+         |  FROM coarse
+         |), lists AS (
+         |  SELECT vec_id, c_label AS cl FROM crk WHERE crnk = 1
+         |), probe AS (
+         |  SELECT vec_id AS q_id, c_label AS cl FROM crk
+         |  WHERE vec_id < $NumQueries AND crnk <= $NProbe
+         |), cand AS (
+         |  SELECT probe.q_id, lists.vec_id
+         |  FROM probe JOIN lists ON lists.cl = probe.cl AND lists.vec_id <> probe.q_id
+         |), codes AS (
+         |  SELECT vec_id, m, c_label AS code FROM ranked WHERE rnk = 1
+         |), lut AS (
+         |  SELECT vec_id AS q_id, m, c_label,
+         |    round(dist / ${Scale.toDouble * Scale}, 6)::DECIMAL(18,6) AS d6
+         |  FROM scored WHERE vec_id < $NumQueries
+         |), adc AS (
+         |  SELECT cand.q_id, cand.vec_id, sum(l.d6) AS adc
+         |  FROM cand
+         |  JOIN codes c ON c.vec_id = cand.vec_id
+         |  JOIN lut l ON l.q_id = cand.q_id AND l.m = c.m AND l.c_label = c.code
+         |  GROUP BY cand.q_id, cand.vec_id
          |), rq AS (
          |  SELECT q_id, vec_id, adc,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)::INT AS rnk

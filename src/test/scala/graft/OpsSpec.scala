@@ -704,6 +704,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("sim_ivfpq_topk: dense ranks per query, ADC distances nondecreasing") {
+    import spark.implicits._
+    val rows = Similarity.ivfPqTopK(spark, dir)
+      .select("q_id", "rnk", "adc_dist")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2) === (1 to sorted.length), s"ranks not dense for q=$q")
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head <= p.last),
+        s"ADC distances decrease within q=$q")
+    }
+  }
+
   test("sim_graph_rank: hand-computed 3-node fixture under the scaled-integer recurrence") {
     import spark.implicits._
     // Graph: 0→{1,2}, 1→2, 2→0; n=3, d=0.85, 3 rounds, rank scale 10^12.

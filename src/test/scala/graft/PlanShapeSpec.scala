@@ -37,7 +37,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_tpch_q22", // 1-row avg-balance scalar broadcast
     "ev_lift", // 1-row user-count scalar broadcast
     "txt_dsir", // 1-row corpus/target token-totals scalar broadcast
-    "sim_graph_rank_full") // 1-row per-round dangling-mass scalar broadcast
+    "sim_graph_rank_full", // 1-row per-round dangling-mass scalar broadcast
+    "sim_ivfpq_topk") // same bounded centroid-broadcast subtree as sim_ivf_*
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)
