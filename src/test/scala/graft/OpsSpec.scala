@@ -760,6 +760,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("sim_graph_rank(+full): recurrence equals an independent integer simulation on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // exact-integer reference: the same scaled recurrence in plain Scala
+    def brute(edges: Seq[(Long, Long)], nodes: Seq[Long], full: Boolean): Map[Long, Long] = {
+      val n = nodes.size
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(_ -> 1000000000000L / n).toMap
+      for (_ <- 1 to 3) {
+        val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((s, d) <- edges) inflow(d) += r(s) * 85 / (100 * deg(s))
+        val share =
+          if (full) nodes.filterNot(deg.contains).map(r).sum * 85 / (100 * n) else 0L
+        r = nodes.map(v => v -> (150000000000L / n + inflow(v) + share)).toMap
+      }
+      r
+    }
+    val gen = for {
+      n <- Gen.choose(2, 8)
+      nodes = (0L until n.toLong).toList
+      edges <- Gen.someOf(for { a <- nodes; b <- nodes if a != b } yield (a, b))
+    } yield (nodes, edges.toList)
+    val prop = Prop.forAll(gen) { case (nodes, edges) =>
+      Seq(false, true).forall { full =>
+        val edgeDf =
+          if (edges.nonEmpty) edges.toDF("src", "dst")
+          else Seq.empty[(Long, Long)].toDF("src", "dst")
+        val ranker =
+          if (full) Similarity.graphRankFullOf _ else Similarity.graphRankOf _
+        val got = ranker(edgeDf, nodes.toDF("vec_id"))
+          .select(col("vec_id"), col("pagerank").cast("string"))
+          .as[(Long, String)].collect()
+          .map { case (v, p) =>
+            v -> new java.math.BigDecimal(p).movePointRight(12).longValueExact
+          }.toMap
+        got == brute(edges, nodes, full)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sim_triangles: K4 is all-triangles, C4 is triangle-free, path endpoints drop") {
     import spark.implicits._
     // K4 on 1-4 (4 triangles, clustering 1), a 4-cycle on 10-13 (0
