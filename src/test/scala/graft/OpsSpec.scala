@@ -685,6 +685,60 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("txt_kn_perplexity: equals an independent reimplementation on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD}
+    // mirror Spark's Round-on-double exactly: BigDecimal.valueOf (canonical
+    // string repr, not the exact binary expansion) then HALF_UP
+    def round(x: Double, s: Int): Double =
+      JBD.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    def brute(docs: Seq[(Long, String)]): Map[Long, (Long, Option[Double], Option[Double])] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split(MapReduce.WhitespaceClass).filter(_.nonEmpty).toSeq
+      }
+      val bigs = toks.flatMap { case (id, ts) =>
+        if (ts.size < 2) Nil else ts.sliding(2).map(p => (id, p.mkString(" "))).toSeq
+      }
+      val cb = bigs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      def w1(bg: String) = bg.split(" ")(0)
+      def w2(bg: String) = bg.split(" ")(1)
+      val cs = cb.groupBy { case (bg, _) => w1(bg) }.view.mapValues(_.values.sum).toMap
+      val n1h = cb.keys.groupBy(w1).view.mapValues(_.size.toLong).toMap
+      val n1c = cb.keys.groupBy(w2).view.mapValues(_.size.toLong).toMap
+      val bt = cb.size.toLong
+      docs.map { case (id, _) =>
+        val db = bigs.filter(_._1 == id).groupBy(_._2).view.mapValues(_.size.toLong)
+        if (db.isEmpty) id -> ((0L, None, None))
+        else {
+          val slp = db.map { case (bg, k) =>
+            val p = (math.max(cb(bg).toDouble - 0.75, 0.0) +
+              0.75 * n1h(w1(bg)).toDouble * n1c(w2(bg)).toDouble / bt.toDouble) /
+              cs(w1(bg)).toDouble
+            JBD.valueOf(math.log(p)).setScale(8, java.math.RoundingMode.HALF_UP)
+              .multiply(JBD.valueOf(k))
+          }.reduce(_ add _)
+          val n = db.values.sum
+          val logprob = round(slp.doubleValue / n, 6)
+          id -> ((n, Some(logprob), Some(round(math.exp(-logprob), 4))))
+        }
+      }.toMap
+    }
+    val tokenGen = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, tokenGen)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(2, 4).flatMap(k => Gen.listOfN(k, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) })
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val got = TextOps.knPerplexityOf(corpus.toDF("doc_id", "text"))
+        .select("doc_id", "n_bigrams", "kn_logprob", "kn_ppl")
+        .as[(Long, Long, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      got == brute(corpus)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("txt_ngram_novelty: first introduction wins, splices score low, short docs are NULL") {
     import spark.implicits._
     val docs = Seq(
