@@ -357,13 +357,20 @@ object Similarity extends QueryModule {
     * recurrence is therefore SCALED-INTEGER: ranks live as BIGINT `r12`
     * (rank × 10¹²), each contribution is `(r12 × 85) DIV (100 × deg)` —
     * exact integer division, bit-identical in any engine — and each round
-    * adds `(15·10¹⁰ DIV n) + Σ inflow` in exact BIGINT. Only the final
-    * projection converts to DECIMAL(24,12), via a decimal multiply by 10⁻¹²
-    * (DECIMAL(24,0) × DECIMAL(12,12) → scale-12, exact by construction; no
-    * double ever appears).
+    * adds `(15·10¹⁰ DIV n) + Σ inflow` in exact BIGINT.
+    *
+    * The final projection is `r12 :: DOUBLE / 10¹²` — NOT a DECIMAL. The
+    * r10 lesson: the recurrence was already bit-identical in both engines,
+    * but a DECIMAL(24,12) output column still hash-mismatched in the
+    * harness compare, because readers normalize DECIMAL differently
+    * (float64 vs exact-`Decimal` stringification) and these were the only
+    * two queries in the suite emitting DECIMAL at all. DOUBLE is the
+    * suite's proven interchange type (127 green queries), and this exact
+    * conversion is engine-stable: r12 < 2⁵³ converts exactly, 10¹² is an
+    * exactly-representable divisor, and IEEE division is correctly rounded
+    * — one deterministic double on every engine.
     */
   private[graft] def graphRankOf(edgeList: DataFrame, nodeList: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val edges = edgeList.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nn = broadcast(nodeList.agg(count(lit(1)).as("n")))
@@ -380,9 +387,7 @@ object Similarity extends QueryModule {
           (expr("150000000000 DIV n") + coalesce(col("inflow12"), lit(0L))).as("r12"))
     }
     r.select(col("vec_id"),
-        (col("r12").cast(DecimalType(24, 0)) *
-          lit(new java.math.BigDecimal("0.000000000001")))
-          .cast(DecimalType(24, 12)).as("pagerank"))
+        (col("r12").cast("double") / lit(1e12)).as("pagerank"))
       .orderBy("vec_id")
   }
 
@@ -409,7 +414,6 @@ object Similarity extends QueryModule {
       Tables.embeddings(s, dir).select("vec_id"))
 
   private[graft] def graphRankFullOf(edgeList: DataFrame, nodeList: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val edges = edgeList.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deg feeds the per-round inflow join AND the dangling anti join
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -437,9 +441,7 @@ object Similarity extends QueryModule {
             expr("dmass12 * 85 DIV (100 * n)")).as("r12"))
     }
     r.select(col("vec_id"),
-        (col("r12").cast(DecimalType(24, 0)) *
-          lit(new java.math.BigDecimal("0.000000000001")))
-          .cast(DecimalType(24, 12)).as("pagerank"))
+        (col("r12").cast("double") / lit(1e12)).as("pagerank"))
       .orderBy("vec_id")
   }
 
@@ -1405,8 +1407,7 @@ object Similarity extends QueryModule {
          |  SELECT vec_id, (1000000000000 // n)::BIGINT AS r12 FROM e, nnn
          |), ${(1 to RankIters).map(rankIterSql).mkString(", ")}
          |SELECT vec_id,
-         |  (r12::DECIMAL(24,0) * 0.000000000001::DECIMAL(13,12))::DECIMAL(24,12)
-         |    AS pagerank
+         |  (r12::DOUBLE / 1000000000000.0) AS pagerank
          |FROM r$RankIters ORDER BY vec_id""".stripMargin,
     "sim_graph_rank_full" ->
       s"""WITH $corpusSql, $bandSql, cand AS (
@@ -1435,8 +1436,7 @@ object Similarity extends QueryModule {
          |  SELECT vec_id, (1000000000000 // n)::BIGINT AS r12 FROM e, nnn
          |), ${(1 to RankIters).map(rankIterFullSql).mkString(", ")}
          |SELECT vec_id,
-         |  (r12::DECIMAL(24,0) * 0.000000000001::DECIMAL(13,12))::DECIMAL(24,12)
-         |    AS pagerank
+         |  (r12::DOUBLE / 1000000000000.0) AS pagerank
          |FROM r$RankIters ORDER BY vec_id""".stripMargin,
     "sim_recall_at_k" ->
       s"""WITH $corpusSql, $bandSql, bp AS (

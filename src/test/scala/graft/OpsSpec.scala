@@ -783,12 +783,14 @@ class OpsSpec extends AnyFunSuite {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
     val nodes = Seq(0L, 1L, 2L).toDF("vec_id")
     val out = Similarity.graphRankOf(edges, nodes)
-      .select(col("vec_id"), col("pagerank").cast("string"))
-      .as[(Long, String)].collect().toSeq
+      .select(col("vec_id"), col("pagerank"))
+      .as[(Long, Double)].collect().toSeq
+    // expected doubles derive from the hand-computed r3 integers by the
+    // SAME exact conversion the operator performs (long → double / 1e12)
     val expected = Seq(
-      (0L, "0.351395833332"),
-      (1L, "0.242843749999"),
-      (2L, "0.405760416665"))
+      (0L, 351395833332L / 1e12),
+      (1L, 242843749999L / 1e12),
+      (2L, 405760416665L / 1e12))
     assert(out === expected)
   }
 
@@ -804,13 +806,13 @@ class OpsSpec extends AnyFunSuite {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
     val nodes = Seq(0L, 1L, 2L, 3L).toDF("vec_id")
     val out = Similarity.graphRankFullOf(edges, nodes)
-      .select(col("vec_id"), col("pagerank").cast("string"))
-      .as[(Long, String)].collect().toSeq
+      .select(col("vec_id"), col("pagerank"))
+      .as[(Long, Double)].collect().toSeq
     val expected = Seq(
-      (0L, "0.349551269531"),
-      (1L, "0.221569824218"),
-      (2L, "0.379317871093"),
-      (3L, "0.049561035156"))
+      (0L, 349551269531L / 1e12),
+      (1L, 221569824218L / 1e12),
+      (2L, 379317871093L / 1e12),
+      (3L, 49561035156L / 1e12))
     assert(out === expected)
   }
 
@@ -844,12 +846,11 @@ class OpsSpec extends AnyFunSuite {
         val ranker =
           if (full) Similarity.graphRankFullOf _ else Similarity.graphRankOf _
         val got = ranker(edgeDf, nodes.toDF("vec_id"))
-          .select(col("vec_id"), col("pagerank").cast("string"))
-          .as[(Long, String)].collect()
-          .map { case (v, p) =>
-            v -> new java.math.BigDecimal(p).movePointRight(12).longValueExact
-          }.toMap
-        got == brute(edges, nodes, full)
+          .select(col("vec_id"), col("pagerank"))
+          .as[(Long, Double)].collect().toMap
+        // exact double equality is sound: both sides are long/1e12 under
+        // the same IEEE correctly-rounded division
+        got == brute(edges, nodes, full).view.mapValues(_ / 1e12).toMap
       }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
