@@ -141,16 +141,19 @@ object TextOps extends QueryModule {
       .limit(100)
   }
 
-  /** Per-document quality signals + a composite score — the length /
-    * stopword-ratio / short-token heuristics a pretraining-data pipeline
-    * applies before training.
+  /** Per-document quality-signal frame (doc_id, source, n_chars, n_tokens,
+    * ratios, composite `quality`) — the shared scoring core of
+    * [[qualityScore]] and [[domainCap]]. Pure per-row expressions on one
+    * documents scan; every ratio pre-rounds to 4 decimals so downstream
+    * rank orders are engine-stable.
     */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  private def qualityFrame(s: SparkSession, dir: String): DataFrame = {
     val stops = array(stopwords.map(lit): _*)
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        tokens(col("text")).as("toks"))
       .select(
-        col("doc_id"), col("n_chars"),
+        col("doc_id"), col("source"), col("n_chars"),
         size(col("toks")).as("n_tokens"),
         round(size(filter(col("toks"), t => array_contains(stops, t)))
           .cast("double") / size(col("toks")), 4).as("stopword_ratio"),
@@ -162,7 +165,48 @@ object TextOps extends QueryModule {
         round(least(lit(1.0), col("n_tokens") / lit(100.0)) * lit(0.4)
           + col("distinct_ratio") * lit(0.4)
           + (lit(1.0) - col("short_ratio")) * lit(0.2), 4))
+  }
+
+  /** Per-document quality signals + a composite score — the length /
+    * stopword-ratio / short-token heuristics a pretraining-data pipeline
+    * applies before training.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityFrame(s, dir)
+      .select("doc_id", "n_chars", "n_tokens", "stopword_ratio",
+        "short_ratio", "distinct_ratio", "quality")
       .orderBy("doc_id")
+
+  private val DomainCap = 15 // per-source quality budget
+
+  /** C4/RefinedWeb-style per-domain cap: keep at most [[DomainCap]] docs
+    * per source, highest [[qualityFrame]] composite first — the
+    * anti-over-representation step web-crawl pipelines apply so no single
+    * domain dominates the training mix. Emits the survivors with their
+    * within-source rank; ties on the 4-decimal quality break by doc_id, so
+    * the kept set is deterministic in any engine.
+    *
+    * Scale shape: one documents scan + the salted two-phase per-source
+    * top-k ([[weightedSample]]'s pattern) — a local row_number inside each
+    * of 64 (source, salt) lanes prunes to ≤ 64·cap survivors per source
+    * before the per-source global rank, so no task ever sorts a whole
+    * domain (at 100 TB a hot domain is millions of docs; the naive
+    * per-source window pins them onto one task).
+    */
+  def domainCap(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityFrame(s, dir).select("doc_id", "source", "quality")
+    val local = Window.partitionBy("source", "salt")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val global = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored
+      .withColumn("salt", pmod(col("doc_id"), lit(64)))
+      .withColumn("lrnk", row_number().over(local))
+      .filter(col("lrnk") <= DomainCap)
+      .withColumn("rnk", row_number().over(global))
+      .filter(col("rnk") <= DomainCap)
+      .select(col("source"), col("rnk"), col("doc_id"), col("quality"))
+      .orderBy("source", "rnk")
   }
 
   /** N-gram-free marker-word language ID: score each candidate language by
@@ -1081,6 +1125,7 @@ object TextOps extends QueryModule {
     "txt_collocations" -> (collocations(_, _)),
     "txt_zipf" -> (zipfFit(_, _)),
     "txt_quality" -> (qualityScore(_, _)),
+    "txt_domain_cap" -> (domainCap(_, _)),
     "txt_langid" -> (languageId(_, _)),
     "txt_fingerprint" -> (fingerprints(_, _)),
     "txt_token_count" -> (tokenCount(_, _)),
@@ -1393,6 +1438,20 @@ object TextOps extends QueryModule {
          |  round((sy::DOUBLE - ((k * sxy - sx * sy)::DOUBLE / (k * sxx - sx * sx)::DOUBLE)
          |    * sx::DOUBLE) / k, 6) AS intercept
          |FROM f""".stripMargin,
+    "txt_domain_cap" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    round(least(1.0, len(toks) / 100.0) * 0.4
+         |      + round(len(list_distinct(toks))::DOUBLE / len(toks), 4) * 0.4
+         |      + (1.0 - round(len(list_filter(toks, t -> length(t) <= 2))::DOUBLE / len(toks), 4)) * 0.2, 4) AS quality
+         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)
+         |), ranked AS (
+         |  SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC)::INT AS rnk
+         |  FROM scored
+         |)
+         |SELECT source, rnk, doc_id, quality FROM ranked
+         |WHERE rnk <= 15 ORDER BY source, rnk""".stripMargin,
     "txt_quality" ->
       s"""SELECT doc_id, n_chars,
          |  len(toks)::INT AS n_tokens,
