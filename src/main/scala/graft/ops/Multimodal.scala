@@ -11,11 +11,13 @@ import graft.{QueryModule, Tables}
   */
 final case class MediaAsset(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Output row of the stubbed decode — fixed schema, so the downstream plan
-  * is fully typed regardless of what the real codec would emit.
+/** Output row of the decode — fixed schema, so the downstream plan is fully
+  * typed regardless of the codec: header magic, channel count, per-channel
+  * byte means, whole-payload checksum.
   */
 final case class DecodedAsset(doc_id: Long, media_type: String, n_bytes: Int,
-    mean_byte: Double, checksum: String)
+    magic_hex: String, n_channels: Int, ch0_mean: Double, ch1_mean: Double,
+    ch2_mean: Double, checksum: String)
 
 /** Multimodal-column battery: image/audio/video handled as opaque `binary`
   * columns with typed metadata, per the LLM-pipeline mandate.
@@ -291,29 +293,78 @@ object Multimodal extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def decodeStub(a: MediaAsset): DecodedAsset = {
-    var sum = 0L
-    var i = 0
-    while (i < a.payload.length) { sum += a.payload(i) & 0xff; i += 1 }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(a.payload).map("%02x".format(_)).mkString
-    DecodedAsset(a.doc_id, a.media_type, a.payload.length,
-      sum.toDouble / a.payload.length, hex)
+  /** Synthetic blob container layout the decoder parses (defined here, not
+    * in any external library — the container ships no image/audio codecs):
+    *   - bytes [0, 4): magic (emitted as lowercase hex; shorter payloads
+    *     emit the bytes that exist)
+    *   - bytes [4, 8): reserved header (skipped)
+    *   - bytes [8, …): sample body — channels interleaved round-robin,
+    *     channel count fixed by media type (image/video = 3, audio = 2,
+    *     text = 1), i.e. body byte j belongs to channel j % n_channels.
+    * The decoder emits the header magic plus each channel's byte mean —
+    * a channel with no body bytes pins to 0.0 (never NULL/NaN, so the
+    * cross-engine compare has one canonical value).
+    */
+  private val HeaderBytes = 8
+  private val MagicBytes = 4
+
+  private[graft] def channelsOf(mediaType: String): Int = mediaType match {
+    case "image" | "video" => 3
+    case "audio" => 2
+    case _ => 1
   }
+
+  /** A real byte-level parse of the layout above — imperative over the
+    * payload array, one pass, no allocation beyond the per-channel sums.
+    */
+  private def decode(md: java.security.MessageDigest)(a: MediaAsset): DecodedAsset = {
+    val p = a.payload
+    val nch = channelsOf(a.media_type)
+    val magicLen = math.min(MagicBytes, p.length)
+    val magic = new java.lang.StringBuilder(2 * magicLen)
+    var i = 0
+    while (i < magicLen) { magic.append(f"${p(i) & 0xff}%02x"); i += 1 }
+    val sums = new Array[Long](3)
+    val cnts = new Array[Long](3)
+    i = HeaderBytes
+    while (i < p.length) {
+      val c = (i - HeaderBytes) % nch
+      sums(c) += p(i) & 0xff
+      cnts(c) += 1
+      i += 1
+    }
+    def mean(c: Int): Double = if (cnts(c) == 0) 0.0 else sums(c).toDouble / cnts(c)
+    md.reset()
+    val hex = md.digest(p).map("%02x".format(_)).mkString
+    DecodedAsset(a.doc_id, a.media_type, p.length, magic.toString, nch,
+      mean(0), mean(1), mean(2), hex)
+  }
+
+  /** The decode core over an explicit asset Dataset — factored for fixture
+    * tests with hand-constructed payloads.
+    */
+  private[graft] def typedDecodeOf(ds: org.apache.spark.sql.Dataset[MediaAsset]): DataFrame =
+    ds.mapPartitions { it =>
+        // codec state (the digest) initializes ONCE per partition and is
+        // reused across the iterator — the mapInPandas-batch analogue
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map(decode(md))
+      }(org.apache.spark.sql.Encoders.product[DecodedAsset])
+      .toDF()
+      // rounding stays in Column space so both engines round identically
+      .withColumn("ch0_mean", round(col("ch0_mean"), 6))
+      .withColumn("ch1_mean", round(col("ch1_mean"), 6))
+      .withColumn("ch2_mean", round(col("ch2_mean"), 6))
 
   /** The typed decode pipeline: Dataset[MediaAsset] → mapPartitions(decode)
     * → Dataset[DecodedAsset]. mapPartitions gives the decoder one iterator
     * per parquet split — the JVM-side analogue of mapInPandas batches: codec
-    * init (here: the MessageDigest) amortizes across the partition, and
+    * init (the MessageDigest) amortizes across the partition, and
     * parallelism = input splits, so a 100 TB decode scales with the scan.
     */
   def typedDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    assets(s, dir).as[MediaAsset]
-      .mapPartitions(_.map(decodeStub))
-      .toDF()
-      .withColumn("mean_byte", round(col("mean_byte"), 6))
-      .orderBy("doc_id")
+    typedDecodeOf(assets(s, dir).as[MediaAsset]).orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -450,10 +501,34 @@ object Multimodal extends QueryModule {
          |  length(resized)::INT AS resized_bytes, md5(resized) AS resized_md5
          |FROM r ORDER BY doc_id""".stripMargin,
     "mm_typed_decode" ->
-      s"""SELECT doc_id, $mtSql AS media_type,
-         |  length(text)::INT AS n_bytes,
-         |  round(list_sum(list_apply(range(length(text)),
-         |    i -> ascii(substr(text, (i + 1)::INT, 1))))::DOUBLE / length(text), 6) AS mean_byte,
+      s"""WITH t AS (
+         |  SELECT doc_id, $mtSql AS media_type, text,
+         |    CASE WHEN $mtSql IN ('image', 'video') THEN 3
+         |         WHEN $mtSql = 'audio' THEN 2 ELSE 1 END AS nch
+         |  FROM documents
+         |), b0 AS (
+         |  SELECT doc_id, nch, text, unnest(range(length(text))) AS i FROM t
+         |), b AS (
+         |  SELECT doc_id, ((i - 8) % nch)::INT AS ch,
+         |    ascii(substr(text, (i + 1)::INT, 1)) AS bv
+         |  FROM b0 WHERE i >= 8
+         |), m AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN ch = 0 THEN bv END)::DOUBLE
+         |      / nullif(count(CASE WHEN ch = 0 THEN bv END), 0) AS m0,
+         |    sum(CASE WHEN ch = 1 THEN bv END)::DOUBLE
+         |      / nullif(count(CASE WHEN ch = 1 THEN bv END), 0) AS m1,
+         |    sum(CASE WHEN ch = 2 THEN bv END)::DOUBLE
+         |      / nullif(count(CASE WHEN ch = 2 THEN bv END), 0) AS m2
+         |  FROM b GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, media_type, length(text)::INT AS n_bytes,
+         |  lower(hex(substr(text, 1, 4)::BLOB)) AS magic_hex,
+         |  nch::INT AS n_channels,
+         |  round(coalesce(m0, 0.0), 6) AS ch0_mean,
+         |  round(coalesce(m1, 0.0), 6) AS ch1_mean,
+         |  round(coalesce(m2, 0.0), 6) AS ch2_mean,
          |  md5(text) AS checksum
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin)
 }

@@ -386,7 +386,16 @@ object Similarity extends QueryModule {
         .select(col("vec_id"),
           (expr("150000000000 DIV n") + coalesce(col("inflow12"), lit(0L))).as("r12"))
     }
-    r.select(col("vec_id"),
+    // Materialize the final n-row vector, then release the edge cache: the
+    // caller's action now reads ONE tiny InMemoryRelation instead of
+    // keeping the full edge frame pinned in executor memory after the
+    // query — at a 100× node set the leaked edge cache is real memory.
+    // The final vector itself stays cached (it IS the result the returned
+    // plan reads); CacheCleanupSpec pins the ≤1-frame invariant.
+    val fin = r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fin.count()
+    edges.unpersist(false)
+    fin.select(col("vec_id"),
         (col("r12").cast("double") / lit(1e12)).as("pagerank"))
       .orderBy("vec_id")
   }
@@ -421,12 +430,20 @@ object Similarity extends QueryModule {
     val nn = broadcast(nodeList.agg(count(lit(1)).as("n")))
     var r = nodeList.crossJoin(nn)
       .select(col("vec_id"), expr("1000000000000 DIV n").as("r12"))
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to RankIters) {
       // each round consumes r TWICE (inflow join + dangling scalar);
       // without a persist the lineage re-executes ~2^round times (measured
       // 16.5 s vs 2.2 s for the single-consumer variant at sf0.1). The
-      // cache is one n-row integer vector per round — trivially small.
+      // cache is one n-row integer vector per round — trivially small —
+      // but rounds must not ACCUMULATE: materialize round N (count), then
+      // unpersist round N−1, so at any moment at most two vectors are
+      // cached instead of RankIters of them (leaked executor memory at a
+      // 100× node set).
       r = r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      prev.foreach(_.unpersist(false))
+      prev = Some(r)
       val inflow = edges.join(deg, "src")
         .join(r.select(col("vec_id").as("src"), col("r12")), "src")
         .select(col("dst"), expr("r12 * 85 DIV (100 * deg)").as("c12"))
@@ -440,7 +457,16 @@ object Similarity extends QueryModule {
           (expr("150000000000 DIV n") + coalesce(col("inflow12"), lit(0L)) +
             expr("dmass12 * 85 DIV (100 * n)")).as("r12"))
     }
-    r.select(col("vec_id"),
+    // Materialize the final vector, then release every superseded frame:
+    // the last round's cached input, the edge list, and the degree table.
+    // The returned plan reads only the one materialized n-row vector
+    // (CacheCleanupSpec pins the ≤1-frame invariant).
+    val fin = r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fin.count()
+    prev.foreach(_.unpersist(false))
+    edges.unpersist(false)
+    deg.unpersist(false)
+    fin.select(col("vec_id"),
         (col("r12").cast("double") / lit(1e12)).as("pagerank"))
       .orderBy("vec_id")
   }

@@ -147,24 +147,40 @@ object TextOps extends QueryModule {
     * documents scan; every ratio pre-rounds to 4 decimals so downstream
     * rank orders are engine-stable.
     */
-  private def qualityFrame(s: SparkSession, dir: String): DataFrame = {
+  private def qualityFrame(s: SparkSession, dir: String): DataFrame =
+    qualityOf(Tables.documents(s, dir))
+
+  /** The same per-row scoring over an explicit documents frame — streaming
+    * safe (pure row-local expressions, no window/aggregate), shared with
+    * the [[graft.streaming.Streaming.domainCapViaState]] twin.
+    */
+  private[graft] def qualityOf(docs: DataFrame): DataFrame = {
     val stops = array(stopwords.map(lit): _*)
-    Tables.documents(s, dir)
+    // Zero-token guard: Spark's non-ANSI x/0 yields NULL where DuckDB's
+    // IEEE division yields NaN, and the two also sort differently under
+    // `quality DESC` — so the n_tokens = 0 case must never reach a
+    // division in EITHER engine. Ratios divide by greatest(n_tokens, 1)
+    // (numerators are 0 for an empty doc, so every ratio pins to 0.0) and
+    // quality pins to 0.0 outright. Mirrored in the txt_quality /
+    // txt_domain_cap oracle SQL.
+    val denom = greatest(size(col("toks")), lit(1))
+    docs
       .select(col("doc_id"), col("source"), col("n_chars"),
         tokens(col("text")).as("toks"))
       .select(
         col("doc_id"), col("source"), col("n_chars"),
         size(col("toks")).as("n_tokens"),
         round(size(filter(col("toks"), t => array_contains(stops, t)))
-          .cast("double") / size(col("toks")), 4).as("stopword_ratio"),
+          .cast("double") / denom, 4).as("stopword_ratio"),
         round(size(filter(col("toks"), t => length(t) <= 2))
-          .cast("double") / size(col("toks")), 4).as("short_ratio"),
+          .cast("double") / denom, 4).as("short_ratio"),
         round(size(array_distinct(col("toks")))
-          .cast("double") / size(col("toks")), 4).as("distinct_ratio"))
+          .cast("double") / denom, 4).as("distinct_ratio"))
       .withColumn("quality",
-        round(least(lit(1.0), col("n_tokens") / lit(100.0)) * lit(0.4)
-          + col("distinct_ratio") * lit(0.4)
-          + (lit(1.0) - col("short_ratio")) * lit(0.2), 4))
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(least(lit(1.0), col("n_tokens") / lit(100.0)) * lit(0.4)
+            + col("distinct_ratio") * lit(0.4)
+            + (lit(1.0) - col("short_ratio")) * lit(0.2), 4)))
   }
 
   /** Per-document quality signals + a composite score — the length /
@@ -177,7 +193,7 @@ object TextOps extends QueryModule {
         "short_ratio", "distinct_ratio", "quality")
       .orderBy("doc_id")
 
-  private val DomainCap = 15 // per-source quality budget
+  private[graft] val DomainCap = 15 // per-source quality budget
 
   /** C4/RefinedWeb-style per-domain cap: keep at most [[DomainCap]] docs
     * per source, highest [[qualityFrame]] composite first — the
@@ -193,8 +209,15 @@ object TextOps extends QueryModule {
     * domain (at 100 TB a hot domain is millions of docs; the naive
     * per-source window pins them onto one task).
     */
-  def domainCap(s: SparkSession, dir: String): DataFrame = {
-    val scored = qualityFrame(s, dir).select("doc_id", "source", "quality")
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    domainCapOf(qualityFrame(s, dir).select("doc_id", "source", "quality"))
+
+  /** The salted two-phase top-k over an explicit (doc_id, source, quality)
+    * frame — factored for fixture tests with constructed scores (cap-
+    * boundary quality ties, hot-domain skew) and the equivalence property
+    * check against the naive single-window formulation.
+    */
+  private[graft] def domainCapOf(scored: DataFrame, cap: Int = DomainCap): DataFrame = {
     val local = Window.partitionBy("source", "salt")
       .orderBy(col("quality").desc, col("doc_id").asc)
     val global = Window.partitionBy("source")
@@ -202,9 +225,9 @@ object TextOps extends QueryModule {
     scored
       .withColumn("salt", pmod(col("doc_id"), lit(64)))
       .withColumn("lrnk", row_number().over(local))
-      .filter(col("lrnk") <= DomainCap)
+      .filter(col("lrnk") <= cap)
       .withColumn("rnk", row_number().over(global))
-      .filter(col("rnk") <= DomainCap)
+      .filter(col("rnk") <= cap)
       .select(col("source"), col("rnk"), col("doc_id"), col("quality"))
       .orderBy("source", "rnk")
   }
@@ -1441,9 +1464,11 @@ object TextOps extends QueryModule {
     "txt_domain_cap" ->
       s"""WITH scored AS (
          |  SELECT doc_id, source,
-         |    round(least(1.0, len(toks) / 100.0) * 0.4
-         |      + round(len(list_distinct(toks))::DOUBLE / len(toks), 4) * 0.4
-         |      + (1.0 - round(len(list_filter(toks, t -> length(t) <= 2))::DOUBLE / len(toks), 4)) * 0.2, 4) AS quality
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      round(least(1.0, len(toks) / 100.0) * 0.4
+         |        + round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 4) * 0.4
+         |        + (1.0 - round(len(list_filter(toks, t -> length(t) <= 2))::DOUBLE / greatest(len(toks), 1), 4)) * 0.2, 4)
+         |    END AS quality
          |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)
          |), ranked AS (
          |  SELECT source, doc_id, quality,
@@ -1455,12 +1480,14 @@ object TextOps extends QueryModule {
     "txt_quality" ->
       s"""SELECT doc_id, n_chars,
          |  len(toks)::INT AS n_tokens,
-         |  round(len(list_filter(toks, t -> t IN $stopsSql))::DOUBLE / len(toks), 4) AS stopword_ratio,
-         |  round(len(list_filter(toks, t -> length(t) <= 2))::DOUBLE / len(toks), 4) AS short_ratio,
-         |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio,
-         |  round(least(1.0, len(toks) / 100.0) * 0.4
-         |    + round(len(list_distinct(toks))::DOUBLE / len(toks), 4) * 0.4
-         |    + (1.0 - round(len(list_filter(toks, t -> length(t) <= 2))::DOUBLE / len(toks), 4)) * 0.2, 4) AS quality
+         |  round(len(list_filter(toks, t -> t IN $stopsSql))::DOUBLE / greatest(len(toks), 1), 4) AS stopword_ratio,
+         |  round(len(list_filter(toks, t -> length(t) <= 2))::DOUBLE / greatest(len(toks), 1), 4) AS short_ratio,
+         |  round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 4) AS distinct_ratio,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    round(least(1.0, len(toks) / 100.0) * 0.4
+         |      + round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 4) * 0.4
+         |      + (1.0 - round(len(list_filter(toks, t -> length(t) <= 2))::DOUBLE / greatest(len(toks), 1), 4)) * 0.2, 4)
+         |  END AS quality
          |FROM (SELECT doc_id, n_chars, $toksSql AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "txt_langid" ->

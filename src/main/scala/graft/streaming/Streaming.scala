@@ -51,6 +51,21 @@ final case class UpsertAction(o_orderkey: Long, o_totalprice: Double,
 /** A per-(doc, trigram) novelty verdict from [[Streaming.noveltyViaState]]. */
 final case class TriNovel(doc_id: Long, novel: Boolean)
 
+/** One doc held in a source's bounded top-k state ([[Streaming.domainCapViaState]]). */
+final case class CapDoc(quality: Double, doc_id: Long)
+
+/** Per-source running top-k state: a monotone update counter plus the ≤ cap
+  * currently-kept docs — NEVER more, whatever the domain's size.
+  */
+final case class CapState(seq: Long, kept: Seq[CapDoc])
+
+/** One currently-kept doc emitted by [[Streaming.domainCapViaState]] after a
+  * micro-batch touched its source; `seq` identifies the source's latest
+  * emission (rows with the source's max seq ARE its current keep-list).
+  */
+final case class DomainKeep(source: String, rnk: Int, doc_id: Long,
+    quality: Double, seq: Long)
+
 /** Structured Streaming surface: the same event-time semantics as the batch
   * [[graft.ops.Streamish]] battery, expressed incrementally —
   * `readStream` → transforms → `writeStream`. The reference has no streaming
@@ -435,6 +450,46 @@ object Streaming {
           else {
             state.update(arrived.head)
             arrived.iterator.map(d => TriNovel(d, d == arrived.head))
+          }
+      }
+  }
+
+  /** Streaming twin of txt_domain_cap: the per-source quality budget kept
+    * RUNNING as the corpus arrives. Quality is the same row-local scoring
+    * expression set as the batch operator ([[graft.ops.TextOps.qualityOf]]
+    * — no window, streaming-legal); the cap is one bounded state row per
+    * source holding its current top-[[graft.ops.TextOps.DomainCap]] docs
+    * by (quality DESC, doc_id ASC). Each micro-batch merges that source's
+    * arrivals into the kept list — a doc admitted earlier is evicted the
+    * moment a better one lands, which is why this is Update-mode (the
+    * keep-list is revised, not appended): every emission re-states the
+    * source's CURRENT list tagged with a monotone `seq`, and the rows at a
+    * source's max seq are its accumulated keep-list (StreamingSpec pins
+    * that set ≡ batch txt_domain_cap across 3 micro-batches).
+    *
+    * Scale shape: state is ≤ cap (quality, doc_id) pairs + one counter per
+    * source — bytes per domain, hash-partitioned by source; arrivals
+    * stream through one sort-merge of (cap + batch-arrivals) elements per
+    * touched source. The salted two-phase trick the batch plan needs
+    * (no single task may sort a hot domain) is unnecessary here: a
+    * micro-batch's per-source fan-in is already bounded by the trigger.
+    */
+  def domainCapViaState(s: SparkSession, docs: DataFrame): Dataset[DomainKeep] = {
+    import s.implicits._
+    graft.ops.TextOps.qualityOf(docs)
+      .select(col("source"), col("doc_id"), col("quality"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Double)], state: GroupState[CapState]) =>
+          val prev = state.getOption.getOrElse(CapState(0L, Nil))
+          val merged = (prev.kept ++ rows.map(r => CapDoc(r._3, r._2)))
+            .sortBy(d => (-d.quality, d.doc_id))
+            .take(graft.ops.TextOps.DomainCap)
+          val next = CapState(prev.seq + 1, merged)
+          state.update(next)
+          merged.iterator.zipWithIndex.map { case (d, i) =>
+            DomainKeep(source, i + 1, d.doc_id, d.quality, next.seq)
           }
       }
   }

@@ -1004,4 +1004,95 @@ class OpsSpec extends AnyFunSuite {
     val expSim = 1.0 - lev.toDouble / math.max(t1.length, t2.length)
     assert(math.abs(out.head._4 - expSim) < 1e-3)
   }
+
+  /** The naive single-window formulation of the per-source cap — the
+    * semantic reference [[TextOps.domainCapOf]]'s salted two-phase plan
+    * must reproduce exactly.
+    */
+  private def naiveDomainCap(rows: Seq[(Long, String, Double)],
+      cap: Int): Seq[(String, Int, Long, Double)] =
+    rows.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+      docs.sortBy(d => (-d._3, d._1)).take(cap).zipWithIndex
+        .map { case ((id, _, q), i) => (src, i + 1, id, q) }
+    }.sortBy(r => (r._1, r._2))
+
+  test("txt_domain_cap: cap-boundary quality tie across salt lanes breaks by doc_id") {
+    import spark.implicits._
+    // Source "a": 19 docs. Ranks 1-10 distinct qualities (ids 1-10), ranks
+    // 11-13 distinct (ids 65-67 — SAME salt lanes as ids 1-3, since salt =
+    // doc_id % 64), then a FOUR-way tie at quality 0.4 (ids 68-71, lanes
+    // 4-7) straddling the cap-15 boundary: ids 68,69 must take ranks 14,15
+    // and ids 70,71 must be cut, purely on the doc_id tie-break. Ids 72-73
+    // sit below the tie and must also be cut. Source "b" is under the cap
+    // entirely.
+    val rows =
+      (1 to 10).map(i => (i.toLong, "a", math.rint((1.0 - 0.01 * i) * 100) / 100)) ++
+        Seq((65L, "a", 0.5), (66L, "a", 0.49), (67L, "a", 0.48),
+          (68L, "a", 0.4), (69L, "a", 0.4), (70L, "a", 0.4), (71L, "a", 0.4),
+          (72L, "a", 0.3), (73L, "a", 0.2),
+          (200L, "b", 0.8), (201L, "b", 0.7), (202L, "b", 0.6))
+    val out = TextOps.domainCapOf(rows.toDF("doc_id", "source", "quality"))
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(out === naiveDomainCap(rows, 15))
+    val aKept = out.filter(_._1 == "a")
+    assert(aKept.size === 15)
+    assert(aKept.filter(_._4 == 0.4).map(_._3) === Seq(68L, 69L)) // tie-break
+    assert(!out.exists(r => Seq(70L, 71L, 72L, 73L).contains(r._3)))
+    assert(out.filter(_._1 == "b").map(r => (r._2, r._3)) ===
+      Seq((1, 200L), (2, 201L), (3, 202L)))
+  }
+
+  test("txt_domain_cap: hot single-lane domain — two-phase equals naive") {
+    import spark.implicits._
+    // 80 docs of one source ALL in salt lane 0 (doc_id = 64·k): the local
+    // phase must prune the lane to its top-15 WITHOUT losing any doc the
+    // global rank would keep, under heavy quality ties (3 distinct values).
+    val rows = (0 until 80).map(k => (64L * k, "hot", 0.3 + 0.1 * (k % 3)))
+    val out = TextOps.domainCapOf(rows.toDF("doc_id", "source", "quality"))
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(out === naiveDomainCap(rows, 15))
+  }
+
+  test("txt_domain_cap: salted two-phase equals naive single-window on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      ids <- Gen.pick(n, 0L until 400L)
+      srcs <- Gen.listOfN(n, Gen.oneOf("s1", "s2", "s3"))
+      qs <- Gen.listOfN(n, Gen.choose(0, 6).map(_ / 10.0)) // coarse → ties
+    } yield ids.toList.zip(srcs).zip(qs).map { case ((i, s), q) => (i, s, q) }
+    val prop = Prop.forAll(gen) { rows =>
+      val out = TextOps.domainCapOf(rows.toDF("doc_id", "source", "quality"))
+        .as[(String, Int, Long, Double)].collect().toSeq
+      out == naiveDomainCap(rows, 15)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("mm_typed_decode: header magic + interleaved channel means on constructed payloads") {
+    import spark.implicits._
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    // image (3 ch), payload bytes = 0..19: magic 00010203; body idx 8..19
+    // interleaves ch0 {8,11,14,17}→12.5, ch1 {9,12,15,18}→13.5,
+    // ch2 {10,13,16,19}→14.5
+    val img = graft.ops.MediaAsset(1L, "image", (0 until 20).map(_.toByte).toArray)
+    // audio (2 ch), payload bytes = 0..13: body idx 8..13 → ch0 {8,10,12}
+    // → 10.0, ch1 {9,11,13} → 11.0; ch2 has no bytes → pinned 0.0
+    val aud = graft.ops.MediaAsset(2L, "audio", (0 until 14).map(_.toByte).toArray)
+    // text shorter than the header: magic emits the 2 bytes that exist,
+    // empty body → every channel mean pinned 0.0
+    val tiny = graft.ops.MediaAsset(3L, "text", Array[Byte](0x41, 0x42))
+    val out = graft.ops.Multimodal.typedDecodeOf(Seq(img, aud, tiny).toDS())
+      .orderBy("doc_id")
+      .as[(Long, String, Int, String, Int, Double, Double, Double, String)]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, "image", 20, "00010203", 3, 12.5, 13.5, 14.5, md5hex(img.payload)),
+      (2L, "audio", 14, "00010203", 2, 10.0, 11.0, 0.0, md5hex(aud.payload)),
+      (3L, "text", 2, "4142", 1, 0.0, 0.0, 0.0, md5hex(tiny.payload))))
+  }
 }

@@ -431,6 +431,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming per-source top-k cap accumulates to the batch txt_domain_cap") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 doc_id-ordered micro-batches: a doc admitted in an early batch must
+    // be EVICTED when a later batch lands a higher-quality one — the final
+    // (max-seq) emission per source is the accumulated keep-list and must
+    // equal the batch operator exactly.
+    val src = "/tmp/graft-stream-src-domaincap"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val docs = Tables.documents(spark, dir)
+    val chunked = docs.withColumn("chunk", ntile(3).over(W.orderBy("doc_id")))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val keeps = runToMemory(
+      Streaming.domainCapViaState(spark, stream).toDF(), "t_domaincap", "update")
+    // rows at each source's max seq are its final keep-list
+    val latest = keeps
+      .withColumn("max_seq", max("seq").over(W.partitionBy("source")))
+      .filter(col("seq") === col("max_seq"))
+    val got = latest.select("source", "rnk", "doc_id", "quality")
+      .as[(String, Int, Long, Double)].collect().toSeq.sorted
+    val want = graft.ops.TextOps.domainCap(spark, dir)
+      .as[(String, Int, Long, Double)].collect().toSeq.sorted
+    assert(got === want)
+    // bounded-state contract: no source ever emits more than cap rows per seq
+    val maxPerEmit = keeps.groupBy("source", "seq").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxPerEmit <= graft.ops.TextOps.DomainCap)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
