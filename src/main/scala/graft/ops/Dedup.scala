@@ -800,8 +800,72 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------- dd_substring
+
+  private val SubK = 20 // verbatim-run detection window (tokens)
+
+  /** Exact substring dedup — every maximal verbatim token run shared by two
+    * documents, the ExactSubstr granularity of "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al., 2021): their suffix-array
+    * pass finds ≥50-token verbatim runs; here the same runs (scaled to the
+    * fixture's 10–99-token docs via [[SubK]]=20) fall out relationally,
+    * with no suffix array and no all-pairs work:
+    *
+    *  1. every [[SubK]]-token window hashes to an md5 digest (posexplode +
+    *     lead() over the per-doc position window — the [[passageShingles]]
+    *     shape, one codegen'd md5 projection, positions kept);
+    *  2. cross-doc matches come from the digest self-join, occurrence-
+    *     pruned to [2, [[DfCap]]] (a window hash occurring in more
+    *     positions is boilerplate; the cap also bounds join fan-out at
+    *     DfCap² pairs per digest — matching windows inside a pruned run
+    *     split it, identically in both engines);
+    *  3. consecutive matching windows lie on one DIAGONAL (pa − pb
+    *     constant), so gaps-and-islands (the ev_streaks anchor trick:
+    *     pa − row_number is constant within a run) groups them into
+    *     maximal runs of run_tokens = windows + SubK − 1.
+    *
+    * Scale shape: shuffles carry (digest, doc, pos) — never token text; the
+    * occurrence count rides a window over the digest hash partitioning; the
+    * island window partitions on high-cardinality (doc_a, doc_b, diagonal).
+    * All-BIGINT output, exact in both engines.
+    */
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupOf(Tables.documents(s, dir))
+
+  private[graft] def substringDedupOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (2 to SubK).map(i => lead("t", i - 1).over(w).as(s"t$i"))
+    // persist AFTER the occurrence filter (the containmentOf lesson): the
+    // frame feeds both self-join sides and caches only rare-digest rows
+    val rare = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id") +: col("pos") +: col("t") +: leads: _*)
+      .filter(col(s"t$SubK").isNotNull)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5(concat_ws(" ", col("t") +: (2 to SubK).map(i => col(s"t$i")): _*)).as("wh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("wh")))
+      .filter(col("df").between(2, DfCap))
+      .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = rare.as("a").join(rare.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val iw = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+      .orderBy("pa")
+    m.withColumn("anchor", col("pa") - row_number().over(iw))
+      .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"),
+        col("anchor"))
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (count(lit(1)) + lit(SubK - 1)).as("run_tokens"))
+      .select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_containment" -> (containment(_, _)),
+    "dd_substring" -> (substringDedup(_, _)),
     "dd_exact" -> (exactDedup(_, _)),
     "dd_incremental" -> (incrementalDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
@@ -1121,6 +1185,31 @@ object Dedup extends QueryModule {
          |  round(inter::DOUBLE / least(na, nb), 4) AS containment
          |FROM agg WHERE inter::DOUBLE / least(na, nb) >= $ContainT
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_substring" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), w AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(list_slice(toks, i, i + $SubK - 1), ' ')) AS wh
+         |  FROM t, unnest(range(1, len(toks) - $SubK + 2)) AS u(i)
+         |  WHERE len(toks) >= $SubK
+         |), rare AS (
+         |  SELECT doc_id, pos, wh FROM (
+         |    SELECT doc_id, pos, wh, count(*) OVER (PARTITION BY wh) AS df FROM w
+         |  ) WHERE df BETWEEN 2 AND $DfCap
+         |), m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         |  FROM rare a JOIN rare b ON a.wh = b.wh AND a.doc_id < b.doc_id
+         |), isl AS (
+         |  SELECT doc_a, doc_b, pa, pb,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa)
+         |      AS anchor
+         |  FROM m
+         |)
+         |SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+         |  count(*) + $SubK - 1 AS run_tokens
+         |FROM isl GROUP BY doc_a, doc_b, pa - pb, anchor
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
     "dd_passage_decontaminate" -> passageDecontSql,
     // same answer by construction — the bloom is a plan-only pre-filter
     "dd_bloom_decontaminate" -> passageDecontSql,

@@ -344,6 +344,84 @@ class OpsSpec extends AnyFunSuite {
     assert(rounds <= 12, s"expected logarithmic convergence, took $rounds rounds")
   }
 
+  test("dd_substring: maximal verbatim runs with planted mid-doc overlap, full dup, and exact-K run") {
+    import spark.implicits._
+    // K = 20. Token streams built from unique synthetic tokens so nothing
+    // matches by accident; the planted run "r1..r25" sits at offset 8 in
+    // doc 1 and offset 4 in doc 2.
+    val run25 = (1 to 25).map(i => s"r$i")
+    val doc1 = (1 to 7).map(i => s"a$i") ++ run25 ++ (1 to 8).map(i => s"z$i") // 40 toks
+    val doc2 = (1 to 3).map(i => s"b$i") ++ run25 ++ (1 to 22).map(i => s"y$i")
+    val doc3 = doc1 // exact duplicate of doc 1
+    val doc4 = (1 to 30).map(i => s"c$i")
+    val doc5 = (1 to 5).map(i => s"d$i") ++ (6 to 25).map(i => s"c$i") // 20-tok run vs doc4 tail
+    val doc6 = (1 to 10).map(i => s"e$i") // shorter than K — excluded
+    val docs = Seq(
+      (1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4), (5L, doc5), (6L, doc6)
+    ).map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val out = Dedup.substringDedupOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 2L, 8L, 4L, 25L),   // the planted mid-doc run, exact offsets
+      (1L, 3L, 1L, 1L, 40L),   // whole-doc run for the exact duplicate
+      (2L, 3L, 4L, 8L, 25L),   // dup doc inherits the planted run
+      (4L, 5L, 6L, 6L, 20L)))  // run of exactly K tokens = one window
+  }
+
+  test("dd_substring: island decomposition matches a brute-force maximal-run scan on a random corpus") {
+    import spark.implicits._
+    // Random docs over a wide vocab (no accidental K-windows), then copy
+    // random >= K-token segments between docs to plant shared runs.
+    val rnd = new scala.util.Random(1234)
+    val K = 20
+    val base = (0 until 12).map { id =>
+      id.toLong -> Array.fill(40 + rnd.nextInt(60))(s"v${rnd.nextInt(5000)}")
+    }.toMap
+    val planted = (0 until 10).foldLeft(base) { (acc, _) =>
+      val from = rnd.nextInt(12).toLong; val to = rnd.nextInt(12).toLong
+      if (from == to) acc else {
+        val src = acc(from); val dst = acc(to)
+        val len = K + rnd.nextInt(15)
+        if (src.length < len || dst.length < len) acc else {
+          val sOff = rnd.nextInt(src.length - len + 1)
+          val dOff = rnd.nextInt(dst.length - len + 1)
+          acc.updated(to, dst.patch(dOff, src.slice(sOff, sOff + len), len))
+        }
+      }
+    }
+    // brute force: per pair, scan every diagonal for maximal equal-token
+    // runs of length >= K — the ExactSubstr definition, no hashing
+    val expected = (for {
+      a <- planted.keys; b <- planted.keys if a < b
+      ta = planted(a); tb = planted(b)
+      d <- -(tb.length - 1) to (ta.length - 1)
+      runs = {
+        val lo = math.max(0, d); val hi = math.min(ta.length, tb.length + d)
+        val buf = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long, Long)]()
+        var i = lo; var runStart = -1
+        while (i <= hi) {
+          val eq = i < hi && ta(i) == tb(i - d)
+          if (eq && runStart < 0) runStart = i
+          if (!eq && runStart >= 0) {
+            val len = i - runStart
+            if (len >= K)
+              buf += ((a, b, runStart + 1L, runStart - d + 1L, len.toLong))
+            runStart = -1
+          }
+          i += 1
+        }
+        buf.toList
+      }
+      r <- runs
+    } yield r).toSet
+    val docsDf = planted.toSeq
+      .map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.substringDedupOf(docsDf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must plant at least one shared run")
+    assert(got === expected)
+  }
+
   test("dd_survivors: keep-list covers the corpus exactly once via merge counts") {
     import spark.implicits._
     val total = Tables.documents(spark, dir).count()
