@@ -851,6 +851,14 @@ object Dedup extends QueryModule {
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
+    substringIslandsOf(m)
+  }
+
+  /** Gaps-and-islands run extension over window matches
+    * (doc_a, doc_b, pa, pb) — shared by the batch operator and the
+    * streaming twin's epilogue (the stream emits exactly these match rows).
+    */
+  private[graft] def substringIslandsOf(m: DataFrame): DataFrame = {
     val iw = Window
       .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
       .orderBy("pa")
@@ -862,6 +870,12 @@ object Dedup extends QueryModule {
       .select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")
       .orderBy("doc_a", "doc_b", "a_start", "b_start")
   }
+
+  /** The [[SubK]] window width and [[DfCap]] occurrence cap, exposed for the
+    * streaming twin so the two paths cannot drift.
+    */
+  private[graft] def subWindowK: Int = SubK
+  private[graft] def subDfCap: Int = DfCap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_containment" -> (containment(_, _)),

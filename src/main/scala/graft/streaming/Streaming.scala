@@ -66,6 +66,22 @@ final case class CapState(seq: Long, kept: Seq[CapDoc])
 final case class DomainKeep(source: String, rnk: Int, doc_id: Long,
     quality: Double, seq: Long)
 
+/** One (doc_id, pos) occurrence of a window digest, held in that digest's
+  * bounded state ([[Streaming.substringMatchesViaState]]).
+  */
+final case class WinOcc(doc_id: Long, pos: Long)
+
+/** Per-digest substring-twin state: occurrences seen so far, or a poisoned
+  * marker once the occurrence cap is crossed (occurrence list dropped).
+  */
+final case class SubWinState(occ: Seq[WinOcc], poisoned: Boolean)
+
+/** A cross-doc window match (or a `poison` tombstone retracting every match
+  * of `wh`) emitted by [[Streaming.substringMatchesViaState]].
+  */
+final case class WinMatch(wh: String, doc_a: Long, doc_b: Long,
+    pa: Long, pb: Long, poison: Boolean)
+
 /** Structured Streaming surface: the same event-time semantics as the batch
   * [[graft.ops.Streamish]] battery, expressed incrementally —
   * `readStream` → transforms → `writeStream`. The reference has no streaming
@@ -490,6 +506,70 @@ object Streaming {
           state.update(next)
           merged.iterator.zipWithIndex.map { case (d, i) =>
             DomainKeep(source, i + 1, d.doc_id, d.quality, next.seq)
+          }
+      }
+  }
+
+  /** Streaming twin of dd_substring's window-match stage: the per-digest
+    * inverted index kept as state. Window digests derive per-row (a
+    * transform over the token array — no cross-row window, which streaming
+    * disallows; same digests as the batch lead-window projection); each
+    * digest's state holds the ≤ [[graft.ops.Dedup.subDfCap]] (doc, pos)
+    * occurrences seen so far, and a micro-batch's arrivals emit exactly the
+    * NEW cross-doc matches (new×old ∪ new×new, oriented doc_a < doc_b).
+    * When a digest's occurrences cross the cap it is POISONED: the
+    * occurrence list drops to a boolean and one tombstone row retracts
+    * every match of that digest — the streaming form of the batch
+    * occurrence-pruning, which must drop already-joined pairs
+    * retroactively. The accumulated non-poisoned matches are EXACTLY the
+    * batch operator's `m` frame, so
+    * [[graft.ops.Dedup.substringIslandsOf]] over them reproduces
+    * dd_substring bit-for-bit (pinned by StreamingSpec across 3
+    * micro-batches).
+    *
+    * Scale shape: state is ≤ cap 16-byte occurrences per digest (poisoned
+    * digests: one boolean), hash-partitioned by digest; per-batch work per
+    * digest is ≤ cap² pair constructions — the same fan-out bound as the
+    * batch self-join.
+    */
+  def substringMatchesViaState(s: SparkSession, docs: DataFrame): Dataset[WinMatch] = {
+    import s.implicits._
+    val k = graft.ops.Dedup.subWindowK
+    val cap = graft.ops.Dedup.subDfCap
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        graft.functions.Exprs.boundedSequence(lit(1), size(col("toks")) - (k - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+        .as(Seq("off", "wh")))
+      .select(col("wh"), col("doc_id"), (col("off") + 1).cast("long").as("pos"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (wh: String, rows: Iterator[(String, Long, Long)], state: GroupState[SubWinState]) =>
+          val prev = state.getOption.getOrElse(SubWinState(Nil, poisoned = false))
+          if (prev.poisoned) Iterator.empty // tombstone already emitted
+          else {
+            val arrived = rows.map(r => WinOcc(r._2, r._3)).toSeq
+            val merged = prev.occ ++ arrived
+            if (merged.size > cap) {
+              state.update(SubWinState(Nil, poisoned = true))
+              Iterator.single(WinMatch(wh, -1L, -1L, -1L, -1L, poison = true))
+            } else {
+              state.update(SubWinState(merged, poisoned = false))
+              def orient(x: WinOcc, y: WinOcc): WinMatch =
+                if (x.doc_id < y.doc_id) WinMatch(wh, x.doc_id, y.doc_id, x.pos, y.pos, poison = false)
+                else WinMatch(wh, y.doc_id, x.doc_id, y.pos, x.pos, poison = false)
+              val newOld = for (x <- arrived; y <- prev.occ if x.doc_id != y.doc_id)
+                yield orient(x, y)
+              val newNew = for {
+                (x, i) <- arrived.zipWithIndex; y <- arrived.drop(i + 1)
+                if x.doc_id != y.doc_id
+              } yield orient(x, y)
+              (newOld ++ newNew).iterator
+            }
           }
       }
   }

@@ -467,6 +467,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(maxPerEmit <= graft.ops.TextOps.DomainCap)
   }
 
+  test("streaming window-match state + island epilogue accumulates to the batch dd_substring") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 micro-batches: matches between docs in DIFFERENT batches must come
+    // from state (new x old), and a digest crossing the occurrence cap in a
+    // LATE batch must retract matches already emitted in earlier ones. The
+    // natural fixture never crosses DfCap, so plant cap+1 docs sharing one
+    // 20-token window; hash-ordered chunking spreads them across batches so
+    // early batches emit matches of that digest before the cap poisons it.
+    val src = "/tmp/graft-stream-src-substring"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val ptext = (0 until graft.ops.Dedup.subWindowK).map(i => s"zzpois$i").mkString(" ")
+    val poison = spark.range(graft.ops.Dedup.subDfCap + 1).select(
+      (col("id") + 1000000L).as("doc_id"), lit(ptext).as("text"),
+      lit("xx").as("lang"), lit("poison").as("source"),
+      lit(ptext.length.toLong).as("n_chars"))
+    val docs = Tables.documents(spark, dir).unionByName(poison)
+    val chunked = docs.withColumn("chunk",
+      ntile(3).over(W.orderBy(md5(col("doc_id").cast("string")))))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val emitted = runToMemory(
+      Streaming.substringMatchesViaState(spark, stream).toDF(),
+      "t_substring", "append")
+    // Collect locally (small fixture) to apply tombstone retraction without
+    // self-joining the memory sink, whose reused attributes conflict.
+    val rows = emitted
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    val poisonedWh = rows.filter(_._6).map(_._1).toSet
+    assert(poisonedWh.nonEmpty, "fixture must cross the occurrence cap")
+    val matches = rows
+      .filter(r => !r._6 && !poisonedWh(r._1))
+      .map(r => (r._2, r._3, r._4, r._5))
+      .toDF("doc_a", "doc_b", "pa", "pb")
+    val got = graft.ops.Dedup.substringIslandsOf(matches)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = graft.ops.Dedup.substringDedupOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(want.nonEmpty, "fixture must contain shared runs")
+    assert(got === want)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
