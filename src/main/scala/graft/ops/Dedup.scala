@@ -877,9 +877,42 @@ object Dedup extends QueryModule {
   private[graft] def subWindowK: Int = SubK
   private[graft] def subDfCap: Int = DfCap
 
+  // ---------------------------------------------- dd_cdc_dedup
+
+  private val CdcMinTok = 10 // ignore chunks too short to be meaningful dups
+
+  /** Chunk-level dedup over [[TextOps.cdcChunksOf]]'s content-defined
+    * chunks — the dedup-storage view of the corpus: every chunk (≥
+    * [[CdcMinTok]] tokens) whose exact text recurs in ≥ 2 distinct
+    * documents, with its occurrence and document counts. Because CDC
+    * boundaries re-align after edits, a near-duplicate document pair shows
+    * up here as its SHARED chunks (the storage actually saved by chunk-
+    * level dedup) without any pairwise comparison — the detection side of
+    * an rsync/LBFS-style deduplicating store, and the chunk-granular
+    * complement of dd_substring's run granularity.
+    *
+    * Scale shape: inherits [[TextOps.cdcChunksOf]]'s per-doc window shape,
+    * then ONE hash aggregate keyed by (chunk_hash, n_tokens) — count and
+    * count-distinct ride map-side partials; no join at all. Output is
+    * bounded by the number of distinct duplicated chunks.
+    */
+  def cdcDedup(s: SparkSession, dir: String): DataFrame =
+    cdcDedupOf(TextOps.cdcChunksOf(Tables.documents(s, dir)))
+
+  private[graft] def cdcDedupOf(chunks: DataFrame): DataFrame =
+    chunks.filter(col("n_tokens") >= CdcMinTok)
+      .groupBy("chunk_hash", "n_tokens")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .select("chunk_hash", "n_tokens", "n_occ", "n_docs", "first_doc")
+      .orderBy("chunk_hash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_containment" -> (containment(_, _)),
     "dd_substring" -> (substringDedup(_, _)),
+    "dd_cdc_dedup" -> (cdcDedup(_, _)),
     "dd_exact" -> (exactDedup(_, _)),
     "dd_incremental" -> (incrementalDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
@@ -1224,6 +1257,13 @@ object Dedup extends QueryModule {
          |  count(*) + $SubK - 1 AS run_tokens
          |FROM isl GROUP BY doc_a, doc_b, pa - pb, anchor
          |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+    "dd_cdc_dedup" ->
+      s"""WITH ${TextOps.cdcChunksCtesSql}
+         |SELECT chunk_hash, n_tokens, count(*)::BIGINT AS n_occ,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id) AS first_doc
+         |FROM chunks WHERE n_tokens >= $CdcMinTok
+         |GROUP BY chunk_hash, n_tokens HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
     "dd_passage_decontaminate" -> passageDecontSql,
     // same answer by construction — the bloom is a plan-only pre-filter
     "dd_bloom_decontaminate" -> passageDecontSql,

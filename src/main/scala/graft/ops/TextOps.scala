@@ -953,6 +953,86 @@ object TextOps extends QueryModule {
           slice(col("toks"), col("start") + 1, col("chunk_len")))).as("fp"))
   }
 
+  // -------------------------------------------------------- txt_cdc_chunks
+
+  private[graft] val CdcW = 4 // boundary-decision window (tokens)
+
+  /** Content-defined chunking — variable-size chunk boundaries placed where
+    * a rolling window hash hits a fixed pattern, the storage/dedup-layer
+    * primitive (LBFS/rsync lineage) that [[chunkWindows]]' fixed windows
+    * cannot provide: because a boundary depends only on the LOCAL last-
+    * [[CdcW]]-token window, inserting or deleting text shifts positions but
+    * every chunk past the next surviving boundary re-aligns byte-for-byte —
+    * so incremental re-processing and chunk-level dedup stay stable under
+    * edits (fixed windows re-cut the whole document). A cut falls after
+    * token `pos` when `md5` of the window ending at `pos` starts with hex
+    * `'0'` (p = 1/16 → mean chunk ≈ 16 tokens, geometric); the same hex
+    * test runs in both engines, so boundaries can never drift.
+    *
+    * Scale shape: tokenize + posexplode inside the scan stage; the boundary
+    * flag is a lag-window over the per-doc partition (parallel across docs
+    * — the only shuffle is the doc_id hash partitioning all per-doc text
+    * ops pay); chunk ids are an exclusive running sum over the same
+    * partition (no second shuffle: same window frame); the per-chunk digest
+    * is a hash aggregate on (doc_id, chunk). Nothing scales beyond
+    * tokens-per-doc × docs.
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")
+
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // window ending at pos = tokens at pos−(CdcW−1) … pos, oldest first
+    val windowToks = ((CdcW - 1) to 1 by -1).map(i => lag("t", i).over(w)) :+ col("t")
+    // guard pos ≥ CdcW: concat_ws silently drops the NULLs a short lag
+    // produces, which would otherwise hash a shorter window near doc start
+    val cut = (col("pos") >= CdcW &&
+      substring(md5(concat_ws(" ", windowToks: _*)), 1, 1) === "0").cast("int")
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("t"))
+      .withColumn("cut", cut)
+      // chunk of token at pos = cuts strictly BEFORE pos (exclusive prefix
+      // sum): a cut after pos ends that chunk, the next token starts anew
+      .withColumn("chunk", coalesce(
+        sum(col("cut")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(min("pos").cast("long").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t")), " ")).as("chunk_hash"))
+      .select(col("doc_id"), col("chunk").cast("long").as("chunk_idx"),
+        col("start_pos"), col("n_tokens"), col("chunk_hash"))
+  }
+
+  /** The [[cdcChunksOf]] pipeline as DuckDB CTEs ending in
+    * `chunks(doc_id, chunk_idx, start_pos, n_tokens, chunk_hash)` — shared
+    * with the dd_cdc_dedup oracle so the two engines (and the two
+    * consumers) cut identical chunks.
+    */
+  private[graft] def cdcChunksCtesSql: String =
+    s"""t AS (
+       |  SELECT doc_id, ${graft.OracleSql.toks("lower(text)")} AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, i AS pos, toks[i::INT] AS t,
+       |    CASE WHEN i >= $CdcW AND substr(md5(
+       |        array_to_string(list_slice(toks, (i - $CdcW + 1)::INT, i::INT), ' ')
+       |      ), 1, 1) = '0' THEN 1 ELSE 0 END AS cut
+       |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       |), cid AS (
+       |  SELECT doc_id, pos, t, coalesce(sum(cut) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS chunk
+       |  FROM tok
+       |), chunks AS (
+       |  SELECT doc_id, chunk AS chunk_idx, min(pos)::BIGINT AS start_pos,
+       |    count(*)::BIGINT AS n_tokens,
+       |    md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM cid GROUP BY doc_id, chunk
+       |)""".stripMargin
+
   // -------------------------------------------------------- txt_ppl_bucket
 
   /** CCNet-style perplexity bucketing — split the corpus into head / middle
@@ -1137,6 +1217,7 @@ object TextOps extends QueryModule {
     "txt_lm_perplexity" -> (lmPerplexity(_, _)),
     "txt_kn_perplexity" -> (knPerplexity(_, _)),
     "txt_chunk_windows" -> (chunkWindows(_, _)),
+    "txt_cdc_chunks" -> (cdcChunks(_, _)),
     "txt_vocab_coverage" -> (vocabCoverage(_, _)),
     "txt_ppl_bucket" -> (pplBucket(_, _)),
     "txt_mix_weights" -> (mixWeights(_, _)),
@@ -1322,6 +1403,10 @@ object TextOps extends QueryModule {
          |  md5(array_to_string(
          |    toks[start + 1 : start + least($ChunkWin, n - start)], ' ')) AS fp
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "txt_cdc_chunks" ->
+      s"""WITH $cdcChunksCtesSql
+         |SELECT doc_id, chunk_idx, start_pos, n_tokens, chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
     "txt_vocab_coverage" ->
       s"""WITH tok AS (
          |  SELECT unnest($toksSql) AS token FROM documents

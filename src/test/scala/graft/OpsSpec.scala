@@ -422,6 +422,74 @@ class OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("txt_cdc_chunks: chunks tile each doc and hashes match an independent digest of the spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val docs = (0 until 8).map { id =>
+      (id.toLong, Array.fill(30 + rnd.nextInt(120))(s"w${rnd.nextInt(4000)}"))
+    }
+    val out = TextOps.cdcChunksOf(
+        docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for ((id, toks) <- docs) {
+      val chunks = out(id)
+      // dense ids from 0; spans tile the token stream exactly
+      assert(chunks.map(_._2).toSeq === chunks.indices.map(_.toLong))
+      assert(chunks.head._3 === 1L)
+      chunks.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4); case _ =>
+      }
+      assert(chunks.map(_._4).sum === toks.length.toLong)
+      // each hash is the md5 of exactly the tokens in the claimed span —
+      // recomputed here from the span, independent of the operator's path
+      chunks.foreach { case (_, _, start, n, h) =>
+        assert(h === md5hex(toks.slice(start.toInt - 1, start.toInt - 1 + n.toInt).mkString(" ")))
+      }
+    }
+  }
+
+  test("txt_cdc_chunks: boundaries re-align after a prefix edit (the content-defined property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val a = Array.fill(150)(s"t${rnd.nextInt(3000)}")
+    val b = Array.fill(25)(s"p${rnd.nextInt(3000)}") ++ a // prefix-edited copy
+    val out = TextOps.cdcChunksOf(Seq(
+        (1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, String)].collect()
+    val ca = out.filter(_._1 == 1L).sortBy(_._2)
+    val cb = out.filter(_._1 == 2L).sortBy(_._2).map(_._5).toSet
+    // a fixed-window chunker loses EVERY chunk after an insertion; CDC must
+    // reproduce all of A's chunks past the first boundary inside B verbatim
+    assert(ca.length >= 3, s"fixture needs >= 3 chunks in A, got ${ca.length}")
+    ca.drop(1).foreach { case (_, idx, _, _, h) =>
+      assert(cb.contains(h), s"chunk $idx of A lost after prefix edit")
+    }
+  }
+
+  test("dd_cdc_dedup: duplicate docs surface exactly their shared >= min-length chunks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val dup = Array.fill(80)(s"d${rnd.nextInt(2000)}")
+    val uniq = Array.fill(90)(s"u${rnd.nextInt(2000)}")
+    val chunks = TextOps.cdcChunksOf(Seq(
+      (1L, dup.mkString(" ")), (2L, dup.mkString(" ")), (3L, uniq.mkString(" "))
+    ).toDF("doc_id", "text"))
+    val expected = chunks
+      .filter(col("doc_id") === 1L && col("n_tokens") >= 10)
+      .select("chunk_hash").as[String].collect().toSet
+    val got = Dedup.cdcDedupOf(chunks)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(expected.nonEmpty, "fixture doc must yield at least one long chunk")
+    assert(got.map(_._1).toSet === expected)
+    got.foreach { case (h, _, nOcc, nDocs, first) =>
+      assert(nOcc === 2L, h); assert(nDocs === 2L, h); assert(first === 1L, h)
+    }
+  }
+
   test("dd_survivors: keep-list covers the corpus exactly once via merge counts") {
     import spark.implicits._
     val total = Tables.documents(spark, dir).count()
