@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -23,14 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp; read it as a nanos long (legacy conf) and truncate to a
-    * µs TimestampType — the same floor DuckDB's `ts::TIMESTAMP` applies.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which Spark 4
+    * only reads as a nanos long via the legacy conf) and plain TIMESTAMP(US)
+    * (read as TIMESTAMP_NTZ). Normalize either to a µs TimestampType — the
+    * session timezone is UTC everywhere, so the NTZ→instant cast is the
+    * identity DuckDB's `ts::TIMESTAMP` applies.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(apply(s, d, "events"))
   }
+
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
