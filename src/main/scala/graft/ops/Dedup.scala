@@ -214,7 +214,7 @@ object Dedup extends QueryModule {
     // re-tokenizing/re-shingling three times (the ngramJaccard lesson).
     val sh = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lshCandidates(sh)
+    val pairs = lshCandidates(sh)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       // |A∪B| = |A| + |B| − |A∩B| (arrays are distinct) — one array op
@@ -224,6 +224,17 @@ object Dedup extends QueryModule {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jac") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (bounded, verified) pair list, then release the full
+    // shingle frame: every consumer now reads one small InMemoryRelation
+    // and the corpus-sized sh cache does not outlive the query — at 100 TB
+    // a leaked shingle cache is the executor memory the NEXT query needed
+    // (the graphRankFullOf materialize-then-release pattern; recompute of
+    // an evicted pairs partition re-runs the un-cached shingle pipeline
+    // via lineage, which stays intact).
+    pairs.count()
+    sh.unpersist(false)
+    pairs
   }
 
   /** Near-dup pairs via MinHash-LSH banding + exact Jaccard verify. */
@@ -280,14 +291,27 @@ object Dedup extends QueryModule {
     * *schedules* jobs (one count per round for the convergence check) —
     * all data stays distributed.
     */
-  def cluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labelPropagate(pairs)._1
+  def cluster(s: SparkSession, dir: String): DataFrame = clusterWithRelease(s, dir)._1
+
+  /** [[cluster]] plus an explicit release hook for the one cache it leaves
+    * behind (the materialized label table the returned plan reads). The
+    * pair cache is released here as soon as [[labelPropagate]] has
+    * materialized its labels — after that point nothing re-reads pairs.
+    * Consumers that materialize their OWN bounded output (clusterStats,
+    * survivors, pipe_corpus) call the hook so each query leaves ≤1 cached
+    * frame in the session (CacheCleanupSpec pins this).
+    */
+  private[graft] def clusterWithRelease(
+      s: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val pairs = minhashPairs(s, dir) // materialized + cached, sh released
+    val (labels, _) = labelPropagate(pairs.select("doc_a", "doc_b"))
+    pairs.unpersist(false) // labels materialized — pairs has no reader left
+    val df = labels
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
       .orderBy("doc_id")
+    (df, () => { labels.unpersist(false); () })
   }
 
   /** Duplicate-distribution histogram — the corpus-health summary a dedup
@@ -302,7 +326,7 @@ object Dedup extends QueryModule {
     * two corpus scalars ride 1-row broadcasts.
     */
   def clusterStats(s: SparkSession, dir: String): DataFrame = {
-    val cl = cluster(s, dir)
+    val (cl, release) = clusterWithRelease(s, dir)
     val hist = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .select(col("cluster_size"), col("n_clusters"),
@@ -313,7 +337,12 @@ object Dedup extends QueryModule {
       .select(lit(1L).as("cluster_size"),
         (col("n_total") - col("n_in")).as("n_clusters"),
         (col("n_total") - col("n_in")).as("n_docs"))
-    hist.unionAll(singles).orderBy("cluster_size")
+    // |distinct sizes|-row output: materialize it, release the label cache.
+    val out = hist.unionAll(singles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out.orderBy("cluster_size")
   }
 
   /** Min-label connected components with POINTER DOUBLING, over an
@@ -389,7 +418,22 @@ object Dedup extends QueryModule {
       chk = next
       labels = next.select("node", "label")
     }
-    (labels, rounds)
+    // Materialize the converged label table into a regular cache, then
+    // release the edge frame and the final round's checkpoint blocks: the
+    // returned plan reads ONE n-row InMemoryRelation and nothing
+    // corpus-scale stays pinned (catalog.clearCache cannot see checkpoint
+    // blocks — only this explicit unpersist reclaims them before the
+    // ContextCleaner gets around to it). Caveat shared with
+    // graphRankFullOf: fin's lineage bottoms out in the (now-released)
+    // checkpoint RDD, so recompute after block loss is impossible —
+    // MEMORY_AND_DISK spills instead of evicting, and the cluster-grade
+    // fault-tolerance answer is the reliable-checkpoint path, not a
+    // pinned local cache.
+    val fin = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fin.count()
+    chkRdds(chk).foreach(_.unpersist(false))
+    edges.unpersist(false)
+    (fin, rounds)
   }
 
   // ---------------------------------------------------------- dd_survivors
@@ -407,14 +451,27 @@ object Dedup extends QueryModule {
     * shuffle on high-cardinality doc_id, and at scale AQE broadcasts the
     * clustered side.
     */
-  def survivors(s: SparkSession, dir: String): DataFrame = {
-    val cl = cluster(s, dir)
+  def survivors(s: SparkSession, dir: String): DataFrame =
+    survivorsWithRelease(s, dir)._1
+
+  /** [[survivors]] with a release hook for its one materialized cache (the
+    * keep-list itself) — see [[clusterWithRelease]]; pipe_corpus uses it.
+    */
+  private[graft] def survivorsWithRelease(
+      s: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val (cl, release) = clusterWithRelease(s, dir)
     val winners = cl.filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("cluster_size").as("n_merged"))
     val singles = Tables.documents(s, dir).select("doc_id")
       .join(cl.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("n_merged"))
-    winners.union(singles).orderBy("doc_id")
+    // keep-list ≈ |corpus| − |dups| rows of two BIGINTs: materialize it,
+    // release the label cache it was derived from.
+    val out = winners.union(singles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    (out.orderBy("doc_id"), () => { out.unpersist(false); () })
   }
 
   // ---------------------------------------------- dd_decontaminate
@@ -668,7 +725,14 @@ object Dedup extends QueryModule {
     * side), followed by one per-doc aggregate. The training corpus never
     * self-joins, and no shuffle carries token text.
     */
-  def passageDecontaminate(s: SparkSession, dir: String): DataFrame = {
+  def passageDecontaminate(s: SparkSession, dir: String): DataFrame =
+    passageDecontaminateWithRelease(s, dir)._1
+
+  /** [[passageDecontaminate]] with a release hook for its one materialized
+    * cache (the contaminated-doc list) — see [[clusterWithRelease]].
+    */
+  private[graft] def passageDecontaminateWithRelease(
+      s: SparkSession, dir: String): (DataFrame, () => Unit) = {
     // both the bench-set and training branches sit above the shingle
     // pipeline — persist it or the window + digest work runs twice (the
     // passageOverlapOf lesson)
@@ -676,7 +740,7 @@ object Dedup extends QueryModule {
       .withColumn("is_bench", col("source").isin(BenchSources: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchSet = g.filter(col("is_bench")).select("gh").distinct()
-    g.filter(!col("is_bench"))
+    val out = g.filter(!col("is_bench"))
       .join(benchSet.withColumn("hit", lit(1L)), Seq("gh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -684,7 +748,12 @@ object Dedup extends QueryModule {
       .filter(col("n_contaminated") >= 1)
       .withColumn("contam_frac",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
-      .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |contaminated docs|-row output: materialize it, then release the
+    // corpus-sized shingle cache (recompute via intact lineage if evicted).
+    out.count()
+    g.unpersist(false)
+    (out.orderBy("doc_id"), () => { out.unpersist(false); () })
   }
 
   // ---------------------------------------- dd_bloom_decontaminate

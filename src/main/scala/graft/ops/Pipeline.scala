@@ -26,11 +26,16 @@ import graft.{QueryModule, Tables}
   * duplicate-cluster disappears, which is exactly what document-level
   * decontamination wants; the passage gate then catches partial overlaps.
   *
-  * Because every stage is a DataFrame, Catalyst fuses the whole thing into
-  * one DAG: the gates are semi/anti equi-joins on high-cardinality doc_id
-  * (AQE broadcasts the small keep-lists), so adding the composition costs
-  * no new scan of the corpus per stage beyond what the stages themselves
-  * need. The DuckDB oracle composes the same stage oracles as derived
+  * Because every stage is a DataFrame, the composition is declarative: the
+  * gates are semi/anti equi-joins on high-cardinality doc_id (AQE
+  * broadcasts the small keep-lists), so composing costs no new scan of the
+  * corpus per stage beyond what the stages themselves need. The quality and
+  * exact-dedup gates fuse into the final join DAG; the near-dup and passage
+  * stages arrive as already-materialized bounded keep-lists (the iterative
+  * label propagation inside [[Dedup.survivors]] cannot be expressed as one
+  * lazy plan anyway) and are released as soon as the composed output
+  * materializes — the query leaves one cached frame, not one per stage.
+  * The DuckDB oracle composes the same stage oracles as derived
   * tables — the gate proves the COMPOSITION, not just the parts.
   */
 object Pipeline extends QueryModule {
@@ -38,16 +43,23 @@ object Pipeline extends QueryModule {
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val keep = TextOps.c4Filter(s, dir).filter(col("keep")).select("doc_id")
     val exactWinners = Dedup.exactDedup(s, dir).select("doc_id")
-    val nearSurvivors = Dedup.survivors(s, dir).select("doc_id")
-    val contaminated = Dedup.passageDecontaminate(s, dir).select("doc_id")
-    Tables.documents(s, dir)
+    val (surv, releaseSurv) = Dedup.survivorsWithRelease(s, dir)
+    val (contam, releaseContam) = Dedup.passageDecontaminateWithRelease(s, dir)
+    val out = Tables.documents(s, dir)
       .filter(!col("source").isin(Dedup.BenchSources: _*))
       .join(keep, "doc_id")
       .join(exactWinners, "doc_id")
-      .join(nearSurvivors, "doc_id")
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(surv.select("doc_id"), "doc_id")
+      .join(contam.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the final corpus keep-list, then release the two stage
+    // caches it consumed — the composed query leaves ONE cached frame in
+    // the session, not one per stage (CacheCleanupSpec pins this).
+    out.count()
+    releaseSurv()
+    releaseContam()
+    out.orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

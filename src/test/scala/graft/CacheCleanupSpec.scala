@@ -36,4 +36,28 @@ class CacheCleanupSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("dd family + pipe_corpus leave at most one cached frame per query") {
+    // The labelPropagate consumers persist corpus-scale intermediates
+    // (shingles, pairs, edges, per-round checkpoint blocks). Each must
+    // release everything except its own materialized result before the
+    // query returns — localCheckpoint blocks in particular are invisible
+    // to catalog.clearCache, so a leak here survives the session-level
+    // cleanup between bench queries and compounds across 3 passes × 4
+    // consumers (the r12 weak-5 mechanism).
+    val dir = TestSpark.sfDir
+    for (q <- Seq("dd_neardup", "dd_cluster", "dd_cluster_stats",
+        "dd_survivors", "dd_passage_decontaminate", "pipe_corpus")) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      assert(n >= 0)
+      val persisted = spark.sparkContext.getPersistentRDDs
+      assert(persisted.size <= 1,
+        s"$q leaked ${persisted.size} cached frames: " +
+          persisted.values.map(r => s"${r.id}:${r.name}").mkString("; "))
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
 }
