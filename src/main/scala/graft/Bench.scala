@@ -61,22 +61,61 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     val errors = scala.collection.mutable.Map.empty[String, String]
+    // Queries that persist() intermediates leave entries registered in the
+    // CacheManager after the write completes; across 130+ queries the
+    // leaked entries build memory pressure that inflates whichever queries
+    // run last (measured: txt_term_freq 3.3 s polluted vs 0.50 s clean).
+    // clearCache alone is NOT enough: localCheckpoint blocks (the
+    // labelPropagate rounds) are RDD-level caches the catalog never sees.
+    // Sweeping the persistent-RDD registry too makes every sample a
+    // cold-cache run of the query's own persists, nothing shared — and a
+    // query that leaks anyway cannot tax its successors.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    // SENTINEL: a fixed scan+window+two-shuffle aggregate, timed at the
+    // start / middle / end of every pass. Its workload never changes, so
+    // its timing is a pure probe of the box. The r9–r12 rounds could not
+    // tell a code regression from a contended machine (the r12 full-suite
+    // run came back uniformly 1.55× slower while a controlled same-day
+    // re-measure of identical code was normal); with the sentinel inline,
+    // that call is made from data: a slow query next to floor-level
+    // sentinel samples is a code problem, a slow query inside a slow
+    // sentinel window is the environment.
+    def sentinelOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      sweep()
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc,
+            col("l_orderkey"), col("l_partkey"))))
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q"), sum("l_extendedprice").as("p"),
+          min("rk").as("mr"), count(lit(1)).as("n"))
+        .groupBy((col("l_orderkey") % 128).as("b"))
+        .agg(sum("q").as("sq"), avg("p").as("ap"), min("mr").as("mmr"),
+          max("n").as("mn"))
+        .orderBy("b")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Vector[Double]]
     for (pass <- 1 to reps) {
       // Between passes: drop every cached frame and let a full GC settle,
       // so pass p's early queries don't pay pass p−1's tail garbage.
-      spark.catalog.clearCache()
+      sweep()
       System.gc()
       Thread.sleep(2000)
       val order = if (pass % 2 == 1) names else names.reverse
-      for (name <- order) {
-        // Queries that persist() intermediates leave them registered in
-        // the CacheManager after the write completes; across 130+ queries
-        // the leaked entries build memory pressure that inflates whichever
-        // queries run last (measured: txt_term_freq 3.3 s polluted vs
-        // 0.50 s clean). Dropping the cache BETWEEN queries keeps each
-        // measurement independent — every sample is a cold-cache run of
-        // the query's own persists, nothing shared.
-        spark.catalog.clearCache()
+      val sent = scala.collection.mutable.ArrayBuffer(sentinelOnce())
+      for ((name, i) <- order.zipWithIndex) {
+        if (order.size >= 2 && i == order.size / 2) sent += sentinelOnce()
+        sweep()
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -85,6 +124,8 @@ object Bench {
         }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
+      sent += sentinelOnce()
+      sentinels += sent.toVector
     }
     // a query that failed ANY pass is reported as an error, not a timing
     val results = names.map(n => (n, samples(n), errors.get(n)))
@@ -106,8 +147,18 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
+    // Sentinel calibration: per-pass [start, middle, end] timings of the
+    // fixed probe, plus the spread (max/min over all samples). A spread
+    // near 1 certifies the whole run sat on a quiet box; a large spread
+    // localizes WHICH passes/regions were contended, so per-query minima
+    // can be read against the sentinel level of their own window.
+    val sentFlat = sentinels.flatten
+    val sentJson = sentinels.map(p => p.map(r4).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val sentSpread =
+      if (sentFlat.isEmpty || sentFlat.min <= 0) 0.0 else sentFlat.max / sentFlat.min
     val core =
-      s""""value":${r4(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size},"errors":$errs"""
+      s""""value":${r4(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size},"errors":$errs,"sentinel":$sentJson,"sentinel_spread":${r4(sentSpread)}"""
     val compact = s"""{"metric":"total",$core}"""
     val full = s"""{"metric":"total",$core,"samples":$samplesJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
