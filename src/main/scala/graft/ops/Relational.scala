@@ -90,10 +90,7 @@ object Relational extends QueryModule {
 
   /** The 100 TB cardinality path: approx_count_distinct (HLL++) is one pass
     * with bounded sketch state where exact countDistinct expands every
-    * (group, key) pair through the shuffle. Declared WITHOUT an oracle —
-    * sketch estimates are engine-specific, so the driver records a rows-only
-    * check; the rel_err column self-reports the sketch error against the
-    * exact count (gated at 2.5× the 2% rsd by SketchSpec).
+    * (group, key) pair through the shuffle.
     *
     * The exact and approx aggregates are SEPARATE plans joined on the 5-row
     * group key: in one agg, Spark's distinct-expansion rewrite would carry
@@ -101,8 +98,12 @@ object Relational extends QueryModule {
     * shuffle — sketch-bytes × distinct-keys traffic that defeats the entire
     * point of the sketch. Split, the approx side ships one sketch per group
     * per map partition and the exact side ships bare (group, key) pairs.
+    *
+    * This detail frame (raw estimate + self-reported rel_err) is
+    * engine-specific by nature; SketchSpec gates it locally. The DRIVER
+    * gate is [[approxDistinct]]'s tolerance encoding below.
     */
-  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def approxDistinctDetail(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val exact = o.groupBy("o_orderpriority")
       .agg(countDistinct(col("o_custkey")).as("n_cust_exact"))
@@ -115,16 +116,32 @@ object Relational extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Driver-visible TOLERANCE gate for the HLL sketch: emits the exact
+    * per-group cardinality (hash-comparable against DuckDB's exact COUNT
+    * DISTINCT) plus `within_tol` = 1 iff the sketch estimate sits within
+    * 2.5× its requested 2% rsd of the exact count — the same bound
+    * SketchSpec enforces. The oracle emits a literal 1, so the row hash
+    * matches exactly when the sketch honors its published error bound:
+    * a quantitative accuracy check expressed through the driver's
+    * rows/schema/hash protocol, without pretending HLL internals are
+    * engine-portable.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    approxDistinctDetail(s, dir)
+      .select(col("o_orderpriority"), col("n_cust_exact"),
+        when(col("rel_err") <= 0.05, lit(1L)).otherwise(lit(0L)).as("within_tol"))
+      .orderBy("o_orderpriority")
+
   /** The 100 TB percentile path: approx_percentile (a positional sketch
     * with bounded state) beside the exact two-phase percentile, with
     * self-reported relative error — the q_approx_distinct pattern for
     * quantiles. Exact `percentile` keeps full value multisets through the
     * shuffle (fine at thousands of rows per group, fatal at billions);
-    * the sketch ships fixed-size state per map partition. Declared WITHOUT
-    * an oracle (sketch internals are engine-specific) → rows-only check,
-    * with the accuracy contract hard-gated by SketchSpec.
+    * the sketch ships fixed-size state per map partition. Engine-specific
+    * detail frame, gated locally by SketchSpec; the driver gate is
+    * [[approxPercentiles]].
     */
-  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def approxPercentilesDetail(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val exact = o.groupBy("o_orderpriority")
       .agg(expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
@@ -137,6 +154,28 @@ object Relational extends QueryModule {
         round(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact"), 4))
       .withColumn("rel_err_p95",
         round(abs(col("p95_approx") - col("p95_exact")) / col("p95_exact"), 4))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Driver-visible TOLERANCE gate for the percentile sketch. Hash-stable
+    * exact stats use ANSI PERCENTILE_DISC — a PICKED data value (smallest
+    * value whose cume_dist ≥ p), so both engines return the identical
+    * parquet double with zero interpolation arithmetic to diverge on —
+    * while `within_tol` = 1 iff the sketch's p50 AND p95 estimates sit
+    * within 2% of the exact interpolated percentiles (the SketchSpec
+    * bound, comfortably above the accuracy=1000 rank-error contract).
+    * The oracle emits the same PERCENTILE_DISC values and a literal 1:
+    * hash-green exactly when the sketch honors its accuracy contract.
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val det = approxPercentilesDetail(s, dir)
+    val disc = Tables.orders(s, dir).groupBy("o_orderpriority")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("p95_disc"))
+    det.join(disc, "o_orderpriority")
+      .select(col("o_orderpriority"), col("p50_disc"), col("p95_disc"),
+        when(col("rel_err_p50") <= 0.02 && col("rel_err_p95") <= 0.02, lit(1L))
+          .otherwise(lit(0L)).as("within_tol"))
       .orderBy("o_orderpriority")
   }
 
@@ -1063,6 +1102,21 @@ object Relational extends QueryModule {
   private val chargeSql = s"$discSql * CAST(1.0 + l_tax AS DECIMAL(8,2))"
 
   val oracles: Map[String, String] = Map(
+    // Sketch tolerance gates: the oracle carries the EXACT stats (a real
+    // cross-engine check) and a literal within_tol = 1; the Spark side
+    // computes within_tol from the live sketch against the exact value, so
+    // the hash goes red exactly when the sketch violates its error bound.
+    "q_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_cust_exact,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_percentiles" ->
+      """SELECT o_orderpriority,
+        |  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+        |  PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95_disc,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
          |  CAST($discSql AS DOUBLE) AS disc_price

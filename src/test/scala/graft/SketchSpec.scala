@@ -14,7 +14,7 @@ class SketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def assertBound(dir: String): Unit = {
-    val rows = Relational.approxDistinct(spark, dir)
+    val rows = Relational.approxDistinctDetail(spark, dir)
       .select("o_orderpriority", "rel_err").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -35,7 +35,7 @@ class SketchSpec extends AnyFunSuite {
     // accuracy=1000 bounds rank error at n/1000 per group; on these group
     // sizes a 2% value-space tolerance is comfortably above that and still
     // catches a broken sketch outright
-    val rows = Relational.approxPercentiles(spark, dir)
+    val rows = Relational.approxPercentilesDetail(spark, dir)
       .select("o_orderpriority", "rel_err_p50", "rel_err_p95").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -50,5 +50,17 @@ class SketchSpec extends AnyFunSuite {
 
   test("approx_percentile rel_err within 2% at sf0.01") {
     assertPctBound("/root/testdata/sf0.01")
+  }
+
+  test("driver-facing queries encode the tolerance verdict as within_tol = 1") {
+    // the oracle emits a literal 1, so these columns ARE the driver's
+    // quantitative sketch gate — a sketch outside its bound flips them to
+    // 0 and the hash compare goes red
+    val d = Relational.approxDistinct(spark, TestSpark.sfDir)
+      .select("within_tol").collect().map(_.getLong(0))
+    assert(d.nonEmpty && d.forall(_ == 1L))
+    val p = Relational.approxPercentiles(spark, TestSpark.sfDir)
+      .select("within_tol").collect().map(_.getLong(0))
+    assert(p.nonEmpty && p.forall(_ == 1L))
   }
 }
