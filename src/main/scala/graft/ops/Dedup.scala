@@ -376,23 +376,44 @@ object Dedup extends QueryModule {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(MEMORY_AND_DISK)
-    // localCheckpoint (eager) per round: materializes the labels AND
-    // truncates plan lineage to a LogicalRDD. Without it each round's plan
-    // embeds the previous round's TWICE (stepped feeds both sides of the
-    // jump join) — exponential plan growth that OOMs the driver around
-    // round 8. The previous round's checkpoint blocks are unpersisted
-    // explicitly once the next round is materialized (catalog.clearCache
-    // can't see them, and waiting for the ContextCleaner would let one
-    // full label-table copy per round accumulate on a long convergence).
-    // (On a real cluster with executor churn, swap for reliable
-    // checkpoint() to a cluster store — localCheckpoint trades fault
-    // tolerance for speed.)
-    def chkRdds(df: DataFrame) = df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
-    var chk = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    // Eager checkpoint per round: materializes the labels AND truncates
+    // plan lineage to a LogicalRDD. Without it each round's plan embeds
+    // the previous round's TWICE (stepped feeds both sides of the jump
+    // join) — exponential plan growth that OOMs the driver around round 8.
+    // The previous round's checkpoint is released explicitly once the next
+    // round is materialized (catalog.clearCache can't see checkpoint
+    // state, and waiting for the ContextCleaner would let one full
+    // label-table copy per round accumulate on a long convergence).
+    //
+    // TWO checkpoint modes, selected by `spark.graft.checkpointDir`:
+    //  - unset (default, right for local[n]): localCheckpoint — blocks in
+    //    executor storage memory, fastest, but lineage-truncated state
+    //    dies with an executor;
+    //  - set to a cluster-visible path (HDFS/S3): reliable checkpoint() to
+    //    that store — each round's label table survives executor churn,
+    //    the fault-tolerance story a 1000-executor, hours-long convergence
+    //    needs. Superseded rounds' checkpoint FILES are deleted as soon as
+    //    the next round lands, so store usage stays O(1 round), and on a
+    //    shared store each query writes under its own UUID subdir
+    //    (setCheckpointDir semantics), so concurrent queries never collide.
+    val spark = pairs.sparkSession
+    val reliableDir =
+      spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty)
+    reliableDir.foreach(d => spark.sparkContext.setCheckpointDir(d))
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach { r =>
+        r.unpersist(false)
+        r.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
+    var chk = materialize(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     var labels = chk
     var changed = 1L
     var rounds = 0
@@ -406,15 +427,14 @@ object Dedup extends QueryModule {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid"))
       // node → mid mapping, re-keyed so joining on v.mid yields mid[mid[v]]
       val ptr = stepped.select(col("node").as("ptr_node"), col("mid").as("ptr_label"))
-      val next = stepped
+      val next = materialize(stepped
         .join(ptr, stepped("mid") === ptr("ptr_node"), "left")
         .select(col("node"),
           least(col("mid"), coalesce(col("ptr_label"), col("mid"))).as("label"),
           (least(col("mid"), coalesce(col("ptr_label"), col("mid")))
-            < col("old_label")).as("chg"))
-        .localCheckpoint(true)
+            < col("old_label")).as("chg")))
       changed = next.filter(col("chg")).count() // next materialized, THEN...
-      chkRdds(chk).foreach(_.unpersist(false)) // ...last round's blocks go
+      release(chk) // ...last round's blocks / checkpoint files go
       chk = next
       labels = next.select("node", "label")
     }
@@ -431,7 +451,7 @@ object Dedup extends QueryModule {
     // pinned local cache.
     val fin = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fin.count()
-    chkRdds(chk).foreach(_.unpersist(false))
+    release(chk)
     edges.unpersist(false)
     (fin, rounds)
   }

@@ -344,6 +344,35 @@ class OpsSpec extends AnyFunSuite {
     assert(rounds <= 12, s"expected logarithmic convergence, took $rounds rounds")
   }
 
+  test("labelPropagate: reliable-checkpoint path matches localCheckpoint and cleans its files") {
+    import spark.implicits._
+    val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val (localLabels, _) = Dedup.labelPropagate(pairs)
+    val localMap = localLabels.as[(Long, Long)].collect().toMap
+    localLabels.unpersist(false)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck")
+    spark.conf.set("spark.graft.checkpointDir", ckDir.toString)
+    try {
+      val (relLabels, relRounds) = Dedup.labelPropagate(pairs)
+      val relMap = relLabels.as[(Long, Long)].collect().toMap
+      relLabels.unpersist(false)
+      assert(relMap === localMap, "reliable path diverged from local path")
+      assert(relRounds <= 12)
+      // every round's checkpoint files were deleted as it was superseded,
+      // and the final round's after the result materialized — only empty
+      // per-query UUID dirs may remain on the store
+      import scala.jdk.CollectionConverters._
+      val leftovers = java.nio.file.Files.walk(ckDir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).toList
+      assert(leftovers.isEmpty,
+        s"checkpoint store not cleaned: ${leftovers.mkString(", ")}")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)
+    }
+  }
+
   test("dd_substring: maximal verbatim runs with planted mid-doc overlap, full dup, and exact-K run") {
     import spark.implicits._
     // K = 20. Token streams built from unique synthetic tokens so nothing
