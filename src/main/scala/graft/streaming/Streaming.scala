@@ -99,8 +99,10 @@ object Streaming {
 
   /** Unbounded view of the events table: a file-stream source over the same
     * parquet the batch queries read (new files appearing under `dir` would
-    * stream in incrementally). Same TIMESTAMP(NANOS) handling as
-    * [[graft.Tables.events]].
+    * stream in incrementally). Same ts normalization as
+    * [[graft.Tables.events]]: parquet TIMESTAMP(NANOS) (read as a nanos
+    * long under the legacy conf) and plain TIMESTAMP(US)/NTZ both land on
+    * a µs TimestampType.
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -440,15 +442,36 @@ object Streaming {
     * exactly — pinned by StreamingSpec.
     *
     * State is one Long per distinct trigram — the same unbounded-dedup
-    * class as the fingerprint-dedup twin; a production deployment bounds
-    * it with a TTL/watermark or an approximate-membership sketch, trading
-    * exactness at the horizon. Trigrams derive per-row (a transform over
-    * the token array — no cross-row window, which streaming disallows);
-    * within-batch duplicates collapse inside the state function.
+    * class as the fingerprint-dedup twin; [[noveltyViaStateTtl]] is the
+    * production deployment, bounding it with a processing-time TTL and a
+    * documented exactness horizon. Trigrams derive per-row (a transform
+    * over the token array — no cross-row window, which streaming
+    * disallows); within-batch duplicates collapse inside the state
+    * function.
     */
-  def noveltyViaState(s: SparkSession, docs: DataFrame): Dataset[TriNovel] = {
+  def noveltyViaState(s: SparkSession, docs: DataFrame): Dataset[TriNovel] =
+    noveltyViaStateTtl(s, docs, ttlMs = 0L)
+
+  /** [[noveltyViaState]] with a BOUNDED state horizon: `ttlMs > 0` evicts
+    * any trigram not touched for that long (processing-time timeout, reset
+    * on every sighting), so state carries only the working set instead of
+    * one row per distinct trigram forever — the production deployment of
+    * the unbounded twin.
+    *
+    * EXACTNESS HORIZON: verdicts equal the unbounded operator's as long as
+    * every re-occurrence of a trigram arrives within `ttlMs` of its last
+    * sighting. A trigram silent longer than the TTL is forgotten, and its
+    * next carrier is scored novel again — novelty can only be
+    * OVER-reported beyond the horizon, never missed inside it.
+    * `ttlMs = 0` disables eviction (exact, unbounded).
+    */
+  def noveltyViaStateTtl(
+      s: SparkSession, docs: DataFrame, ttlMs: Long): Dataset[TriNovel] = {
     import s.implicits._
     val toks = graft.ops.TextOps.tokens(col("text"))
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -459,13 +482,21 @@ object Streaming {
         .as("tri"))
       .as[(Long, String)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (tri: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
-          val arrived = rows.map(_._1).toArray.distinct.sorted
-          if (state.exists) arrived.iterator.map(d => TriNovel(d, novel = false))
-          else {
-            state.update(arrived.head)
-            arrived.iterator.map(d => TriNovel(d, d == arrived.head))
+          if (ttlMs > 0 && state.hasTimedOut) {
+            state.remove() // silent past the horizon: forget the carrier
+            Iterator.empty
+          } else {
+            val arrived = rows.map(_._1).toArray.distinct.sorted
+            val out =
+              if (state.exists) arrived.iterator.map(d => TriNovel(d, novel = false))
+              else {
+                state.update(arrived.head)
+                arrived.iterator.map(d => TriNovel(d, d == arrived.head))
+              }
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out
           }
       }
   }
@@ -530,13 +561,35 @@ object Streaming {
     * Scale shape: state is ≤ cap 16-byte occurrences per digest (poisoned
     * digests: one boolean), hash-partitioned by digest; per-batch work per
     * digest is ≤ cap² pair constructions — the same fan-out bound as the
-    * batch self-join.
+    * batch self-join. The DIGEST COUNT is still unbounded over an infinite
+    * stream; [[substringMatchesViaStateTtl]] bounds it with a
+    * processing-time TTL and a documented exactness horizon.
     */
-  def substringMatchesViaState(s: SparkSession, docs: DataFrame): Dataset[WinMatch] = {
+  def substringMatchesViaState(s: SparkSession, docs: DataFrame): Dataset[WinMatch] =
+    substringMatchesViaStateTtl(s, docs, ttlMs = 0L)
+
+  /** [[substringMatchesViaState]] with a BOUNDED state horizon: `ttlMs > 0`
+    * evicts any digest (occurrence list or poison marker) not touched for
+    * that long — processing-time timeout, reset on every sighting — so the
+    * inverted index carries only the working set.
+    *
+    * EXACTNESS HORIZON: matches equal the unbounded operator's as long as
+    * every pair of occurrences of a shared window digest arrives within
+    * `ttlMs` of each other. Occurrences farther apart are MISSED (the
+    * first was forgotten before the second landed), and an expired poison
+    * marker lets a hot digest re-accumulate from zero — both are the
+    * standard membership-horizon trade; inside the horizon the output is
+    * bit-for-bit the batch `m` frame. `ttlMs = 0` disables eviction.
+    */
+  def substringMatchesViaStateTtl(
+      s: SparkSession, docs: DataFrame, ttlMs: Long): Dataset[WinMatch] = {
     import s.implicits._
     val k = graft.ops.Dedup.subWindowK
     val cap = graft.ops.Dedup.subDfCap
     val toks = graft.ops.TextOps.tokens(col("text"))
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= k)
@@ -547,9 +600,14 @@ object Streaming {
       .select(col("wh"), col("doc_id"), (col("off") + 1).cast("long").as("pos"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (wh: String, rows: Iterator[(String, Long, Long)], state: GroupState[SubWinState]) =>
+          if (ttlMs > 0 && state.hasTimedOut) {
+            state.remove() // horizon passed: forget occurrences / poison
+            Iterator.empty
+          } else {
           val prev = state.getOption.getOrElse(SubWinState(Nil, poisoned = false))
+          if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
           if (prev.poisoned) Iterator.empty // tombstone already emitted
           else {
             val arrived = rows.map(r => WinOcc(r._2, r._3)).toSeq
@@ -570,6 +628,7 @@ object Streaming {
               } yield orient(x, y)
               (newOld ++ newNew).iterator
             }
+          }
           }
       }
   }

@@ -515,6 +515,128 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  // ProcessingTimeTimeout makes the engine run no-data micro-batches
+  // continuously (the state operator always wants another batch to re-check
+  // timeout deadlines), so processAllAvailable never quiesces on a TTL
+  // query. The TTL tests therefore poll the memory sink for an expected
+  // condition under a deadline instead.
+  private def runUntil(df: DataFrame, name: String, mode: String,
+      timeoutSec: Int = 120)(done: DataFrame => Boolean): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    val deadline = System.nanoTime() + timeoutSec * 1000000000L
+    try {
+      while (!done(spark.table(name)) && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      assert(done(spark.table(name)),
+        s"$name did not reach the expected output within $timeoutSec s")
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("TTL novelty: wide horizon reproduces the unbounded twin exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // inside the horizon (TTL >> replay duration) the bounded variant must
+    // be bit-for-bit the unbounded one — 3 micro-batches with overlapping
+    // trigrams across batches
+    val src = "/tmp/graft-stream-src-novelty-ttl"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val batches = Seq(
+      Seq((1L, "a b c d"), (2L, "a b c")),           // doc 1 first carrier
+      Seq((3L, "b c d e"), (4L, "x y z")),           // mixed old/new trigrams
+      Seq((5L, "x y z w"), (6L, "a b c d e")))       // all repeats + one new
+    batches.foreach { b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val schema = batches.head.toDF("doc_id", "text").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val want = runToMemory(
+      Streaming.noveltyViaState(spark, stream()).toDF(), "t_nov_ttl_ref", "append")
+      .as[(Long, Boolean)].collect().toSet
+    assert(want.nonEmpty)
+    val got = runUntil(
+      Streaming.noveltyViaStateTtl(spark, stream(), ttlMs = 10 * 60 * 1000L).toDF(),
+      "t_nov_ttl_wide", "append")(t => t.count() >= want.size)
+      .as[(Long, Boolean)].collect().toSet
+    assert(got === want)
+  }
+
+  test("TTL novelty: expired trigrams are forgotten — state bounded, re-arrival novel again") {
+    import spark.implicits._
+    // Three micro-batches with a 1 ms TTL (batch overhead >> 1 ms, so every
+    // key expires between batches): batch 2 carries only an unrelated
+    // trigram, whose batch sweeps batch 1's expired key; batch 3
+    // re-introduces batch 1's trigram and must be scored novel AGAIN —
+    // the documented over-report-past-the-horizon semantics. State after
+    // the sweep holds only live keys, not every trigram ever seen.
+    val src = "/tmp/graft-stream-src-novelty-exp"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma")),
+      Seq((2L, "delta epsilon zeta")),
+      Seq((3L, "alpha beta gamma")))
+    batches.foreach { b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val schema = batches.head.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = Streaming.noveltyViaStateTtl(spark, stream, ttlMs = 1L).toDF()
+      .writeStream.format("memory").queryName("t_novelty_exp")
+      .outputMode("append").start()
+    val deadline = System.nanoTime() + 120 * 1000000000L
+    def seen3() = spark.table("t_novelty_exp").as[(Long, Boolean)]
+      .collect().exists(_._1 == 3L)
+    try {
+      while (!seen3() && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(seen3(), "doc 3 verdict never arrived")
+      // give the engine a few no-data batches to sweep the expired keys,
+      // then read the state size off the progress metrics
+      Thread.sleep(2000)
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.apply(0).numRowsTotal).getOrElse(-1L)
+      assert(stateRows >= 0 && stateRows <= 1,
+        s"expired keys must be evicted, state held $stateRows rows")
+    } finally q.stop()
+    val out = spark.table("t_novelty_exp").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "first carrier is novel")
+    assert(out(3L), "re-arrival after the TTL horizon must be novel again")
+  }
+
+  test("TTL substring state: wide horizon reproduces the unbounded matches") {
+    import spark.implicits._
+    // two docs sharing a 25-token run, split across micro-batches, plus an
+    // unrelated doc — TTL >> replay must emit exactly the unbounded set
+    val run = (1 to 25).map(i => s"r$i")
+    val doc1 = ((1 to 7).map(i => s"a$i") ++ run).mkString(" ")
+    val doc2 = ((1 to 3).map(i => s"b$i") ++ run).mkString(" ")
+    val doc3 = (1 to 30).map(i => s"c$i").mkString(" ")
+    val src = "/tmp/graft-stream-src-substr-ttl"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val batches = Seq(Seq((1L, doc1)), Seq((2L, doc2), (3L, doc3)))
+    batches.foreach { b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val schema = batches.head.toDF("doc_id", "text").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val want = runToMemory(
+      Streaming.substringMatchesViaState(spark, stream()).toDF(),
+      "t_sub_ttl_ref", "append")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(want.nonEmpty, "fixture must contain cross-doc matches")
+    val got = runUntil(
+      Streaming.substringMatchesViaStateTtl(spark, stream(), ttlMs = 10 * 60 * 1000L).toDF(),
+      "t_sub_ttl_wide", "append")(t => t.count() >= want.size)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got === want)
+  }
+
   test("mapGroupsWithState running totals equal the batch per-user aggregate") {
     import spark.implicits._
     val got = runToMemory(
