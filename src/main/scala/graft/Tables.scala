@@ -35,11 +35,29 @@ object Tables {
     normalizeTs(apply(s, d, "events"))
   }
 
+  /** Normalize the `ts` column to µs TimestampType. INVARIANT: a LongType
+    * `ts` is trusted to be NANOSECONDS — it can only arise here from
+    * `spark.sql.legacy.parquet.nanosAsLong` turning a parquet
+    * TIMESTAMP(NANOS) column into its raw nanos (every caller sets that
+    * conf first). A fixture shipping `ts` as a plain INT64 in any other
+    * unit is indistinguishable at this layer, so the conf is required —
+    * and any type outside the three this contract names fails fast
+    * instead of passing through misscaled or unconverted.
+    */
   private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        require(
+          df.sparkSession.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            .contains("true"),
+          "LongType ts without spark.sql.legacy.parquet.nanosAsLong=true: " +
+            "cannot tell TIMESTAMP(NANOS) from a raw INT64 — refusing to guess the unit")
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected TIMESTAMP(NANOS)-as-long, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP")
     }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -35,8 +35,10 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       // drop persisted intermediates leaked by the previous query (the
-      // Bench.scala cache-pollution note)
+      // Bench.scala cache-pollution note); sweep the persistent-RDD
+      // registry too — localCheckpoint blocks escape catalog.clearCache
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
