@@ -314,11 +314,66 @@ object Multimodal extends QueryModule {
     case _ => 1
   }
 
-  /** A real byte-level parse of the layout above — imperative over the
-    * payload array, one pass, no allocation beyond the per-channel sums.
+  /** A REAL image codec branch: binary PPM (P6, the netpbm format — public
+    * spec, trivially parseable pure-JVM, no external libs). Header is ASCII
+    * "P6", whitespace/#-comment separated width, height, maxval ≤ 255,
+    * exactly one whitespace byte, then width·height RGB byte triplets.
+    * Returns per-channel (R, G, B) means, or None unless the payload is a
+    * STRICTLY valid complete P6 (body length must equal 3·w·h exactly), so
+    * a synthetic blob that merely starts with 'P''6' can never be
+    * misparsed — it falls back to the container layout.
+    */
+  private[graft] def decodePpm(p: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var more = true
+      while (more && i < p.length) {
+        val c = p(i)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else if (c == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else more = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0L
+      var any = false
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return -1
+      }
+      if (any) v.toInt else -1
+    }
+    val w = int(); val h = int(); val maxval = int()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    // exactly ONE whitespace byte separates maxval from the sample body
+    if (i >= p.length || !(p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r'))
+      return None
+    i += 1
+    if (p.length - i != 3L * w * h) return None // strict: complete body, no slack
+    val sums = new Array[Long](3)
+    var j = i
+    while (j < p.length) { sums((j - i) % 3) += p(j) & 0xff; j += 1 }
+    val n = w.toLong * h
+    Some((w, h, sums.map(_.toDouble / n)))
+  }
+
+  /** A real byte-level parse — PPM branch first, container layout
+    * otherwise; imperative over the payload array, one pass, no
+    * allocation beyond the per-channel sums.
     */
   private def decode(md: java.security.MessageDigest)(a: MediaAsset): DecodedAsset = {
     val p = a.payload
+    decodePpm(p) match {
+      case Some((_, _, means)) =>
+        md.reset()
+        val hex = md.digest(p).map("%02x".format(_)).mkString
+        // magic reports the real format tag; channels are R, G, B
+        return DecodedAsset(a.doc_id, a.media_type, p.length, "P6", 3,
+          means(0), means(1), means(2), hex)
+      case None => ()
+    }
     val nch = channelsOf(a.media_type)
     val magicLen = math.min(MagicBytes, p.length)
     val magic = new java.lang.StringBuilder(2 * magicLen)

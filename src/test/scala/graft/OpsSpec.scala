@@ -1270,4 +1270,34 @@ class OpsSpec extends AnyFunSuite {
       (2L, "audio", 14, "00010203", 2, 10.0, 11.0, 0.0, md5hex(aud.payload)),
       (3L, "text", 2, "4142", 1, 0.0, 0.0, 0.0, md5hex(tiny.payload))))
   }
+
+  test("mm_typed_decode: binary PPM (P6) branch — real pixel channel means, strict fallback") {
+    import spark.implicits._
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    // hand-built 2×2 P6 with a header comment: R {10,40,70,100} → 55.0,
+    // G {20,50,80,110} → 65.0, B {30,60,90,120} → 75.0
+    val pixels = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+      .map(_.toByte)
+    val ppm = ("P6\n# tiny fixture\n2 2\n255\n".getBytes("US-ASCII")) ++ pixels
+    // direct parser check (width/height surface only here)
+    val Some((w, h, means)) = graft.ops.Multimodal.decodePpm(ppm)
+    assert((w, h) === ((2, 2)))
+    assert(means.toSeq === Seq(55.0, 65.0, 75.0))
+    // truncated body → NOT a valid P6 → falls back to the container
+    // layout (magic = hex of first 4 bytes, round-robin channels)
+    val broken = ppm.dropRight(1)
+    assert(graft.ops.Multimodal.decodePpm(broken).isEmpty)
+    val out = graft.ops.Multimodal.typedDecodeOf(Seq(
+        graft.ops.MediaAsset(1L, "image", ppm),
+        graft.ops.MediaAsset(2L, "image", broken)).toDS())
+      .orderBy("doc_id")
+      .as[(Long, String, Int, String, Int, Double, Double, Double, String)]
+      .collect().toSeq
+    assert(out.head === ((1L, "image", ppm.length, "P6", 3, 55.0, 65.0, 75.0,
+      md5hex(ppm))))
+    assert(out(1)._4 === "50360a23") // 'P' '6' '\n' '#' as container magic
+    assert(out(1)._5 === 3)
+  }
 }
