@@ -179,6 +179,68 @@ object Relational extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  private val CmsRows = 4      // d independent hash rows (failure ~ e^-d)
+  private val CmsWidth = 4096  // w buckets per row (ε = e/w per estimate)
+  private val CmsTopK = 20
+
+  /** The 100 TB heavy-hitters path: a COUNT-MIN SKETCH (Cormode &
+    * Muthukrishnan's public construction) built RELATIONALLY. Each item
+    * contributes d (hash-row, bucket) increments; the groupBy's map-side
+    * partial aggregate bounds the shuffle to ≤ d·w rows PER TASK no matter
+    * the input size — the fixed-memory alternative to the full
+    * groupBy-per-key whose shuffle grows with distinct keys. Estimates are
+    * read back as min over the d bucket counters; CMS never
+    * underestimates, and overshoots by more than ~(e/w)·N with probability
+    * ≤ e^−d per probe.
+    *
+    * Detail frame (engine-specific estimates + exact counts side by side)
+    * for SketchSpec; the driver gate is [[approxTopK]].
+    */
+  private[graft] def approxTopKDetail(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+    def rowBuckets = array((0 until CmsRows).map(r =>
+      struct(lit(r).as("r"),
+        pmod(xxhash64(col("l_partkey"), lit(r)), lit(CmsWidth)).as("b"))): _*)
+    val sketch = li
+      .select(explode(rowBuckets).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cms"))
+    // the exact side is the expensive truth the sketch approximates — kept
+    // here both as the tolerance reference and as the oracle-comparable
+    // output (top-k boundary tie-broken by key for determinism)
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt_exact"))
+      .orderBy(col("cnt_exact").desc, col("l_partkey").asc)
+      .limit(CmsTopK)
+    val probes = exact
+      .select(col("l_partkey"), col("cnt_exact"), explode(rowBuckets).as("rb"))
+      .select(col("l_partkey"), col("cnt_exact"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    val nTotal = broadcast(li.agg(count(lit(1)).as("n_total")))
+    probes.join(sketch, Seq("r", "b"))
+      .groupBy("l_partkey", "cnt_exact")
+      .agg(min(col("cms")).as("est"))
+      .crossJoin(nTotal)
+      .orderBy(col("cnt_exact").desc, col("l_partkey").asc)
+  }
+
+  /** Driver-visible TOLERANCE gate for the count-min sketch, following the
+    * [[approxDistinct]] pattern: exact top-k counts (hash-comparable
+    * against DuckDB, boundary tie-broken by key) plus `within_tol` = 1 iff
+    * the CMS estimate respects both sides of its published contract —
+    * never below the exact count, and within 2·(e/w)·N above it (double
+    * the one-sided Markov bound, so the gate is deterministic-tight
+    * without flaking on hash-collision variance). The oracle emits a
+    * literal 1: hash-green exactly when the sketch honors its bound.
+    */
+  def approxTopK(s: SparkSession, dir: String): DataFrame =
+    approxTopKDetail(s, dir)
+      .select(col("l_partkey"), col("cnt_exact"),
+        when(col("est") >= col("cnt_exact") &&
+          (col("est") - col("cnt_exact")).cast("double") <=
+            lit(2.0 * math.E / CmsWidth) * col("n_total"),
+          lit(1L)).otherwise(lit(0L)).as("within_tol"))
+      .orderBy(col("cnt_exact").desc, col("l_partkey").asc)
+
   /** Unpivot (melt): the Q1-style wide aggregate turned into long-form
     * (group, metric, value) rows — the reshape every metrics store and
     * plotting layer wants, and the inverse of ev_pivot. `Dataset.unpivot`
@@ -1055,6 +1117,7 @@ object Relational extends QueryModule {
     "q_distinct_having" -> (distinctHaving(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_approx_percentiles" -> (approxPercentiles(_, _)),
+    "q_approx_topk" -> (approxTopK(_, _)),
     "q_unpivot" -> (unpivotPricing(_, _)),
     "q_upsert" -> (upsert(_, _)),
     "q_scd2" -> (scd2(_, _)),
@@ -1117,6 +1180,10 @@ object Relational extends QueryModule {
         |  PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95_disc,
         |  CAST(1 AS BIGINT) AS within_tol
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_topk" ->
+      """SELECT l_partkey, COUNT(*) AS cnt_exact, CAST(1 AS BIGINT) AS within_tol
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY cnt_exact DESC, l_partkey LIMIT 20""".stripMargin,
     "q_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
          |  CAST($discSql AS DOUBLE) AS disc_price

@@ -38,7 +38,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "ev_lift", // 1-row user-count scalar broadcast
     "txt_dsir", // 1-row corpus/target token-totals scalar broadcast
     "sim_graph_rank_full", // 1-row per-round dangling-mass scalar broadcast
-    "sim_ivfpq_topk") // same bounded centroid-broadcast subtree as sim_ivf_*
+    "sim_ivfpq_topk", // same bounded centroid-broadcast subtree as sim_ivf_*
+    "q_approx_topk") // 1-row n_total scalar broadcast onto the ≤ k row output
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)

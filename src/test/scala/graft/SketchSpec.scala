@@ -52,6 +52,29 @@ class SketchSpec extends AnyFunSuite {
     assertPctBound("/root/testdata/sf0.01")
   }
 
+  private def assertCmsBound(dir: String): Unit = {
+    // CMS contract: never underestimates; overshoot ≤ 2·(e/w)·N (the gate's
+    // doubled Markov bound — deterministic for fixed seeds and data)
+    val rows = Relational.approxTopKDetail(spark, dir)
+      .select("l_partkey", "cnt_exact", "est", "n_total").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (key, exact, est, n) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS underestimated key $key: $est < $exact")
+      assert(est - exact <= 2.0 * math.E / 4096 * n,
+        s"key $key overshoot ${est - exact} breaks the (2e/w)·N bound")
+    }
+  }
+
+  test("count-min top-k within its overshoot bound at sf0.001") {
+    assertCmsBound(TestSpark.sfDir)
+  }
+
+  test("count-min top-k within its overshoot bound at sf0.01") {
+    assertCmsBound("/root/testdata/sf0.01")
+  }
+
   test("driver-facing queries encode the tolerance verdict as within_tol = 1") {
     // the oracle emits a literal 1, so these columns ARE the driver's
     // quantitative sketch gate — a sketch outside its bound flips them to
@@ -62,5 +85,8 @@ class SketchSpec extends AnyFunSuite {
     val p = Relational.approxPercentiles(spark, TestSpark.sfDir)
       .select("within_tol").collect().map(_.getLong(0))
     assert(p.nonEmpty && p.forall(_ == 1L))
+    val t = Relational.approxTopK(spark, TestSpark.sfDir)
+      .select("within_tol").collect().map(_.getLong(0))
+    assert(t.nonEmpty && t.forall(_ == 1L))
   }
 }
