@@ -209,6 +209,23 @@ object Dedup extends QueryModule {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Materialize `out` into its own cache (one count populates it), then
+    * release the given upstream caches — the graphRankFullOf
+    * materialize-then-release pattern as a one-liner. Every entry-point
+    * query uses it so the session never holds more than the query's own
+    * bounded result after it returns (CacheCleanupSpec pins this);
+    * recompute of an evicted partition re-runs the un-cached upstream
+    * pipeline via lineage, which stays intact for all non-checkpoint
+    * inputs.
+    */
+  private[ops] def materializeThenRelease(
+      out: DataFrame, release: DataFrame*): DataFrame = {
+    val fin = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fin.count()
+    release.foreach(_.unpersist(false))
+    fin
+  }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // sh feeds the signature path AND both verify sides — persist to avoid
     // re-tokenizing/re-shingling three times (the ngramJaccard lesson).
@@ -269,7 +286,7 @@ object Dedup extends QueryModule {
     val sh = shingledOf(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = documents.select(col("doc_id"), col("text"))
-    lshCandidates(sh)
+    val out = lshCandidates(sh)
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .withColumn("lev", levenshtein(col("ta"), col("tb")))
@@ -279,6 +296,7 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"),
         round(col("sim"), 4).as("edit_sim"))
       .orderBy("doc_a", "doc_b")
+    materializeThenRelease(out, sh)
   }
 
   // ---------------------------------------------------------- dd_cluster
@@ -519,7 +537,7 @@ object Dedup extends QueryModule {
         col("t.b_idx") === col("b.b_idx") && col("t.band") === col("b.band"))
       .select(col("t.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
       .dropDuplicates("doc_id", "bench_id")
-    cand
+    val out = cand
       .join(sh.select(col("doc_id"), col("sh").as("sh_t")), "doc_id")
       .join(sh.select(col("doc_id").as("bench_id"), col("sh").as("sh_b")), "bench_id")
       .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_b"))))
@@ -530,6 +548,7 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_bench_matches"),
         round(max(col("jac")), 4).as("max_jaccard"))
       .orderBy("doc_id")
+    materializeThenRelease(out, sh)
   }
 
   // ---------------------------------------------------------- dd_simhash
@@ -621,7 +640,7 @@ object Dedup extends QueryModule {
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val out = cand
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("n").as("na")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("n").as("nb")), "doc_b")
       // size-ratio prefilter (J ≥ t ⇒ min/max ≥ t) skips the array work
@@ -632,6 +651,7 @@ object Dedup extends QueryModule {
       .filter(col("jac") >= GramJaccardT)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+    materializeThenRelease(out, g)
   }
 
   // ------------------------------------------- dd_embed_neardup
@@ -658,7 +678,7 @@ object Dedup extends QueryModule {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-    cand
+    val out = cand
       .join(c.select(col("vec_id").as("vec_a"), col("vq").as("va"), col("n2").as("na")), "vec_a")
       .join(c.select(col("vec_id").as("vec_b"), col("vq").as("vb"), col("n2").as("nb")), "vec_b")
       .withColumn("cos",
@@ -666,6 +686,7 @@ object Dedup extends QueryModule {
       .filter(col("cos") >= CosT)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
+    materializeThenRelease(out, c, lng)
   }
 
   // ---------------------------------------------- dd_passage_overlap
@@ -720,13 +741,14 @@ object Dedup extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles are distinct per doc, so count(*) per digest = #docs holding it
     val freq = g.groupBy("gh").agg(count(lit(1)).as("n_docs"))
-    g.join(freq, "gh")
+    val out = g.join(freq, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_shingles"), 6))
       .orderBy("doc_id")
+    materializeThenRelease(out, g)
   }
 
   // ---------------------------------- dd_passage_decontaminate
@@ -830,11 +852,12 @@ object Dedup extends QueryModule {
       .filter(expr(s"bloom_might_contain((SELECT bf FROM $bloomView), xxhash64(gh))"))
       .join(benchSet, Seq("gh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, "doc_id") // inner: clean docs drop, mirroring >= 1
+    val out = totals.join(hits, "doc_id") // inner: clean docs drop, mirroring >= 1
       .withColumn("contam_frac",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
       .select("doc_id", "n_shingles", "n_contaminated", "contam_frac")
       .orderBy("doc_id")
+    materializeThenRelease(out, g, benchSet)
   }
 
   // ---------------------------------------------- dd_containment
@@ -875,7 +898,7 @@ object Dedup extends QueryModule {
       .filter(col("df").between(2, DfCap))
       .drop("df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rare.as("a").join(rare.as("b"),
+    val out = rare.as("a").join(rare.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
@@ -887,6 +910,7 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("containment"), 4).as("containment"))
       .orderBy("doc_a", "doc_b")
+    materializeThenRelease(out, rare)
   }
 
   // ---------------------------------------------- dd_substring
@@ -940,7 +964,7 @@ object Dedup extends QueryModule {
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
-    substringIslandsOf(m)
+    materializeThenRelease(substringIslandsOf(m), rare)
   }
 
   /** Gaps-and-islands run extension over window matches

@@ -282,7 +282,7 @@ object Multimodal extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val out = cand
       .join(wide.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
       .join(wide.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
       .withColumn("hamming", expr(
@@ -291,6 +291,7 @@ object Multimodal extends QueryModule {
       .filter(col("hamming") <= PhashHamT)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("doc_a", "doc_b")
+    Dedup.materializeThenRelease(out, bands)
   }
 
   /** Synthetic blob container layout the decoder parses (defined here, not

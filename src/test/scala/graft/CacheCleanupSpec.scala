@@ -47,7 +47,10 @@ class CacheCleanupSpec extends AnyFunSuite {
     // consumers (the r12 weak-5 mechanism).
     val dir = TestSpark.sfDir
     for (q <- Seq("dd_neardup", "dd_cluster", "dd_cluster_stats",
-        "dd_survivors", "dd_passage_decontaminate", "pipe_corpus")) {
+        "dd_survivors", "dd_passage_decontaminate", "pipe_corpus",
+        "dd_edit_verify", "dd_decontaminate", "dd_ngram_jaccard",
+        "dd_embed_neardup", "dd_passage_overlap", "dd_bloom_decontaminate",
+        "dd_containment", "dd_substring", "mm_phash_neardup")) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val n = SparkEntry.queries(q)(spark, dir).count()
