@@ -831,6 +831,7 @@ object Relational extends QueryModule {
       .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("supplier_no"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
+      .transform(graft.ops.Dedup.materializeThenRelease(_, rev))
   }
 
   /** TPC-H Q9 shape (product type profit), adapted: no partsupp table, so
@@ -889,6 +890,7 @@ object Relational extends QueryModule {
       .filter(col("value_dec").cast("double") > col("thr"))
       .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
       .orderBy(col("value").desc, col("l_partkey").asc)
+      .transform(graft.ops.Dedup.materializeThenRelease(_, vals))
   }
 
   /** TPC-H Q2 shape (minimum cost supplier), adapted: no partsupp, so a

@@ -240,7 +240,15 @@ object Similarity extends QueryModule {
     * stay O(BandCount·TargetBucket) at any corpus size; more/narrower bands
     * dial recall vs. candidates.
     */
-  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+  def lshTopK(s: SparkSession, dir: String): DataFrame =
+    lshTopKWithRelease(s, dir)._1
+
+  /** [[lshTopK]] with a release hook for its one materialized cache (the
+    * bounded top-k list) — recallAtK composes it and releases after its
+    * own result materializes.
+    */
+  private def lshTopKWithRelease(
+      s: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val c = corpus(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = banded(c)
@@ -256,11 +264,14 @@ object Similarity extends QueryModule {
       .join(c, "vec_id")
       .select(col("q_id"), col("vec_id"),
         cosine(idot(col("vq"), col("qv")), col("n2"), col("qn2")).as("cos"))
-    topKPerGroup(scored, Seq("q_id"), "vec_id", TopK,
-        col("cos").desc, col("vec_id").asc)
-      .select(col("q_id"), col("vec_id"), col("rnk"),
-        round(col("cos"), 6).as("cos_sim"))
-      .orderBy("q_id", "rnk")
+    val out = Dedup.materializeThenRelease(
+      topKPerGroup(scored, Seq("q_id"), "vec_id", TopK,
+          col("cos").desc, col("vec_id").asc)
+        .select(col("q_id"), col("vec_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("q_id", "rnk"),
+      c, b)
+    (out, () => { out.unpersist(false); () })
   }
 
   // --------------------------------------------------------- sim_knn_graph
@@ -273,7 +284,15 @@ object Similarity extends QueryModule {
     * population near [[TargetBucket]], and skew-heavy buckets re-split at
     * [[BucketCap]] — so Σ bucket² ≈ n·TargetBucket stays linear.
     */
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphWithRelease(s, dir)._1
+
+  /** [[knnGraph]] with a release hook for its one materialized cache (the
+    * n·k edge list) — the graph consumers (PageRank, triangles, BFS)
+    * compose it and release once their own result materializes.
+    */
+  private def knnGraphWithRelease(
+      s: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val c = corpus(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = banded(c)
@@ -288,11 +307,14 @@ object Similarity extends QueryModule {
       .join(c.select(col("vec_id").as("nbr_id"), col("vq").as("nv"), col("n2").as("nn2")), "nbr_id")
       .select(col("vec_id"), col("nbr_id"),
         cosine(idot(col("vq"), col("nv")), col("n2"), col("nn2")).as("cos"))
-    topKPerGroup(scored, Seq("vec_id"), "nbr_id", GraphK,
-        col("cos").desc, col("nbr_id").asc)
-      .select(col("vec_id"), col("nbr_id"), col("rnk"),
-        round(col("cos"), 6).as("cos_sim"))
-      .orderBy("vec_id", "rnk")
+    val out = Dedup.materializeThenRelease(
+      topKPerGroup(scored, Seq("vec_id"), "nbr_id", GraphK,
+          col("cos").desc, col("nbr_id").asc)
+        .select(col("vec_id"), col("nbr_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("vec_id", "rnk"),
+      c, b)
+    (out, () => { out.unpersist(false); () })
   }
 
   // ------------------------------------------------------- sim_recall_at_k
@@ -309,15 +331,18 @@ object Similarity extends QueryModule {
     */
   def recallAtK(s: SparkSession, dir: String): DataFrame = {
     val truth = bruteTopK(s, dir).select(col("q_id"), col("vec_id"))
-    val got = lshTopK(s, dir)
-      .select(col("q_id").as("l_qid"), col("vec_id").as("l_vid"))
-    truth.join(got,
-        col("q_id") === col("l_qid") && col("vec_id") === col("l_vid"), "left")
-      .groupBy("q_id")
-      .agg(count(col("l_vid")).as("n_hits"))
-      .select(col("q_id"), col("n_hits"),
-        round(col("n_hits").cast("double") / TopK, 6).as("recall_at_k"))
-      .orderBy("q_id")
+    val (lsh, releaseLsh) = lshTopKWithRelease(s, dir)
+    val got = lsh.select(col("q_id").as("l_qid"), col("vec_id").as("l_vid"))
+    val out = Dedup.materializeThenRelease(
+      truth.join(got,
+          col("q_id") === col("l_qid") && col("vec_id") === col("l_vid"), "left")
+        .groupBy("q_id")
+        .agg(count(col("l_vid")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / TopK, 6).as("recall_at_k"))
+        .orderBy("q_id"))
+    releaseLsh()
+    out
   }
 
   // --------------------------------------------------------- sim_graph_rank
@@ -334,10 +359,14 @@ object Similarity extends QueryModule {
     * the (1−d)/N floor; dangling mass is NOT redistributed (the simple
     * variant — documented contract, same in the oracle).
     */
-  def graphRank(s: SparkSession, dir: String): DataFrame =
-    graphRankOf(
-      knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+  def graphRank(s: SparkSession, dir: String): DataFrame = {
+    val (g, release) = knnGraphWithRelease(s, dir)
+    val out = graphRankOf(
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
       Tables.embeddings(s, dir).select("vec_id"))
+    release() // graphRankOf has materialized its final vector by now
+    out
+  }
 
   /** The power-method core over an explicit (src, dst) edge frame and a
     * vec_id node frame — factored for fixture tests with hand-computable
@@ -417,10 +446,14 @@ object Similarity extends QueryModule {
     * broadcast back onto the node frame. One extra tiny aggregate per
     * round; nothing corpus-scale is added.
     */
-  def graphRankFull(s: SparkSession, dir: String): DataFrame =
-    graphRankFullOf(
-      knnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+  def graphRankFull(s: SparkSession, dir: String): DataFrame = {
+    val (g, release) = knnGraphWithRelease(s, dir)
+    val out = graphRankFullOf(
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
       Tables.embeddings(s, dir).select("vec_id"))
+    release()
+    out
+  }
 
   private[graft] def graphRankFullOf(edgeList: DataFrame, nodeList: DataFrame): DataFrame = {
     val edges = edgeList.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -489,11 +522,15 @@ object Similarity extends QueryModule {
     * (wedges never fan out further). Edges/degrees persist across the three
     * self-join consumers.
     */
-  def triangleStats(s: SparkSession, dir: String): DataFrame =
-    triangleStatsOf(knnGraph(s, dir)
+  def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    val (g, release) = knnGraphWithRelease(s, dir)
+    val out = triangleStatsOf(g
       .select(least(col("vec_id"), col("nbr_id")).as("a"),
         greatest(col("vec_id"), col("nbr_id")).as("b"))
       .distinct())
+    release() // triangleStatsOf has materialized its per-node stats by now
+    out
+  }
 
   /** The oriented-wedge core over an undirected edge frame (a < b, distinct)
     * — factored for fixture tests with hand-countable triangles.
@@ -519,13 +556,14 @@ object Similarity extends QueryModule {
     val perNode = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    deg.filter(col("deg") >= 2)
+    val out = deg.filter(col("deg") >= 2)
       .join(perNode, col("v") === col("node"), "left")
       .select(col("v").as("vec_id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round(coalesce(col("n_tri"), lit(0L)) * lit(2.0)
           / (col("deg") * (col("deg") - 1)), 6).as("clustering"))
       .orderBy("vec_id")
+    Dedup.materializeThenRelease(out, und, deg, orient)
   }
 
   // --------------------------------------------------------- sim_bfs_reach
@@ -546,7 +584,8 @@ object Similarity extends QueryModule {
     * a hash aggregate; nothing scales with more than edges × hops.
     */
   def bfsReach(s: SparkSession, dir: String): DataFrame = {
-    val und = knnGraph(s, dir)
+    val (g, releaseKnn) = knnGraphWithRelease(s, dir)
+    val und = g
       .select(least(col("vec_id"), col("nbr_id")).as("a"),
         greatest(col("vec_id"), col("nbr_id")).as("b"))
       .distinct()
@@ -569,8 +608,10 @@ object Similarity extends QueryModule {
     val counts = reached.zipWithIndex.drop(1).map { case (r, h) =>
       r.groupBy("seed").agg((count(lit(1)) - 1).as(s"reach_$h"))
     }
-    counts.reduce((x, y) => x.join(y, "seed"))
-      .orderBy("seed")
+    val out = Dedup.materializeThenRelease(
+      counts.reduce((x, y) => x.join(y, "seed")).orderBy("seed"), edges)
+    releaseKnn()
+    out
   }
 
   // --------------------------------------------------------- sim_sq_encode
@@ -607,6 +648,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("code_checksum"),
         round(sqrt(col("se").cast("double") / Dim) / (255.0 * Scale), 6).as("rmse"))
       .orderBy("vec_id")
+      .transform(Dedup.materializeThenRelease(_, ex))
   }
 
   // -------------------------------------------------------- sim_ivf_assign
@@ -758,6 +800,7 @@ object Similarity extends QueryModule {
         when(aKeeps, col("b.vec_id")).otherwise(col("a.vec_id")).as("drop_id"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy("cluster", "keep_id", "drop_id")
+      .transform(Dedup.materializeThenRelease(_, side))
   }
 
   // ---------------------------------------------------------- sim_ivf_topk
@@ -805,6 +848,7 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("vec_id"), col("rnk"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rnk")
+      .transform(Dedup.materializeThenRelease(_, scored))
   }
 
   // --------------------------------------------------------- sim_ivfpq_topk
@@ -865,6 +909,7 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("vec_id"), col("rnk"),
         round(col("adc").cast("double"), 6).as("adc_dist"))
       .orderBy("q_id", "rnk")
+      .transform(Dedup.materializeThenRelease(_, e, csub, coarse))
   }
 
   // -------------------------------------------------------- sim_kmeans_step
@@ -928,6 +973,7 @@ object Similarity extends QueryModule {
     asg.select(col("vec_id"), col("assigned").as("cluster"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_id")
+      .transform(Dedup.materializeThenRelease(_, e))
   }
 
   // -------------------------------------------------------- sim_pq_encode
@@ -1067,11 +1113,15 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("q_id"), col("m").as("lm"), col("c_label"),
         round(col("dist") / lit(Scale.toDouble * Scale), 6)
           .cast(DecimalType(18, 6)).as("d6"))
+    // |Q|·n narrow score frame: materialize it, release the corpus-scale
+    // quantized-embeddings cache and the sub-codebook — both pqTopK and
+    // pqRerank then read one cached frame.
     codes.join(broadcast(lut),
         codes("m") === lut("lm") && codes("code") === lut("c_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("d6")).as("adc"))
+      .transform(Dedup.materializeThenRelease(_, e, csub))
   }
 
   def pqTopK(s: SparkSession, dir: String): DataFrame =

@@ -370,6 +370,7 @@ object Streamish extends QueryModule {
       .select(timestamp_micros(col("ws")).as("w_start"), col("n_events"),
         col("sum_value"))
       .orderBy("w_start")
+      .transform(Dedup.materializeThenRelease(_, hourly))
   }
 
   // ----------------------------------------------------------------- ev_paths
@@ -503,6 +504,7 @@ object Streamish extends QueryModule {
         round((col("n_both").cast("double") * col("n_users"))
           / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
       .orderBy("type_a", "type_b")
+      .transform(Dedup.materializeThenRelease(_, ut))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

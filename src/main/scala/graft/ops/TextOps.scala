@@ -511,6 +511,7 @@ object TextOps extends QueryModule {
       .withColumn("repetitive",
         col("top_token_frac") > 0.2 || col("dup_trigram_frac") > 0.3)
       .orderBy("doc_id")
+      .transform(Dedup.materializeThenRelease(_, tok))
   }
 
   // ------------------------------------------------------ txt_ngram_novelty
@@ -564,6 +565,7 @@ object TextOps extends QueryModule {
           .otherwise(round(col("n_novel").cast("double") / col("n_tri_distinct"), 6))
           .as("novelty"))
       .orderBy("doc_id")
+      .transform(Dedup.materializeThenRelease(_, docTri))
   }
 
   // PII patterns restricted to syntax Java regex and RE2 share (explicit
@@ -833,6 +835,7 @@ object TextOps extends QueryModule {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("kn_logprob"), col("kn_ppl"))
       .orderBy("doc_id")
+      .transform(Dedup.materializeThenRelease(_, cb))
   }
 
   // ---------------------------------------------------- txt_vocab_coverage
@@ -904,6 +907,7 @@ object TextOps extends QueryModule {
       .select(col("token"), col("n"), col("rank"),
         round(col("cum").cast("double") / col("total"), 6).as("cum_share"))
       .orderBy("rank")
+      .transform(Dedup.materializeThenRelease(_, c))
   }
 
   // ------------------------------------------------------ txt_chunk_windows
@@ -1065,6 +1069,7 @@ object TextOps extends QueryModule {
           .when(col("ppl") <= col("q66"), "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
+      .transform(Dedup.materializeThenRelease(_, scored))
   }
 
   // ------------------------------------------------------- txt_mix_weights
@@ -1208,6 +1213,7 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("log_importance"))
       .orderBy("doc_id")
+      .transform(Dedup.materializeThenRelease(_, tok))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
