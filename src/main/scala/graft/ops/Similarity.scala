@@ -240,12 +240,17 @@ object Similarity extends QueryModule {
     * stay O(BandCount·TargetBucket) at any corpus size; more/narrower bands
     * dial recall vs. candidates.
     */
-  def lshTopK(s: SparkSession, dir: String): DataFrame =
-    lshTopKWithRelease(s, dir)._1
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val (lsh, release) = lshTopKWithRelease(s, dir)
+    val out = Dedup.materializeThenRelease(lsh)
+    release()
+    out
+  }
 
-  /** [[lshTopK]] with a release hook for its one materialized cache (the
-    * bounded top-k list) — recallAtK composes it and releases after its
-    * own result materializes.
+  /** [[lshTopK]] as a LAZY frame plus a hook releasing its two internal
+    * caches (corpus + banded) — recallAtK composes it and calls the hook
+    * after its own result materializes, avoiding an intermediate
+    * materialization pass.
     */
   private def lshTopKWithRelease(
       s: SparkSession, dir: String): (DataFrame, () => Unit) = {
@@ -264,14 +269,12 @@ object Similarity extends QueryModule {
       .join(c, "vec_id")
       .select(col("q_id"), col("vec_id"),
         cosine(idot(col("vq"), col("qv")), col("n2"), col("qn2")).as("cos"))
-    val out = Dedup.materializeThenRelease(
-      topKPerGroup(scored, Seq("q_id"), "vec_id", TopK,
-          col("cos").desc, col("vec_id").asc)
-        .select(col("q_id"), col("vec_id"), col("rnk"),
-          round(col("cos"), 6).as("cos_sim"))
-        .orderBy("q_id", "rnk"),
-      c, b)
-    (out, () => { out.unpersist(false); () })
+    val out = topKPerGroup(scored, Seq("q_id"), "vec_id", TopK,
+        col("cos").desc, col("vec_id").asc)
+      .select(col("q_id"), col("vec_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+    (out, () => { c.unpersist(false); b.unpersist(false); () })
   }
 
   // --------------------------------------------------------- sim_knn_graph
@@ -284,12 +287,23 @@ object Similarity extends QueryModule {
     * population near [[TargetBucket]], and skew-heavy buckets re-split at
     * [[BucketCap]] — so Σ bucket² ≈ n·TargetBucket stays linear.
     */
-  def knnGraph(s: SparkSession, dir: String): DataFrame =
-    knnGraphWithRelease(s, dir)._1
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    // standalone query: materialize the edge list so the corpus/banded
+    // caches can be released before returning (the one-extra-pass price of
+    // the bounded-session invariant; composing consumers avoid it via the
+    // lazy WithRelease form below)
+    val (g, release) = knnGraphWithRelease(s, dir)
+    val out = Dedup.materializeThenRelease(g)
+    release()
+    out
+  }
 
-  /** [[knnGraph]] with a release hook for its one materialized cache (the
-    * n·k edge list) — the graph consumers (PageRank, triangles, BFS)
-    * compose it and release once their own result materializes.
+  /** [[knnGraph]] as a LAZY frame plus a hook releasing its two internal
+    * caches (corpus + banded). The graph consumers (PageRank, triangles,
+    * BFS, recall) read the edge list exactly once into their own
+    * materialized state, so no eager edge materialization is needed — the
+    * caches populate during the consumer's first action and the hook drops
+    * them once the consumer's result is materialized.
     */
   private def knnGraphWithRelease(
       s: SparkSession, dir: String): (DataFrame, () => Unit) = {
@@ -307,14 +321,12 @@ object Similarity extends QueryModule {
       .join(c.select(col("vec_id").as("nbr_id"), col("vq").as("nv"), col("n2").as("nn2")), "nbr_id")
       .select(col("vec_id"), col("nbr_id"),
         cosine(idot(col("vq"), col("nv")), col("n2"), col("nn2")).as("cos"))
-    val out = Dedup.materializeThenRelease(
-      topKPerGroup(scored, Seq("vec_id"), "nbr_id", GraphK,
-          col("cos").desc, col("nbr_id").asc)
-        .select(col("vec_id"), col("nbr_id"), col("rnk"),
-          round(col("cos"), 6).as("cos_sim"))
-        .orderBy("vec_id", "rnk"),
-      c, b)
-    (out, () => { out.unpersist(false); () })
+    val out = topKPerGroup(scored, Seq("vec_id"), "nbr_id", GraphK,
+        col("cos").desc, col("nbr_id").asc)
+      .select(col("vec_id"), col("nbr_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rnk")
+    (out, () => { c.unpersist(false); b.unpersist(false); () })
   }
 
   // ------------------------------------------------------- sim_recall_at_k
@@ -1091,7 +1103,7 @@ object Similarity extends QueryModule {
     * decimals, and summed as an exact DECIMAL — the txt_entropy pre-round
     * trick — making the ADC distance order-independent in both engines.
     */
-  private def adcScores(s: SparkSession, dir: String): DataFrame = {
+  private def adcScores(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.types.DecimalType
     graft.functions.ArrayDot.register(s)
     // ONE embeddings scan: the quantized frame feeds the codebook build,
@@ -1113,24 +1125,30 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("q_id"), col("m").as("lm"), col("c_label"),
         round(col("dist") / lit(Scale.toDouble * Scale), 6)
           .cast(DecimalType(18, 6)).as("d6"))
-    // |Q|·n narrow score frame: materialize it, release the corpus-scale
-    // quantized-embeddings cache and the sub-codebook — both pqTopK and
-    // pqRerank then read one cached frame.
-    codes.join(broadcast(lut),
+    // LAZY |Q|·n score frame + a hook for the two internal caches (the
+    // corpus-scale quantized-embeddings frame and the sub-codebook): each
+    // consumer reads the scores once into its own materialized result, so
+    // no intermediate materialization pass is needed — the caches populate
+    // during the consumer's action and drop right after it.
+    val adc = codes.join(broadcast(lut),
         codes("m") === lut("lm") && codes("code") === lut("c_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("d6")).as("adc"))
-      .transform(Dedup.materializeThenRelease(_, e, csub))
+    (adc, () => { e.unpersist(false); csub.unpersist(false); () })
   }
 
-  def pqTopK(s: SparkSession, dir: String): DataFrame =
-    adcScores(s, dir)
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val (adc, release) = adcScores(s, dir)
+    val out = Dedup.materializeThenRelease(adc
       .transform(topKPerGroup(_, Seq("q_id"), "vec_id", TopK,
         col("adc").asc, col("vec_id").asc))
       .select(col("q_id"), col("vec_id"), col("rnk"),
         round(col("adc").cast("double"), 6).as("adc_dist"))
-      .orderBy("q_id", "rnk")
+      .orderBy("q_id", "rnk"))
+    release()
+    out
+  }
 
   // --------------------------------------------------------- sim_pq_rerank
 
@@ -1156,7 +1174,8 @@ object Similarity extends QueryModule {
     * both engines); rounding is display-only.
     */
   def pqRerank(s: SparkSession, dir: String): DataFrame = {
-    val short = adcScores(s, dir)
+    val (adc, releaseAdc) = adcScores(s, dir)
+    val short = adc
       .transform(topKPerGroup(_, Seq("q_id"), "vec_id", RerankK,
         col("adc").asc, col("vec_id").asc))
       .select("q_id", "vec_id")
@@ -1166,14 +1185,17 @@ object Similarity extends QueryModule {
     // exact |q−c|² via the dot identity, all-integer → exact in double
     val l2 = (col("n2") - lit(2.0) * idot(col("vq"), col("qv")) + col("qn2"))
       .cast("double") / lit(Scale.toDouble * Scale)
-    short.join(c, "vec_id")
-      .join(broadcast(q), col("q_id") === col("qq_id"))
-      .select(col("q_id"), col("vec_id"), l2.as("l2"))
-      .transform(topKPerGroup(_, Seq("q_id"), "vec_id", TopK,
-        col("l2").asc, col("vec_id").asc))
-      .select(col("q_id"), col("vec_id"), col("rnk"),
-        round(col("l2"), 6).as("l2_dist"))
-      .orderBy("q_id", "rnk")
+    val out = Dedup.materializeThenRelease(
+      short.join(c, "vec_id")
+        .join(broadcast(q), col("q_id") === col("qq_id"))
+        .select(col("q_id"), col("vec_id"), l2.as("l2"))
+        .transform(topKPerGroup(_, Seq("q_id"), "vec_id", TopK,
+          col("l2").asc, col("vec_id").asc))
+        .select(col("q_id"), col("vec_id"), col("rnk"),
+          round(col("l2"), 6).as("l2_dist"))
+        .orderBy("q_id", "rnk"))
+    releaseAdc()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
