@@ -322,14 +322,16 @@ object Dedup extends QueryModule {
   private[graft] def clusterWithRelease(
       s: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val pairs = minhashPairs(s, dir) // materialized + cached, sh released
-    val (labels, _) = labelPropagate(pairs.select("doc_a", "doc_b"))
+    val (labels, _, cleanupLabels) = labelPropagate(pairs.select("doc_a", "doc_b"))
     pairs.unpersist(false) // labels materialized — pairs has no reader left
     val df = labels
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
       .orderBy("doc_id")
-    (df, () => { labels.unpersist(false); () })
+    // the hook drops the label cache AND the final round's (reliable-mode)
+    // checkpoint files — the deferred deletion labelPropagate documents
+    (df, () => { cleanupLabels(); () })
   }
 
   /** Duplicate-distribution histogram — the corpus-health summary a dedup
@@ -384,7 +386,8 @@ object Dedup extends QueryModule {
     * LOWER labels toward the component minimum, so the fixpoint — nobody
     * changes — is exactly "every node holds its component's min id".
     */
-  private[graft] def labelPropagate(pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def labelPropagate(
+      pairs: DataFrame): (DataFrame, Int, () => Unit) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both directions in ONE pass over the (unpersisted, expensive) pairs
     // pipeline — a self-union would execute it once per branch
@@ -420,16 +423,19 @@ object Dedup extends QueryModule {
     reliableDir.foreach(d => spark.sparkContext.setCheckpointDir(d))
     def materialize(df: DataFrame): DataFrame =
       if (reliableDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    def release(df: DataFrame): Unit =
+    def chkRdds(df: DataFrame) =
       df.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach { r =>
-        r.unpersist(false)
-        r.getCheckpointFile.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        }
       }
+    def releaseBlocks(df: DataFrame): Unit =
+      chkRdds(df).foreach(_.unpersist(false))
+    def deleteFiles(df: DataFrame): Unit =
+      chkRdds(df).foreach(_.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      })
+    // superseded rounds: blocks AND files go eagerly (O(1 round) store)
+    def release(df: DataFrame): Unit = { releaseBlocks(df); deleteFiles(df) }
     var chk = materialize(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
     var labels = chk
@@ -457,21 +463,31 @@ object Dedup extends QueryModule {
       labels = next.select("node", "label")
     }
     // Materialize the converged label table into a regular cache, then
-    // release the edge frame and the final round's checkpoint blocks: the
+    // release the edge frame and the final round's checkpoint BLOCKS: the
     // returned plan reads ONE n-row InMemoryRelation and nothing
     // corpus-scale stays pinned (catalog.clearCache cannot see checkpoint
     // blocks — only this explicit unpersist reclaims them before the
-    // ContextCleaner gets around to it). Caveat shared with
-    // graphRankFullOf: fin's lineage bottoms out in the (now-released)
-    // checkpoint RDD, so recompute after block loss is impossible —
-    // MEMORY_AND_DISK spills instead of evicting, and the cluster-grade
-    // fault-tolerance answer is the reliable-checkpoint path, not a
-    // pinned local cache.
+    // ContextCleaner gets around to it).
+    //
+    // The final round's checkpoint FILES are NOT deleted here. In local
+    // mode there are none (localCheckpoint is block-only, and fin's
+    // recompute path dying with executor storage is that mode's documented
+    // caveat). In reliable mode those files are the durable recompute path
+    // behind fin — deleting them before consumers have materialized their
+    // own outputs would strand fin as bare executor blocks on exactly the
+    // clusters the mode exists for (an executor loss after return turns
+    // into an unrecoverable FileNotFound). Deletion is deferred to the
+    // returned cleanup hook, which consumers (clusterWithRelease et al.)
+    // call once nothing reads the label table anymore; a standalone query
+    // that never calls it leaves the one O(n)-file durable copy for the
+    // store owner / session teardown — durability, not a leak.
     val fin = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fin.count()
-    release(chk)
+    val finalChk = chk
+    releaseBlocks(finalChk)
     edges.unpersist(false)
-    (fin, rounds)
+    val cleanup = () => { fin.unpersist(false); deleteFiles(finalChk); () }
+    (fin, rounds, cleanup)
   }
 
   // ---------------------------------------------------------- dd_survivors

@@ -179,7 +179,16 @@ object Relational extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
-  private val CmsRows = 4      // d independent hash rows (failure ~ e^-d)
+  // d = 8 rather than the textbook 4: the driver gate compares `within_tol`
+  // by exact hash, so a single probe exceeding the 2·(e/w)·N tolerance is a
+  // full correctness red. Per probe P(min over d rows overshoots 2e·N/w) ≤
+  // (1/2e)^d — at d=4 that is ~1.1e-3, i.e. a 1–2 % chance of a false red
+  // somewhere in the 20 probes on any FRESH dataset/scale factor; at d=8 it
+  // is ~1.3e-6 per probe (~3e-5 across 20 probes at any sf the driver may
+  // run — negligible, and dataset-deterministic). The cost is d·w = 32k
+  // shuffle rows per task instead of 16k — still fixed at ANY input size,
+  // which is the whole point of the sketch.
+  private val CmsRows = 8      // d independent hash rows (failure ~ (1/2e)^d)
   private val CmsWidth = 4096  // w buckets per row (ε = e/w per estimate)
   private val CmsTopK = 20
 

@@ -565,7 +565,10 @@ object TextOps extends QueryModule {
           .otherwise(round(col("n_novel").cast("double") / col("n_tri_distinct"), 6))
           .as("novelty"))
       .orderBy("doc_id")
-      .transform(Dedup.materializeThenRelease(_, docTri))
+    // LAZY return, docTri left as the query's one cached frame — the
+    // knPerplexityOf reasoning: the consumer's single action populates it
+    // for both the index build and the join-back, instead of paying an
+    // eager extra pass to transfer the cache onto the output frame.
   }
 
   // PII patterns restricted to syntax Java regex and RE2 share (explicit
@@ -830,12 +833,19 @@ object TextOps extends QueryModule {
         round(col("slp").cast("double") / col("n_bigrams"), 6))
       .select(col("doc_id"), col("n_bigrams"), col("kn_logprob"),
         round(exp(-col("kn_logprob")), 4).as("kn_ppl"))
+    // Returned LAZY, with cb left as this query's ONE cached frame (the
+    // ≤1-frame invariant CacheCleanupSpec sweeps): the consumer's own
+    // action populates cb once and reads it from cache in all four
+    // subtrees. r13 instead eagerly materialized the per-doc OUTPUT and
+    // released cb — a full extra scoring pass (txt_kn_perplexity's
+    // measured 1.4× tax) just to swap WHICH single frame stays cached;
+    // the bigram type table it retains here grows Heaps-sublinearly with
+    // the corpus, vs the strictly per-doc output frame.
     docs.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("kn_logprob"), col("kn_ppl"))
       .orderBy("doc_id")
-      .transform(Dedup.materializeThenRelease(_, cb))
   }
 
   // ---------------------------------------------------- txt_vocab_coverage
@@ -1069,7 +1079,10 @@ object TextOps extends QueryModule {
           .when(col("ppl") <= col("q66"), "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
-      .transform(Dedup.materializeThenRelease(_, scored))
+    // LAZY return, scored left as the query's one cached frame — the
+    // knPerplexityOf reasoning; scored and the output are the same per-doc
+    // row count, so retaining the input side costs nothing extra while the
+    // eager swap cost a full LM-scoring pass.
   }
 
   // ------------------------------------------------------- txt_mix_weights

@@ -335,42 +335,70 @@ class OpsSpec extends AnyFunSuite {
     // second component to prove labels don't bleed across components
     val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
       (100L until 110L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
-    val (labels, rounds) = Dedup.labelPropagate(pairs)
+    val (labels, rounds, cleanup) = Dedup.labelPropagate(pairs)
     val m = labels.as[(Long, Long)].collect().toMap
     assert((0L to 63L).forall(m(_) == 0L))
     assert((100L to 110L).forall(m(_) == 100L))
     // plain neighbor-min needs ~diameter (63) rounds here; the jump makes
     // label-chain depth halve per round
     assert(rounds <= 12, s"expected logarithmic convergence, took $rounds rounds")
+    cleanup()
   }
 
-  test("labelPropagate: reliable-checkpoint path matches localCheckpoint and cleans its files") {
+  test("labelPropagate: reliable mode matches local, survives block loss, cleans files on the hook") {
     import spark.implicits._
     val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
       (100L until 110L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
-    val (localLabels, _) = Dedup.labelPropagate(pairs)
+    val (localLabels, _, localCleanup) = Dedup.labelPropagate(pairs)
     val localMap = localLabels.as[(Long, Long)].collect().toMap
-    localLabels.unpersist(false)
+    localCleanup()
     val ckDir = java.nio.file.Files.createTempDirectory("graft-ck")
     spark.conf.set("spark.graft.checkpointDir", ckDir.toString)
     try {
-      val (relLabels, relRounds) = Dedup.labelPropagate(pairs)
+      val (relLabels, relRounds, relCleanup) = Dedup.labelPropagate(pairs)
       val relMap = relLabels.as[(Long, Long)].collect().toMap
-      relLabels.unpersist(false)
       assert(relMap === localMap, "reliable path diverged from local path")
       assert(relRounds <= 12)
-      // every round's checkpoint files were deleted as it was superseded,
-      // and the final round's after the result materialized — only empty
-      // per-query UUID dirs may remain on the store
       import scala.jdk.CollectionConverters._
-      val leftovers = java.nio.file.Files.walk(ckDir).iterator().asScala
+      def rddDirs() = java.nio.file.Files.walk(ckDir).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("rdd-")).toList
-      assert(leftovers.isEmpty,
-        s"checkpoint store not cleaned: ${leftovers.mkString(", ")}")
+      // superseded rounds' files went eagerly (O(1 round) store usage);
+      // the FINAL round's remain — they are the durable recompute path
+      // behind the returned label table, deleted only by the release hook
+      assert(rddDirs().size === 1,
+        s"expected exactly the final round's checkpoint dir: ${rddDirs()}")
+      // simulate executor loss: EVERY cached block in the session dies —
+      // the label table's InMemoryRelation and the checkpoint RDD's blocks
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // the reliable path recomputes the labels from the retained files —
+      // this is the durability the mode was added to provide
+      assert(relLabels.as[(Long, Long)].collect().toMap === localMap,
+        "labels must be recomputable from the retained checkpoint files")
+      relCleanup()
+      assert(rddDirs().isEmpty,
+        s"release hook must delete the final round's files: ${rddDirs()}")
     } finally {
       spark.conf.unset("spark.graft.checkpointDir")
       org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)
     }
+  }
+
+  test("labelPropagate: localCheckpoint state does NOT survive block loss — why reliable mode exists") {
+    import spark.implicits._
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, _, cleanup) = Dedup.labelPropagate(pairs)
+    assert(labels.count() === 33L)
+    // same simulated executor loss as the reliable-mode test above
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // lineage bottoms out in the dropped localCheckpoint blocks: the
+    // recompute MUST fail — if this ever starts passing, the failure mode
+    // the reliable path exists for has silently changed shape
+    val e = intercept[org.apache.spark.SparkException] { labels.count() }
+    assert(String.valueOf(e.getMessage).toLowerCase.contains("checkpoint"),
+      s"expected a checkpoint-block failure, got: ${e.getMessage}")
+    cleanup()
   }
 
   test("dd_substring: maximal verbatim runs with planted mid-doc overlap, full dup, and exact-K run") {
