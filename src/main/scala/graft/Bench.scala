@@ -178,8 +178,32 @@ object Bench {
     // stays reported unchanged — `value_calibrated` is the same suite with
     // the measured machine contention divided out, the number to trend
     // round-over-round on a shared box.
+    // The floor must be a property of the BOX, not of this run: a run that
+    // is uniformly contended end-to-end has a uniformly elevated sentinel,
+    // looks quiet relative to itself, and a within-run floor corrects
+    // nothing (measured: 32 background spinners lift the within-run floor
+    // 1.04 → 2.07 and the "calibrated" total still swings 2.2×). So the
+    // floor persists across runs in a small sidecar file keyed by (sfDir,
+    // cpus): each run contributes its own min, the floor is the monotone
+    // min of history and present, and a contended run reads the quiet
+    // floor some earlier run established. First-ever run degrades to
+    // within-run self-calibration.
     val floorCands = sentFlat.drop(1).filter(_ > 0)
-    val floor = if (floorCands.isEmpty) 1.0 else floorCands.min
+    val runMin = if (floorCands.isEmpty) 1.0 else floorCands.min
+    val floorPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_FLOOR_FILE", ".sentinel_floor"))
+    val floorKey = s"$sfDir|$cpus"
+    val hist: Map[String, Double] =
+      if (Files.exists(floorPath))
+        Files.readAllLines(floorPath).toArray(Array.empty[String]).toSeq
+          .flatMap { line => line.split('\t') match {
+            case Array(k, v) => v.toDoubleOption.map(k -> _)
+            case _ => None
+          }}.toMap
+      else Map.empty
+    val floor = math.min(runMin, hist.getOrElse(floorKey, Double.MaxValue))
+    try Files.writeString(floorPath, (hist + (floorKey -> floor))
+      .map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
+    catch { case _: java.io.IOException => () } // read-only CWD: still calibrate
     def winRatio(pass: Int, w: Int): Double = {
       val v = sentinels(pass)
       val level = if (v.size >= 3) (v(w) + v(w + 1)) / 2
