@@ -82,6 +82,22 @@ final case class SubWinState(occ: Seq[WinOcc], poisoned: Boolean)
 final case class WinMatch(wh: String, doc_a: Long, doc_b: Long,
     pa: Long, pb: Long, poison: Boolean)
 
+/** Event-time epoch state for [[Streaming.noveltyViaStateEventTtl]]: the
+  * current epoch's first carrier plus its last sighting (event-time ms).
+  */
+final case class NovEpoch(firstDoc: Long, lastMs: Long)
+
+/** One (doc_id, pos) occurrence tagged with its event time (ms), held by
+  * [[Streaming.substringMatchesViaStateEventTtl]].
+  */
+final case class WinOccEv(doc_id: Long, pos: Long, ms: Long)
+
+/** Per-digest event-time substring state: the current epoch's occurrences
+  * (or poison marker) plus the digest's last sighting (event-time ms).
+  */
+final case class SubWinEvState(occ: Seq[WinOccEv], poisoned: Boolean,
+    lastMs: Long)
+
 /** Structured Streaming surface: the same event-time semantics as the batch
   * [[graft.ops.Streamish]] battery, expressed incrementally —
   * `readStream` → transforms → `writeStream`. The reference has no streaming
@@ -501,6 +517,68 @@ object Streaming {
       }
   }
 
+  /** [[noveltyViaStateTtl]] with the horizon in EVENT TIME: replaying the
+    * same corpus fast or slow gives identical verdicts, because the epoch
+    * logic is driven by event-time deltas carried IN the state — a trigram
+    * whose next sighting is more than `ttlMs` later in event time starts a
+    * fresh epoch (scored novel again) even if both sightings land in the
+    * same micro-batch. The engine-level `EventTimeTimeout` is only the
+    * STATE-SIZE bound: once the watermark passes a key's last sighting +
+    * `ttlMs`, its row is removed (the key would start a fresh epoch anyway,
+    * so removal never changes a verdict).
+    *
+    * `docs` must carry an `event_time` timestamp column;
+    * `watermarkDelay` is the usual late-data allowance. EXACTNESS: verdicts
+    * equal the unbounded operator's restricted to within-horizon
+    * re-occurrences, for corpora arriving in event-time order across
+    * micro-batches (within-batch disorder is sorted out in-state) — the
+    * replay-invariant production semantic the processing-time variant
+    * lacks.
+    */
+  def noveltyViaStateEventTtl(
+      s: SparkSession, docs: DataFrame, ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[TriNovel] = {
+    import s.implicits._
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    docs
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col("event_time"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      // the watermarked column itself must reach the stateful operator —
+      // converting it to a long here would project the watermark away
+      .select(col("doc_id"), col("event_time"), explode(transform(
+        graft.functions.Exprs.boundedSequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .as("tri"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tri: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[NovEpoch]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed the horizon: drop the epoch row
+            Iterator.empty
+          } else {
+            // event-time order within the batch; one verdict per distinct doc
+            val arrived = rows.map(r => (r._2.getTime, r._1)).toArray.distinct.sorted
+            var cur = state.getOption
+            val seen = scala.collection.mutable.LinkedHashMap.empty[Long, Boolean]
+            arrived.foreach { case (ms, doc) =>
+              val fresh = cur.isEmpty || ms - cur.get.lastMs > ttlMs
+              cur =
+                if (fresh) Some(NovEpoch(doc, ms))
+                else Some(NovEpoch(cur.get.firstDoc, math.max(cur.get.lastMs, ms)))
+              if (!seen.contains(doc)) seen(doc) = cur.get.firstDoc == doc
+            }
+            state.update(cur.get)
+            state.setTimeoutTimestamp(
+              math.max(cur.get.lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            seen.iterator.map { case (d, nov) => TriNovel(d, nov) }
+          }
+      }
+  }
+
   /** Streaming twin of txt_domain_cap: the per-source quality budget kept
     * RUNNING as the corpus arrives. Quality is the same row-local scoring
     * expression set as the batch operator ([[graft.ops.TextOps.qualityOf]]
@@ -629,6 +707,79 @@ object Streaming {
               (newOld ++ newNew).iterator
             }
           }
+          }
+      }
+  }
+
+  /** [[substringMatchesViaStateTtl]] with the horizon in EVENT TIME —
+    * replay-invariant like [[noveltyViaStateEventTtl]]: a digest silent for
+    * more than `ttlMs` of EVENT time starts a fresh epoch (occurrence list
+    * and any poison marker cleared), decided by the event-time deltas in
+    * state, not by wall-clock batching. `EventTimeTimeout` removes a key's
+    * row once the watermark passes its last sighting + `ttlMs` — pure
+    * state-size bound, never a verdict change, since the next arrival would
+    * reset the epoch regardless.
+    *
+    * `docs` must carry an `event_time` timestamp column. EXACTNESS: inside
+    * the horizon the accumulated non-poisoned matches are bit-for-bit the
+    * batch `m` frame; occurrences farther than `ttlMs` apart in event time
+    * are missed (the standard membership-horizon trade), identically at any
+    * replay speed.
+    */
+  def substringMatchesViaStateEventTtl(
+      s: SparkSession, docs: DataFrame, ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[WinMatch] = {
+    import s.implicits._
+    val k = graft.ops.Dedup.subWindowK
+    val cap = graft.ops.Dedup.subDfCap
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    docs
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("doc_id"), col("event_time"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      // keep the watermarked column intact through to the stateful operator
+      .select(col("doc_id"), col("event_time"), posexplode(transform(
+        graft.functions.Exprs.boundedSequence(lit(1), size(col("toks")) - (k - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+        .as(Seq("off", "wh")))
+      .select(col("wh"), col("doc_id"), (col("off") + 1).cast("long").as("pos"),
+        col("event_time"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wh: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[SubWinEvState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed the horizon: next arrival resets anyway
+            Iterator.empty
+          } else {
+            def orient(x: WinOccEv, y: WinOccEv): WinMatch =
+              if (x.doc_id < y.doc_id)
+                WinMatch(wh, x.doc_id, y.doc_id, x.pos, y.pos, poison = false)
+              else WinMatch(wh, y.doc_id, x.doc_id, y.pos, x.pos, poison = false)
+            val arrived = rows.map(r => WinOccEv(r._2, r._3, r._4.getTime)).toArray
+              .sortBy(o => (o.ms, o.doc_id, o.pos))
+            var st = state.getOption.getOrElse(
+              SubWinEvState(Nil, poisoned = false, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[WinMatch]
+            arrived.foreach { a =>
+              if (st.lastMs != Long.MinValue && a.ms - st.lastMs > ttlMs)
+                st = SubWinEvState(Nil, poisoned = false, a.ms) // fresh epoch
+              else st = st.copy(lastMs = math.max(st.lastMs, a.ms))
+              if (!st.poisoned) {
+                if (st.occ.size + 1 > cap) {
+                  st = st.copy(occ = Nil, poisoned = true)
+                  out += WinMatch(wh, -1L, -1L, -1L, -1L, poison = true)
+                } else {
+                  st.occ.foreach(y => if (y.doc_id != a.doc_id) out += orient(a, y))
+                  st = st.copy(occ = st.occ :+ a)
+                }
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
       }
   }
