@@ -315,17 +315,21 @@ object Multimodal extends QueryModule {
     case _ => 1
   }
 
-  /** A REAL image codec branch: binary PPM (P6, the netpbm format — public
-    * spec, trivially parseable pure-JVM, no external libs). Header is ASCII
-    * "P6", whitespace/#-comment separated width, height, maxval ≤ 255,
-    * exactly one whitespace byte, then width·height RGB byte triplets.
-    * Returns per-channel (R, G, B) means, or None unless the payload is a
-    * STRICTLY valid complete P6 (body length must equal 3·w·h exactly), so
-    * a synthetic blob that merely starts with 'P''6' can never be
-    * misparsed — it falls back to the container layout.
+  /** A REAL image codec branch: binary netpbm (public spec, trivially
+    * parseable pure-JVM, no external libs) — P6 (PPM, 3-channel RGB) and
+    * its P5 (PGM, 1-channel gray) sibling share one header grammar: ASCII
+    * magic, whitespace/#-comment separated width, height, maxval ≤ 255,
+    * exactly one whitespace byte, then width·height samples of
+    * `channels` bytes each. Returns (magic, w, h, per-channel means padded
+    * to 3 — a gray image's mean sits in slot 0, slots 1-2 pin to 0.0 like
+    * any channel with no body bytes), or None unless the payload is a
+    * STRICTLY valid complete image (body length must equal channels·w·h
+    * exactly), so a synthetic blob that merely starts with 'P''5'/'P''6'
+    * can never be misparsed — it falls back to the container layout.
     */
-  private[graft] def decodePpm(p: Array[Byte]): Option[(Int, Int, Array[Double])] = {
-    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+  private[graft] def decodeNetpbm(p: Array[Byte]): Option[(String, Int, Int, Array[Double])] = {
+    if (p.length < 2 || p(0) != 'P' || (p(1) != '5' && p(1) != '6')) return None
+    val nch = if (p(1) == '6') 3 else 1
     var i = 2
     def skipWs(): Unit = {
       var more = true
@@ -352,27 +356,28 @@ object Multimodal extends QueryModule {
     if (i >= p.length || !(p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r'))
       return None
     i += 1
-    if (p.length - i != 3L * w * h) return None // strict: complete body, no slack
+    if (p.length - i != nch.toLong * w * h) return None // strict: complete body
     val sums = new Array[Long](3)
     var j = i
-    while (j < p.length) { sums((j - i) % 3) += p(j) & 0xff; j += 1 }
+    while (j < p.length) { sums((j - i) % nch) += p(j) & 0xff; j += 1 }
     val n = w.toLong * h
-    Some((w, h, sums.map(_.toDouble / n)))
+    Some((new String(p, 0, 2, "US-ASCII"), w, h, sums.map(_.toDouble / n)))
   }
 
-  /** A real byte-level parse — PPM branch first, container layout
-    * otherwise; imperative over the payload array, one pass, no
+  /** A real byte-level parse — netpbm branch (P5/P6) first, container
+    * layout otherwise; imperative over the payload array, one pass, no
     * allocation beyond the per-channel sums.
     */
   private def decode(md: java.security.MessageDigest)(a: MediaAsset): DecodedAsset = {
     val p = a.payload
-    decodePpm(p) match {
-      case Some((_, _, means)) =>
+    decodeNetpbm(p) match {
+      case Some((magic, _, _, means)) =>
         md.reset()
         val hex = md.digest(p).map("%02x".format(_)).mkString
-        // magic reports the real format tag; channels are R, G, B
-        return DecodedAsset(a.doc_id, a.media_type, p.length, "P6", 3,
-          means(0), means(1), means(2), hex)
+        // magic reports the real format tag; P6 channels are R, G, B;
+        // P5's single gray channel sits in slot 0
+        return DecodedAsset(a.doc_id, a.media_type, p.length, magic,
+          if (magic == "P6") 3 else 1, means(0), means(1), means(2), hex)
       case None => ()
     }
     val nch = channelsOf(a.media_type)

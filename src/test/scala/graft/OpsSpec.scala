@@ -1310,13 +1310,13 @@ class OpsSpec extends AnyFunSuite {
       .map(_.toByte)
     val ppm = ("P6\n# tiny fixture\n2 2\n255\n".getBytes("US-ASCII")) ++ pixels
     // direct parser check (width/height surface only here)
-    val Some((w, h, means)) = graft.ops.Multimodal.decodePpm(ppm)
-    assert((w, h) === ((2, 2)))
+    val Some((magic, w, h, means)) = graft.ops.Multimodal.decodeNetpbm(ppm)
+    assert((magic, w, h) === (("P6", 2, 2)))
     assert(means.toSeq === Seq(55.0, 65.0, 75.0))
     // truncated body → NOT a valid P6 → falls back to the container
     // layout (magic = hex of first 4 bytes, round-robin channels)
     val broken = ppm.dropRight(1)
-    assert(graft.ops.Multimodal.decodePpm(broken).isEmpty)
+    assert(graft.ops.Multimodal.decodeNetpbm(broken).isEmpty)
     val out = graft.ops.Multimodal.typedDecodeOf(Seq(
         graft.ops.MediaAsset(1L, "image", ppm),
         graft.ops.MediaAsset(2L, "image", broken)).toDS())
@@ -1327,5 +1327,28 @@ class OpsSpec extends AnyFunSuite {
       md5hex(ppm))))
     assert(out(1)._4 === "50360a23") // 'P' '6' '\n' '#' as container magic
     assert(out(1)._5 === 3)
+  }
+
+  test("mm_typed_decode: binary PGM (P5) branch — the codec dispatch generalizes") {
+    import spark.implicits._
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    // hand-built 3×2 P5: gray {10, 20, 30, 40, 50, 60} → mean 35.0; the
+    // single channel lands in slot 0, slots 1-2 pin to 0.0
+    val gray = Array(10, 20, 30, 40, 50, 60).map(_.toByte)
+    val pgm = ("P5\n# gray fixture\n3 2\n255\n".getBytes("US-ASCII")) ++ gray
+    val Some((magic, w, h, means)) = graft.ops.Multimodal.decodeNetpbm(pgm)
+    assert((magic, w, h) === (("P5", 3, 2)))
+    assert(means.toSeq === Seq(35.0, 0.0, 0.0))
+    // a P5 with a P6-sized body (3·w·h) is NOT valid P5 → container fallback
+    val wrongBody = ("P5\n3 2\n255\n".getBytes("US-ASCII")) ++ gray ++ gray ++ gray
+    assert(graft.ops.Multimodal.decodeNetpbm(wrongBody).isEmpty)
+    val out = graft.ops.Multimodal.typedDecodeOf(Seq(
+        graft.ops.MediaAsset(1L, "image", pgm)).toDS())
+      .as[(Long, String, Int, String, Int, Double, Double, Double, String)]
+      .collect().toSeq
+    assert(out === Seq((1L, "image", pgm.length, "P5", 1, 35.0, 0.0, 0.0,
+      md5hex(pgm))))
   }
 }
