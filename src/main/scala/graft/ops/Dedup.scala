@@ -95,6 +95,37 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- dd_leakage_split
+
+  /** Leakage-free train/val/test split — the eval-hygiene op every
+    * training pipeline needs: a document's split is decided by hashing its
+    * exact-dedup FINGERPRINT (not its doc_id), so every member of an
+    * exact-duplicate group lands in the same split and a training document
+    * can never leak a verbatim copy into val/test. Buckets 0-79 → train,
+    * 80-89 → val, 90-99 → test, from the fingerprint's first 8 hex digits
+    * (md5 — identical in both engines). Empty documents fingerprint to
+    * NULL and fall through to `test` together — still leak-free, since
+    * they form one group by construction.
+    *
+    * Scale shape: ZERO shuffles — the assignment is a per-row codegen'd
+    * projection (dup-group agreement is by construction: equal fingerprints
+    * hash equally), so at 100 TB this is a single scan; the terminal
+    * orderBy is presentation-only for the harness compare.
+    */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(col("fp"), 1, 8), 16, 10).cast("long") % 100
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) <= 0, lit(null))
+          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ dd_incremental
 
   /** Incremental-batch dedup — the daily-crawl shape: classify an incoming
@@ -1043,6 +1074,7 @@ object Dedup extends QueryModule {
     "dd_substring" -> (substringDedup(_, _)),
     "dd_cdc_dedup" -> (cdcDedup(_, _)),
     "dd_exact" -> (exactDedup(_, _)),
+    "dd_leakage_split" -> (leakageSplit(_, _)),
     "dd_incremental" -> (incrementalDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
     "dd_edit_verify" -> (editVerify(_, _)),
@@ -1151,6 +1183,16 @@ object Dedup extends QueryModule {
          |  FROM fp
          |)
          |SELECT doc_id, fp, dup_cnt FROM g WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+    "dd_leakage_split" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp
+         |  FROM documents
+         |)
+         |SELECT doc_id, fp,
+         |  CASE WHEN ('0x' || substr(fp, 1, 8))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(fp, 1, 8))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM fp ORDER BY doc_id""".stripMargin,
     "dd_incremental" ->
       s"""WITH fp AS (
          |  SELECT doc_id, md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp

@@ -403,6 +403,56 @@ object Streamish extends QueryModule {
       .limit(PathTop)
   }
 
+  // ------------------------------------------------------------- ev_pattern
+
+  /** Per-user sequence length bound for [[patternMatch]]: a hot user's
+    * sequence string is capped at this many events (first N in event-time
+    * order), so no single task ever materializes an unbounded string.
+    */
+  private val SeqCap = 100000
+
+  /** CEP-style sequence pattern matching (the MATCH_RECOGNIZE class):
+    * count, per user, the non-overlapping occurrences of a "browse-binge
+    * conversion" — two-or-more CONSECUTIVE `view` events immediately
+    * followed by a `purchase` — in the user's (ts, event_id)-ordered
+    * stream. Funnels ([[funnel]]) and fixed-length paths ([[paths]]) can't
+    * express "immediately followed by" across a variable-length run; a
+    * regex over the user's delimiter-framed type sequence can, and both
+    * engines count left-to-right non-overlapping matches identically. The
+    * pattern deliberately leaves the trailing delimiter unconsumed (event
+    * types are a fixed prefix-free vocabulary, so `>purchase` is
+    * unambiguous without it) — back-to-back binges both count.
+    *
+    * Scale shape: ONE exchange — the row_number window partitions by the
+    * high-cardinality user_id, and the groupBy reuses that partitioning
+    * (no second shuffle). Per-user state is the ≤ [[SeqCap]]-event
+    * sequence string; the regex scan is linear per user and codegen'd.
+    */
+  def patternMatch(s: SparkSession, dir: String): DataFrame =
+    patternMatchOf(Tables.events(s, dir))
+
+  private[graft] def patternMatchOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SeqCap)
+      .groupBy("user_id")
+      .agg(concat(lit(">"), array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">"), lit(">")).as("seq"))
+      .withColumn("n_matches",
+        size(regexp_extract_all(col("seq"), lit(PatternRe), lit(0))).cast("long"))
+      .filter(col("n_matches") > 0)
+      .select("user_id", "n_matches")
+      .orderBy("user_id")
+  }
+
+  /** The binge-conversion pattern over the '>'-framed sequence — RE2-safe
+    * (no lookaround), identical non-overlapping scan in Java regex and RE2.
+    */
+  private val PatternRe = ">view(?:>view)+>purchase"
+
   // -------------------------------------------------------------- ev_markov
 
   /** First-order Markov transition matrix over event types — the
@@ -512,6 +562,7 @@ object Streamish extends QueryModule {
     "ev_lift" -> (lift(_, _)),
     "ev_markov" -> (markov(_, _)),
     "ev_paths" -> (paths(_, _)),
+    "ev_pattern" -> (patternMatch(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
     "ev_streaks" -> (streaks(_, _)),
@@ -593,6 +644,22 @@ object Streamish extends QueryModule {
          |  count(DISTINCT user_id) AS n_users
          |FROM o WHERE e3 IS NOT NULL
          |GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT $PathTop""".stripMargin,
+    "ev_pattern" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+         |      AS rn
+         |  FROM events
+         |), seq AS (
+         |  SELECT user_id,
+         |    '>' || string_agg(event_type, '>' ORDER BY rn) || '>' AS s
+         |  FROM o WHERE rn <= $SeqCap GROUP BY user_id
+         |)
+         |SELECT user_id,
+         |  len(regexp_extract_all(s, '$PatternRe'))::BIGINT AS n_matches
+         |FROM seq
+         |WHERE len(regexp_extract_all(s, '$PatternRe')) > 0
+         |ORDER BY user_id""".stripMargin,
     "ev_pivot" ->
       ("""SELECT ts::TIMESTAMP::DATE AS day,
          |""" + EventTypes.map(t =>

@@ -394,8 +394,18 @@ class OpsSpec extends AnyFunSuite {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     // lineage bottoms out in the dropped localCheckpoint blocks: the
     // recompute MUST fail — if this ever starts passing, the failure mode
-    // the reliable path exists for has silently changed shape
-    val e = intercept[org.apache.spark.SparkException] { labels.count() }
+    // the reliable path exists for has silently changed shape. The failure
+    // is the EXPECTED outcome, so suppress the task-failure loggers for
+    // exactly this job: a green run's log must carry zero ERROR lines.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val noisy = Seq("org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager")
+    val prevLvl = noisy.map(n => n -> LogManager.getLogger(n).getLevel)
+    noisy.foreach(n => Configurator.setLevel(n, Level.OFF))
+    val e =
+      try intercept[org.apache.spark.SparkException] { labels.count() }
+      finally prevLvl.foreach { case (n, l) => Configurator.setLevel(n, l) }
     assert(String.valueOf(e.getMessage).toLowerCase.contains("checkpoint"),
       s"expected a checkpoint-block failure, got: ${e.getMessage}")
     cleanup()
@@ -1350,5 +1360,58 @@ class OpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(out === Seq((1L, "image", pgm.length, "P5", 1, 35.0, 0.0, 0.0,
       md5hex(pgm))))
+  }
+
+  test("ev_pattern: CEP binge-conversion counts on a hand-built sequence fixture") {
+    import spark.implicits._
+    // user 1: view view purchase | view | view view view purchase → 2 binges
+    //         (the lone middle view converts nothing)
+    // user 2: view purchase (single view — below the ≥2 run) → no match
+    // user 3: back-to-back binges view view purchase view view purchase → 2
+    // user 4: clicks only → no match
+    def ev(u: Long, types: Seq[String]): Seq[(Long, Long, Long, String)] =
+      types.zipWithIndex.map { case (t, i) => (u, i.toLong, u * 100 + i, t) }
+    val events = (
+      ev(1L, Seq("view", "view", "purchase", "view", "view", "view", "view", "purchase")) ++
+      ev(2L, Seq("view", "purchase")) ++
+      ev(3L, Seq("view", "view", "purchase", "view", "view", "purchase")) ++
+      ev(4L, Seq("click", "click"))
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Streamish.patternMatchOf(events)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (3L, 2L)))
+  }
+
+  test("ev_pattern: within-user disorder resolves by (ts, event_id) before matching") {
+    import spark.implicits._
+    // rows arrive shuffled; ordered by (ts, event_id) the sequence is
+    // view view purchase → exactly one match
+    val events = Seq(
+      (7L, 3L, 30L, "purchase"),
+      (7L, 1L, 10L, "view"),
+      (7L, 2L, 20L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Streamish.patternMatchOf(events)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((7L, 1L)))
+  }
+
+  test("dd_leakage_split: exact-dup groups never straddle splits; proportions hold") {
+    import spark.implicits._
+    val out = graft.ops.Dedup.leakageSplit(spark, dir)
+      .as[(Long, Option[String], String)].collect().toSeq
+    assert(out.nonEmpty)
+    // leak-free: one split per fingerprint group
+    val perGroup = out.filter(_._2.isDefined)
+      .groupBy(_._2.get).view.mapValues(_.map(_._3).distinct.size)
+    assert(perGroup.values.forall(_ == 1), "a dup group straddled splits")
+    // empty docs (NULL fp) all land in test, together
+    assert(out.filter(_._2.isEmpty).forall(_._3 === "test"))
+    // 80/10/10 by GROUP (hash uniformity) — loose bounds, deterministic data
+    val groups = out.filter(_._2.isDefined).map(r => (r._2.get, r._3)).distinct
+    val n = groups.size.toDouble
+    val frac = groups.groupBy(_._2).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train=${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
   }
 }
