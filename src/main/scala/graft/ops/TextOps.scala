@@ -1229,7 +1229,97 @@ object TextOps extends QueryModule {
       .transform(Dedup.materializeThenRelease(_, tok))
   }
 
+  // ------------------------------------------------------------ txt_bpe_step
+
+  private[graft] val BpeTopK = 50 // reported merge candidates
+
+  /** One BPE/WordPiece tokenizer-training iteration: the most frequent
+    * adjacent CHARACTER pairs over the corpus vocabulary, each pair weighted
+    * by its word's corpus frequency — exactly the statistic the first merge
+    * step of byte-pair encoding (Sennrich et al. 2016, public algorithm)
+    * maximizes. Emits the top-[[BpeTopK]] candidate merges with their
+    * weighted frequencies, the table a tokenizer trainer consumes per round.
+    *
+    * Scale shape: the ONLY corpus-scale shuffle is the word-frequency
+    * aggregate (map-side partials; the vocabulary is Heaps-sublinear in the
+    * corpus). The pair explode runs over VOCAB rows, not corpus rows — the
+    * reason production BPE trainers operate on the word-count dictionary —
+    * and the distinct-pair space is bounded by |alphabet|², so the final
+    * ordering is TakeOrdered over a bounded set, never a corpus sort. No
+    * cached frames (single-consumer vocab).
+    */
+  def bpeStep(s: SparkSession, dir: String): DataFrame =
+    bpeStepOf(Tables.documents(s, dir))
+
+  private[graft] def bpeStepOf(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(1)).as("a"),
+        col("w").substr(col("i") + lit(1), lit(1)).as("b"), col("f"))
+      .groupBy("a", "b").agg(sum("f").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
+      .limit(BpeTopK)
+  }
+
+  // ---------------------------------------------------------- txt_hash_embed
+
+  private[graft] val EmbedDim = 64 // hashing-trick dimensionality
+
+  /** Feature-hashing document vectors (Weinberger et al. 2009's public
+    * hashing trick): each token hashes to one of [[EmbedDim]] dimensions, a
+    * ±1 sign comes from an independent hash bit, and the document vector is
+    * the signed count sum — the cheapest deterministic text embedding, the
+    * input a downstream ANN/cluster stage consumes when no learned encoder
+    * is available. Emits per document the vector's exact summary statistics
+    * — nonzero dimensions, L2 norm, dominant component (argmax |weight|,
+    * smaller dimension on ties) — which pin every component's integer value
+    * through the norm and the argmax.
+    *
+    * Scale shape: two hash aggregates keyed on (doc_id, dim) then doc_id —
+    * both map-side partial, both on high-cardinality keys, ≤ [[EmbedDim]]
+    * rows reach the per-doc fold; zero windows, zero cached frames. The
+    * argmax rides a packed-BIGINT ordering key (|w|·EmbedDim + reversed
+    * dim — unique per row since dim is unique within a doc), so it is a
+    * plain codegen'd max_by, not a struct comparator. dim and sign derive
+    * from md5 so both engines hash bit-identically; the L2 norm is one
+    * correctly-rounded sqrt of an exact integer.
+    */
+  def hashEmbed(s: SparkSession, dir: String): DataFrame =
+    hashEmbedOf(Tables.documents(s, dir))
+
+  private[graft] def hashEmbedOf(docs: DataFrame): DataFrame = {
+    val h8 = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+    val sgn = when(conv(substring(md5(col("t")), 9, 1), 16, 10)
+      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val comps = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), pmod(h8, lit(EmbedDim.toLong)).as("dim"),
+        sgn.as("s"))
+      .groupBy("doc_id", "dim").agg(sum("s").as("w"))
+      .filter(col("w") =!= 0)
+    val key = abs(col("w")) * lit(EmbedDim.toLong) +
+      (lit((EmbedDim - 1).toLong) - col("dim"))
+    val folded = comps.groupBy("doc_id")
+      .agg(count(lit(1)).as("nnz"),
+        sum(col("w") * col("w")).as("sq"),
+        max_by(col("dim"), key).as("top_dim"),
+        max_by(col("w"), key).as("top_w"))
+    docs.select("doc_id").join(folded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nnz"), lit(0L)).as("nnz"),
+        coalesce(round(sqrt(col("sq").cast("double")), 6), lit(0.0))
+          .as("l2_norm"),
+        col("top_dim"), col("top_w"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_bpe_step" -> (bpeStep(_, _)),
+    "txt_hash_embed" -> (hashEmbed(_, _)),
     "txt_dsir" -> (dsirWeights(_, _)),
     "txt_weighted_sample" -> (weightedSample(_, _)),
     "txt_shuffle_shard" -> (shuffleShard(_, _)),
@@ -1305,6 +1395,41 @@ object TextOps extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "txt_bpe_step" ->
+      s"""WITH vocab AS (
+         |  SELECT w, count(*) AS f
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w
+         |), pairs AS (
+         |  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+         |    CAST(sum(f) AS BIGINT) AS pair_count
+         |  FROM vocab, unnest(range(1, length(w))) AS r(i)
+         |  WHERE length(w) >= 2
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, pair_count FROM pairs
+         |ORDER BY pair_count DESC, a ASC, b ASC LIMIT $BpeTopK""".stripMargin,
+    "txt_hash_embed" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM documents
+         |), comps0 AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(t), 1, 8))::BIGINT % $EmbedDim AS dim,
+         |    CAST(sum(CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+         |             THEN 1 ELSE -1 END) AS BIGINT) AS w
+         |  FROM tok GROUP BY 1, 2
+         |), comps AS (
+         |  SELECT * FROM comps0 WHERE w <> 0
+         |), folded AS (
+         |  SELECT doc_id, count(*) AS nnz,
+         |    round(sqrt(CAST(sum(w * w) AS DOUBLE)), 6) AS l2_norm,
+         |    arg_max(dim, abs(w) * $EmbedDim + (${EmbedDim - 1} - dim)) AS top_dim,
+         |    arg_max(w, abs(w) * $EmbedDim + (${EmbedDim - 1} - dim)) AS top_w
+         |  FROM comps GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(nnz, 0) AS nnz,
+         |  coalesce(l2_norm, 0.0) AS l2_norm, top_dim, top_w
+         |FROM documents d LEFT JOIN folded USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "txt_weighted_sample" ->
       s"""WITH k AS (
          |  SELECT doc_id, lang, len($toksSql)::BIGINT AS n_tokens,

@@ -1414,4 +1414,48 @@ class OpsSpec extends AnyFunSuite {
     assert(frac("train") > 0.7 && frac("train") < 0.9, s"train=${frac("train")}")
     assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
   }
+
+  test("txt_bpe_step: vocab-weighted character-pair counts with tie-break") {
+    import spark.implicits._
+    // vocab: ab->3, cd->1, abc->1, x->1 (single char, no pairs)
+    // pairs: (a,b) = 3 (from "ab") + 1 (from "abc") = 4; (b,c) = 1; (c,d) = 1
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab abc x")).toDF("doc_id", "text")
+    val got = TextOps.bpeStepOf(docs)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 4L), ("b", "c", 1L), ("c", "d", 1L)))
+  }
+
+  test("txt_hash_embed: matches a JVM brute-force hashing-trick vectorizer") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "delta"),
+      (3L, "   ") // token-less: zero vector
+    ).toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def vecOf(text: String): Map[Long, Long] =
+      text.toLowerCase.split(MapReduce.WhitespaceClass).filter(_.nonEmpty)
+        .foldLeft(Map.empty[Long, Long]) { (m, t) =>
+          val h = md5hex(t)
+          val dim = java.lang.Long.parseLong(h.substring(0, 8), 16) % 64
+          val sg = if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
+          m.updated(dim, m.getOrElse(dim, 0L) + sg)
+        }.filter(_._2 != 0L)
+    val got = TextOps.hashEmbedOf(docs)
+      .as[(Long, Long, Double, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    for ((id, text) <- Seq(1L -> "alpha beta gamma alpha beta", 2L -> "delta", 3L -> "   ")) {
+      val v = vecOf(text)
+      val (nnz, l2, topDim, topW) = got(id)
+      assert(nnz === v.size.toLong, s"doc $id nnz")
+      val expL2 = math.sqrt(v.values.map(w => w * w).sum.toDouble)
+      assert(math.abs(l2 - expL2) < 1e-6, s"doc $id l2")
+      if (v.isEmpty) assert(topDim.isEmpty && topW.isEmpty, s"doc $id top")
+      else {
+        val (bd, bw) = v.maxBy { case (d, w) => math.abs(w) * 64 + (63 - d) }
+        assert(topDim === Some(bd) && topW === Some(bw), s"doc $id top")
+      }
+    }
+  }
 }
