@@ -188,9 +188,19 @@ object Relational extends QueryModule {
   // run — negligible, and dataset-deterministic). The cost is d·w = 32k
   // shuffle rows per task instead of 16k — still fixed at ANY input size,
   // which is the whole point of the sketch.
-  private val CmsRows = 8      // d independent hash rows (failure ~ (1/2e)^d)
-  private val CmsWidth = 4096  // w buckets per row (ε = e/w per estimate)
+  private[graft] val CmsRows = 8      // d independent hash rows (failure ~ (1/2e)^d)
+  private[graft] val CmsWidth = 4096  // w buckets per row (ε = e/w per estimate)
   private val CmsTopK = 20
+
+  /** The d (hash-row, bucket) increments a single key contributes to the
+    * count-min sketch — shared between the batch build ([[approxTopKDetail]])
+    * and the streaming twin ([[graft.streaming.Streaming.cmsTokensViaAgg]])
+    * so the two sketches are bit-identical by construction.
+    */
+  private[graft] def cmsBuckets(c: Column): Column =
+    array((0 until CmsRows).map(r =>
+      struct(lit(r).as("r"),
+        pmod(xxhash64(c, lit(r)), lit(CmsWidth)).as("b"))): _*)
 
   /** The 100 TB heavy-hitters path: a COUNT-MIN SKETCH (Cormode &
     * Muthukrishnan's public construction) built RELATIONALLY. Each item
@@ -207,9 +217,7 @@ object Relational extends QueryModule {
     */
   private[graft] def approxTopKDetail(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_partkey"))
-    def rowBuckets = array((0 until CmsRows).map(r =>
-      struct(lit(r).as("r"),
-        pmod(xxhash64(col("l_partkey"), lit(r)), lit(CmsWidth)).as("b"))): _*)
+    def rowBuckets = cmsBuckets(col("l_partkey"))
     val sketch = li
       .select(explode(rowBuckets).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))

@@ -226,6 +226,28 @@ object Streaming {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Streaming twin of `q_approx_topk`'s sketch build: a COUNT-MIN SKETCH
+    * over the token stream of arriving documents, as a plain streaming
+    * aggregation on the (hash-row, bucket) increments — shared bucket
+    * expression with the batch build
+    * ([[graft.ops.Relational.cmsBuckets]]), so after any ingest order the
+    * streaming counters are BIT-IDENTICAL to a batch sketch of the same
+    * corpus (counter addition commutes). This is the streaming sketch's
+    * whole point at 100 TB: the aggregation state is EXACTLY d·w rows —
+    * [[graft.ops.Relational.CmsRows]]·[[graft.ops.Relational.CmsWidth]] =
+    * 32k counters — no matter how many distinct tokens the stream ever
+    * carries, where the exact streaming top-k twin would hold one state row
+    * per distinct key forever. Heavy-hitter estimates read min-over-d from
+    * the sink table at any time (never under the true count; overshoot
+    * bounded by the CMS contract StreamingSpec re-checks online).
+    */
+  def cmsTokensViaAgg(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      .select(explode(graft.ops.Relational.cmsBuckets(col("t"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cms"))
+
   /** Streaming twin of `ev_session`: Spark's native gap-based
     * `session_window` (30-minute gap), the incremental form of the batch
     * lag+cumsum sessionization — the state store merges/extends open

@@ -796,4 +796,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(sv - batchSums(u)) < 1e-6, s"user $u")
     }
   }
+
+  test("streaming count-min sketch equals the batch sketch and stays d*w-bounded") {
+    import spark.implicits._
+    import graft.ops.{Relational, TextOps}
+    import org.apache.spark.sql.functions.{count, explode, lit}
+    val got = runToMemory(
+      Streaming.cmsTokensViaAgg(Streaming.documentsStream(spark, dir)),
+      "t_cms", "complete")
+      .orderBy("r", "b").as[(Int, Long, Long)].collect().toSeq
+    // the twin is batch-runnable: same expression over the static table IS
+    // the batch sketch (counter addition commutes across micro-batches)
+    val want = Streaming.cmsTokensViaAgg(Tables.documents(spark, dir))
+      .orderBy("r", "b").as[(Int, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty &&
+      got.size <= Relational.CmsRows * Relational.CmsWidth)
+    // online heavy-hitter read from the sink: min over the d counters never
+    // undercounts the exact truth (the CMS one-sided contract)
+    val sketch = got.map { case (r, b, c) => (r, b) -> c }.toMap
+    val exact = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(5)
+      .as[(String, Long)].collect()
+    val probes = exact.map(_._1).toSeq.toDF("t")
+      .select(col("t"), explode(Relational.cmsBuckets(col("t"))).as("rb"))
+      .select(col("t"), col("rb.r"), col("rb.b"))
+      .as[(String, Int, Long)].collect()
+    val estOf = probes.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.map(p => sketch.getOrElse((p._2, p._3), 0L)).min
+    }
+    exact.foreach { case (t, n) =>
+      assert(estOf(t) >= n, s"token '$t' underestimated: ${estOf(t)} < $n")
+    }
+  }
 }
