@@ -258,6 +258,63 @@ object Relational extends QueryModule {
           lit(1L)).otherwise(lit(0L)).as("within_tol"))
       .orderBy(col("cnt_exact").desc, col("l_partkey").asc)
 
+  /** The 100 TB set-OVERLAP path: estimate |A ∩ B| (customers active in
+    * consecutive order years) from three HLL sketches via
+    * inclusion–exclusion — |A| + |B| − |A ∪ B| — beside the exact
+    * self-join truth. The union sketch needs NO join: each distinct
+    * (year, custkey) row contributes itself to its own year's window and
+    * to the previous year's (a 2-way explode), so the union cardinality is
+    * a plain per-window approx_count_distinct. The exact side's shuffle
+    * carries |distinct customers| and a self-join; the sketch side ships
+    * one fixed-size register set per window per map partition and joins
+    * nothing — the overlap answer survives any key cardinality.
+    *
+    * The persisted distinct frame feeds four subtrees (two exact-join
+    * sides, singles, union); the bounded per-year output materializes and
+    * the frame releases (the ≤1-cached-frame invariant).
+    */
+  private[graft] def approxIntersectDetail(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        col("o_custkey").as("c"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = d.as("a").join(d.as("b"),
+        col("b.c") === col("a.c") && col("b.y") === col("a.y") + 1)
+      .groupBy(col("a.y").as("y")).agg(count(lit(1)).as("overlap_exact"))
+    val singles = d.groupBy("y")
+      .agg(count(lit(1)).as("n_exact"),
+        approx_count_distinct(col("c"), rsd = 0.02).as("hll"))
+    val union = d
+      .select(explode(array(col("y"), col("y") - 1)).as("y"), col("c"))
+      .groupBy("y")
+      .agg(approx_count_distinct(col("c"), rsd = 0.02).as("hll_u"))
+    val out = ex
+      .join(singles.select(col("y"), col("n_exact").as("n_a"), col("hll").as("hll_a")), "y")
+      .join(singles.select((col("y") - 1).as("y"), col("n_exact").as("n_b"), col("hll").as("hll_b")), "y")
+      .join(union, "y")
+      .withColumn("est", col("hll_a") + col("hll_b") - col("hll_u"))
+      .orderBy("y")
+    Dedup.materializeThenRelease(out, d)
+  }
+
+  /** Driver-visible TOLERANCE gate for the inclusion–exclusion overlap,
+    * following the [[approxDistinct]] pattern: exact per-year-pair overlap
+    * (hash-comparable against DuckDB's self-join) plus `within_tol` = 1
+    * iff the three-sketch estimate sits within the compounded bound —
+    * each HLL within 2.5× its 2% rsd means the signed sum errs by at most
+    * 0.05·(|A| + |B| + |A ∪ B|), all three expressible from exact values
+    * (|A ∪ B| = |A| + |B| − overlap). The oracle emits a literal 1.
+    */
+  def approxIntersect(s: SparkSession, dir: String): DataFrame =
+    approxIntersectDetail(s, dir)
+      .select(col("y"), col("overlap_exact"),
+        when(abs(col("est") - col("overlap_exact")).cast("double") <=
+            lit(0.05) * (col("n_a") + col("n_b") +
+              (col("n_a") + col("n_b") - col("overlap_exact"))).cast("double"),
+          lit(1L)).otherwise(lit(0L)).as("within_tol"))
+      .orderBy("y")
+
   /** Unpivot (melt): the Q1-style wide aggregate turned into long-form
     * (group, metric, value) rows — the reshape every metrics store and
     * plotting layer wants, and the inverse of ev_pivot. `Dataset.unpivot`
@@ -1137,6 +1194,7 @@ object Relational extends QueryModule {
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_approx_percentiles" -> (approxPercentiles(_, _)),
     "q_approx_topk" -> (approxTopK(_, _)),
+    "q_approx_intersect" -> (approxIntersect(_, _)),
     "q_unpivot" -> (unpivotPricing(_, _)),
     "q_upsert" -> (upsert(_, _)),
     "q_scd2" -> (scd2(_, _)),
@@ -1203,6 +1261,15 @@ object Relational extends QueryModule {
       """SELECT l_partkey, COUNT(*) AS cnt_exact, CAST(1 AS BIGINT) AS within_tol
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY cnt_exact DESC, l_partkey LIMIT 20""".stripMargin,
+    "q_approx_intersect" ->
+      """WITH d AS (
+        |  SELECT DISTINCT year(o_orderdate)::BIGINT AS y, o_custkey AS c
+        |  FROM orders
+        |)
+        |SELECT a.y AS y, count(*) AS overlap_exact,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM d a JOIN d b ON b.c = a.c AND b.y = a.y + 1
+        |GROUP BY a.y ORDER BY y""".stripMargin,
     "q_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
          |  CAST($discSql AS DOUBLE) AS disc_price

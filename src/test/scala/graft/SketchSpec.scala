@@ -88,5 +88,31 @@ class SketchSpec extends AnyFunSuite {
     val t = Relational.approxTopK(spark, TestSpark.sfDir)
       .select("within_tol").collect().map(_.getLong(0))
     assert(t.nonEmpty && t.forall(_ == 1L))
+    val i = Relational.approxIntersect(spark, TestSpark.sfDir)
+      .select("within_tol").collect().map(_.getLong(0))
+    assert(i.nonEmpty && i.forall(_ == 1L))
+  }
+
+  private def assertIntersectBound(dir: String): Unit = {
+    // inclusion-exclusion compounds three sketches; each within 2.5x its 2%
+    // rsd bounds the signed sum by 0.05 * (|A| + |B| + |A u B|)
+    val rows = Relational.approxIntersectDetail(spark, dir)
+      .select("y", "overlap_exact", "est", "n_a", "n_b").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      val union = r.getLong(3) + r.getLong(4) - exact
+      val budget = 0.05 * (r.getLong(3) + r.getLong(4) + union)
+      assert(math.abs(est - exact) <= budget,
+        s"year ${r.getLong(0)}: |$est - $exact| > $budget")
+    }
+  }
+
+  test("inclusion-exclusion overlap within its compounded bound at sf0.001") {
+    assertIntersectBound(TestSpark.sfDir)
+  }
+
+  test("inclusion-exclusion overlap within its compounded bound at sf0.01") {
+    assertIntersectBound("/root/testdata/sf0.01")
   }
 }
