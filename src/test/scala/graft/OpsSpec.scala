@@ -1425,6 +1425,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Seq(("a", "b", 4L), ("b", "c", 1L), ("c", "d", 1L)))
   }
 
+  test("pipe_shards: manifest covers exactly the kept docs; pack counts bounded") {
+    val keepN = TextOps.c4Filter(spark, dir).filter(col("keep")).count()
+    val m = graft.ops.Pipeline.shards(spark, dir).collect()
+    assert(m.nonEmpty)
+    assert(m.map(_.getLong(3)).sum === keepN) // every kept doc in exactly one cell
+    m.foreach { r =>
+      val (nt, np) = (r.getLong(4), r.getLong(5))
+      // pack ids are starting-offset buckets: at least one, never more than
+      // the token total admits
+      assert(np >= 1L && np <= nt / 2048 + 1,
+        s"cell ${r.getString(0)}/${r.getString(1)}/${r.getLong(2)}: $np packs for $nt tokens")
+    }
+  }
+
+  test("txt_bpe_step: equals a JVM brute-force pair counter on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val wordGen = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val docGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) })
+    def brute(corpus: Seq[(Long, String)]): Seq[(String, String, Long)] = {
+      val vocab = corpus.flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong)
+      val pairs = vocab.toSeq.flatMap { case (w, f) =>
+        w.sliding(2).filter(_.length == 2).map(p => (p(0).toString, p(1).toString, f))
+      }.groupBy(p => (p._1, p._2)).view
+        .mapValues(_.map(_._3).sum).toSeq
+        .map { case ((a, b), n) => (a, b, n) }
+      pairs.sortBy { case (a, b, n) => (-n, a, b) }.take(TextOps.BpeTopK)
+    }
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val got = TextOps.bpeStepOf(corpus.toDF("doc_id", "text"))
+        .as[(String, String, Long)].collect().toSeq
+      got == brute(corpus)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("txt_hash_embed: matches a JVM brute-force hashing-trick vectorizer") {
     import spark.implicits._
     val docs = Seq(
