@@ -736,6 +736,54 @@ object Dedup extends QueryModule {
     materializeThenRelease(out, c, lng)
   }
 
+  // ------------------------------------ dd_semantic_decontaminate
+
+  /** SEMANTIC benchmark decontamination — the embedding-space complement of
+    * the verbatim [[decontaminate]]/[[passageDecontaminate]] pair: flag
+    * training documents whose embedding sits above [[CosT]] cosine of ANY
+    * bench-source document's embedding (paraphrased or lightly-rewritten
+    * eval content that no n-gram or passage digest can catch). Emits per
+    * contaminated training doc its hit count, the maximum cosine, and the
+    * smallest matching bench doc id.
+    *
+    * Scale shape: ONE signature build over the whole corpus
+    * ([[Similarity.banded]]: log-scaled band width + bucket-cap re-split,
+    * candidates stay linear in n), then the band-bucket join runs
+    * bench-side × training-side ONLY — never all-pairs, and never
+    * bench × bench or train × train. The exact verify is the shared
+    * fixed-point integer path (codegen'd array_dot, one IEEE division);
+    * the per-doc rollup is a map-side-partial hash aggregate on the
+    * high-cardinality doc id. Recall is the banding's documented dial —
+    * the oracle mirrors the banding, so the gate proves the whole
+    * candidate-generation + verify + rollup composition.
+    */
+  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"),
+        col("source").isin(BenchSources: _*).as("is_bench"))
+    val c = Similarity.corpus(s, dir).join(flags, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lng = Similarity.banded(c).join(flags, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lng.filter(col("is_bench")).as("a")
+      .join(lng.filter(!col("is_bench")).as("b"),
+        col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band"))
+      .select(col("a.vec_id").as("bench_id"), col("b.vec_id").as("doc_id"))
+      .dropDuplicates("bench_id", "doc_id")
+    val out = cand
+      .join(c.select(col("vec_id").as("bench_id"), col("vq").as("va"), col("n2").as("na")), "bench_id")
+      .join(c.select(col("vec_id").as("doc_id"), col("vq").as("vb"), col("n2").as("nb")), "doc_id")
+      .withColumn("cos",
+        Similarity.cosine(Similarity.idot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= CosT)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        round(max(col("cos")), 4).as("max_cos"),
+        min(col("bench_id")).as("first_bench"))
+      .orderBy("doc_id")
+    materializeThenRelease(out, c, lng)
+  }
+
   // ---------------------------------------------- dd_passage_overlap
 
   private val PassW = 5 // passage shingle width (tokens)
@@ -1085,6 +1133,7 @@ object Dedup extends QueryModule {
     "dd_simhash" -> (simhash(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccard(_, _)),
     "dd_embed_neardup" -> (embedNearDup(_, _)),
+    "dd_semantic_decontaminate" -> (semanticDecontaminate(_, _)),
     "dd_passage_overlap" -> (passageOverlap(_, _)),
     "dd_passage_decontaminate" -> (passageDecontaminate(_, _)),
     "dd_bloom_decontaminate" -> (bloomDecontaminate(_, _)))
@@ -1451,5 +1500,27 @@ object Dedup extends QueryModule {
          |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
          |)
          |SELECT vec_a, vec_b, round(c, 4) AS cos_sim FROM cs
-         |WHERE c >= $CosT ORDER BY vec_a, vec_b""".stripMargin)
+         |WHERE c >= $CosT ORDER BY vec_a, vec_b""".stripMargin,
+    "dd_semantic_decontaminate" ->
+      s"""WITH ${Similarity.corpusSql}, ${Similarity.bandSql}, flags AS (
+         |  SELECT doc_id AS vec_id,
+         |    source IN (${BenchSources.map(x => s"'$x'").mkString(", ")}) AS is_bench
+         |  FROM documents
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS bench_id, b.vec_id AS doc_id
+         |  FROM lng a
+         |  JOIN flags fa ON fa.vec_id = a.vec_id AND fa.is_bench
+         |  JOIN lng b ON a.b_idx = b.b_idx AND a.band = b.band
+         |  JOIN flags fb ON fb.vec_id = b.vec_id AND NOT fb.is_bench
+         |), cs AS (
+         |  SELECT bench_id, doc_id,
+         |    list_sum(list_apply(range(${Similarity.Dim}),
+         |      i -> ea.vq[(i + 1)::INT] * eb.vq[(i + 1)::INT]))::DOUBLE /
+         |      (sqrt(ea.nn::DOUBLE) * sqrt(eb.nn::DOUBLE)) AS c
+         |  FROM cand JOIN e ea ON ea.vec_id = bench_id JOIN e eb ON eb.vec_id = doc_id
+         |)
+         |SELECT doc_id, count(*) AS n_bench_hits, round(max(c), 4) AS max_cos,
+         |  min(bench_id) AS first_bench
+         |FROM cs WHERE c >= $CosT
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

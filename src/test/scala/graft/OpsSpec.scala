@@ -1425,6 +1425,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Seq(("a", "b", 4L), ("b", "c", 1L), ("c", "d", 1L)))
   }
 
+  test("dd_semantic_decontaminate agrees with the bench-crossing embed near-dup pairs") {
+    import spark.implicits._
+    // same banding, same verify: the per-train-doc rollup of embedNearDup's
+    // pairs restricted to one-bench-one-train must equal the semantic scrub
+    val bench = (0 until 5).map(i => s"src$i").toSet
+    val srcOf = Tables.documents(spark, dir).select("doc_id", "source")
+      .as[(Long, String)].collect().toMap
+    val expected = Dedup.embedNearDup(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, cos) =>
+        (bench(srcOf(a)), bench(srcOf(b))) match {
+          case (true, false) => Some((b, a, cos))
+          case (false, true) => Some((a, b, cos))
+          case _             => None
+        }
+      }.groupBy(_._1).map { case (d, hits) =>
+        d -> ((hits.length.toLong, hits.map(_._3).max, hits.map(_._2).min))
+      }
+    val got = Dedup.semanticDecontaminate(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (d, (n, mc, fb)) =>
+      val (en, emc, efb) = expected(d)
+      assert(n === en && fb === efb, s"doc $d hits/first")
+      assert(math.abs(mc - emc) < 1e-9, s"doc $d max_cos")
+    }
+  }
+
   test("pipe_shards: manifest covers exactly the kept docs; pack counts bounded") {
     val keepN = TextOps.c4Filter(spark, dir).filter(col("keep")).count()
     val m = graft.ops.Pipeline.shards(spark, dir).collect()
