@@ -315,6 +315,56 @@ object Relational extends QueryModule {
           lit(1L)).otherwise(lit(0L)).as("within_tol"))
       .orderBy("y")
 
+  // ---------------------------------------------------------------- q_zorder
+
+  private val ZBits = 16 // bits interleaved per dimension
+
+  /** Z-ORDER layout audit — the data-skipping clustering key every lakehouse
+    * layout optimizer (Delta OPTIMIZE ZORDER, Iceberg sort orders) builds:
+    * interleave the bits of (l_partkey, l_suppkey) into one BIGINT z-value,
+    * then report per top-of-z cell (the leading 4 bits of EACH dimension)
+    * the row count, the z extremes, and the min/max of both keys. The
+    * min/max columns ARE the file-skipping statistics: sorting by z bounds
+    * every cell's span in BOTH dimensions simultaneously (≤ 2^12 of each
+    * 16-bit domain per cell — pigeonhole on the fixed leading bits, pinned
+    * by the OpsSpec bit-interleave reference test), where a linear sort on
+    * one key leaves the other key's span unbounded per file.
+    *
+    * Scale shape: the z-value is a pure codegen'd per-row bit expression
+    * (zero shuffle — at 100 TB the layout job is `repartitionByRange(z)` +
+    * `sortWithinPartitions(z)`, and THIS query is the audit that the
+    * resulting files can skip); the rollup is one map-side-partial hash
+    * aggregate onto ≤ 256 cells. Both engines compute z through identical
+    * integer div/mod/multiply arithmetic — no engine-specific bit
+    * intrinsics in the compared output.
+    */
+  def zorderStats(s: SparkSession, dir: String): DataFrame = {
+    // keys RANGE-NORMALIZE into the 16-bit z domain off a 1-row broadcast
+    // extreme scalar (the q_tpch_q15 pattern) so the grid is meaningful at
+    // any scale factor's key range; all arithmetic is exact integer div
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val ext = broadcast(li.agg(
+      min("pk").as("pmin"), max("pk").as("pmax"),
+      min("sk").as("smin"), max("sk").as("smax")))
+    val top = (1L << ZBits) - 1
+    val z = (0 until ZBits).map { i =>
+      shiftright(col("p"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(col("s"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+    li.crossJoin(ext)
+      .withColumn("p", expr(s"((pk - pmin) * ${top}L) div greatest(pmax - pmin, 1)"))
+      .withColumn("s", expr(s"((sk - smin) * ${top}L) div greatest(smax - smin, 1)"))
+      .withColumn("z", z)
+      .withColumn("cell", shiftright(col("z"), 2 * ZBits - 8))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min("z").as("z_min"), max("z").as("z_max"),
+        min("pk").as("p_min"), max("pk").as("p_max"),
+        min("sk").as("s_min"), max("sk").as("s_max"))
+      .orderBy("cell")
+  }
+
   /** Unpivot (melt): the Q1-style wide aggregate turned into long-form
     * (group, metric, value) rows — the reshape every metrics store and
     * plotting layer wants, and the inverse of ev_pivot. `Dataset.unpivot`
@@ -1195,6 +1245,7 @@ object Relational extends QueryModule {
     "q_approx_percentiles" -> (approxPercentiles(_, _)),
     "q_approx_topk" -> (approxTopK(_, _)),
     "q_approx_intersect" -> (approxIntersect(_, _)),
+    "q_zorder" -> (zorderStats(_, _)),
     "q_unpivot" -> (unpivotPricing(_, _)),
     "q_upsert" -> (upsert(_, _)),
     "q_scd2" -> (scd2(_, _)),
@@ -1261,6 +1312,30 @@ object Relational extends QueryModule {
       """SELECT l_partkey, COUNT(*) AS cnt_exact, CAST(1 AS BIGINT) AS within_tol
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY cnt_exact DESC, l_partkey LIMIT 20""".stripMargin,
+    "q_zorder" -> {
+      // identical integer arithmetic on both engines: (x // 2^i) % 2 is the
+      // i-th bit of a non-negative key, never an engine bit intrinsic
+      val zExpr = (0 until ZBits).map(i =>
+        s"((p // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+          s"((s // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+      s"""WITH ext AS (
+         |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |  FROM lineitem
+         |), k AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |    ((l_partkey - pmin) * ${(1L << ZBits) - 1}) // greatest(pmax - pmin, 1) AS p,
+         |    ((l_suppkey - smin) * ${(1L << ZBits) - 1}) // greatest(smax - smin, 1) AS s
+         |  FROM lineitem, ext
+         |), zz AS (
+         |  SELECT pk, sk, $zExpr AS z FROM k
+         |)
+         |SELECT z // ${1L << (2 * ZBits - 8)} AS cell, count(*) AS n_rows,
+         |  min(z) AS z_min, max(z) AS z_max,
+         |  min(pk) AS p_min, max(pk) AS p_max,
+         |  min(sk) AS s_min, max(sk) AS s_max
+         |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_approx_intersect" ->
       """WITH d AS (
         |  SELECT DISTINCT year(o_orderdate)::BIGINT AS y, o_custkey AS c

@@ -1425,6 +1425,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Seq(("a", "b", 4L), ("b", "c", 1L), ("c", "d", 1L)))
   }
 
+  test("q_zorder: cell stats equal a JVM bit-interleave reference; spans pigeonhole-bounded") {
+    import spark.implicits._
+    import graft.ops.Relational
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).as[(Long, Long)].collect()
+    val (pMinG, pMaxG) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (sMinG, sMaxG) = (rows.map(_._2).min, rows.map(_._2).max)
+    def norm(x: Long, lo: Long, hi: Long): Long =
+      (x - lo) * 65535L / math.max(hi - lo, 1L)
+    def zOf(p: Long, s: Long): Long =
+      (0 until 16).map(i => (((p >> i) & 1L) << (2 * i + 1)) | (((s >> i) & 1L) << (2 * i))).sum
+    val brute = rows.map { case (pk, sk) =>
+      val z = zOf(norm(pk, pMinG, pMaxG), norm(sk, sMinG, sMaxG))
+      (z >> 24) -> ((z, pk, sk))
+    }.groupBy(_._1).map { case (c, g) =>
+      val (zs, ps, ss) = (g.map(_._2._1), g.map(_._2._2), g.map(_._2._3))
+      c -> ((g.length.toLong, zs.min, zs.max, ps.min, ps.max, ss.min, ss.max))
+    }
+    val got = Relational.zorderStats(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(got === brute)
+    assert(got.size > 1, "normalized grid must spread over multiple cells")
+    // the data-skipping guarantee: a cell fixes the top 4 NORMALIZED bits of
+    // BOTH keys simultaneously
+    got.foreach { case (c, (_, _, _, pMin, pMax, sMin, sMax)) =>
+      assert(norm(pMax, pMinG, pMaxG) - norm(pMin, pMinG, pMaxG) < 4096,
+        s"cell $c p-span")
+      assert(norm(sMax, sMinG, sMaxG) - norm(sMin, sMinG, sMaxG) < 4096,
+        s"cell $c s-span")
+    }
+  }
+
   test("dd_semantic_decontaminate agrees with the bench-crossing embed near-dup pairs") {
     import spark.implicits._
     // same banding, same verify: the per-train-doc rollup of embedNearDup's
