@@ -357,6 +357,33 @@ object Similarity extends QueryModule {
     out
   }
 
+  /** Recall@k of the COMPOSED IVF-PQ index ([[ivfPqTopK]]) against the
+    * brute-force truth — the serving-quality metric that closes the ANN
+    * evaluation loop on the flagship index (sim_recall_at_k measures the
+    * LSH path; this measures the FAISS-style coarse-probe + ADC path, whose
+    * misses come from two distinct mechanisms: probing the wrong inverted
+    * list, and ADC quantization reordering the shortlist).
+    *
+    * Scale shape: both sides are the already-audited query plans; the
+    * rollup is a broadcast-joined per-query count over NumQueries·k rows.
+    * The IVF-PQ side's materialized output releases once the recall frame
+    * lands (≤1 cached frame).
+    */
+  def recallIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val ivf = ivfPqTopK(s, dir)
+    val truth = bruteTopK(s, dir).select(col("q_id"), col("vec_id"))
+    val got = ivf.select(col("q_id").as("i_qid"), col("vec_id").as("i_vid"))
+    Dedup.materializeThenRelease(
+      truth.join(got,
+          col("q_id") === col("i_qid") && col("vec_id") === col("i_vid"), "left")
+        .groupBy("q_id")
+        .agg(count(col("i_vid")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / TopK, 6).as("recall_at_k"))
+        .orderBy("q_id"),
+      ivf)
+  }
+
   // --------------------------------------------------------- sim_graph_rank
 
   private val Damp = 0.85      // PageRank damping factor
@@ -1217,6 +1244,7 @@ object Similarity extends QueryModule {
     "sim_sq_encode" -> (sqEncode(_, _)),
     "sim_bfs_reach" -> (bfsReach(_, _)),
     "sim_recall_at_k" -> (recallAtK(_, _)),
+    "sim_recall_ivfpq" -> (recallIvfPq(_, _)),
     "sim_semantic_dedup" -> (semanticDedup(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
@@ -1382,6 +1410,52 @@ object Similarity extends QueryModule {
        |  FROM e CROSS JOIN nnn CROSS JOIN d$i LEFT JOIN c$i ON c$i.dst = e.vec_id
        |)""".stripMargin
   }
+
+  private val bruteTopkSql =
+    s"""WITH $corpusSql, pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    q.vq AS va, c.vq AS vb, q.nn AS na, c.nn AS nb
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |), ${rankSql("pairs", "q_id", "vec_id", TopK)}""".stripMargin
+
+  private val ivfpqTopkSql =
+    s"""WITH $pqChainSql, coarse AS (
+       |  SELECT vec_id, c_label,
+       |    list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT]::DOUBLE * cv[(i + 1)::INT])) /
+       |      (sqrt(${n2.format("vq")}::DOUBLE) * sqrt(list_sum(list_apply(cv, x -> x * x)))) AS cos
+       |  FROM eq, cent
+       |), crk AS (
+       |  SELECT vec_id, c_label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS crnk
+       |  FROM coarse
+       |), lists AS (
+       |  SELECT vec_id, c_label AS cl FROM crk WHERE crnk = 1
+       |), probe AS (
+       |  SELECT vec_id AS q_id, c_label AS cl FROM crk
+       |  WHERE vec_id < $NumQueries AND crnk <= $NProbe
+       |), cand AS (
+       |  SELECT probe.q_id, lists.vec_id
+       |  FROM probe JOIN lists ON lists.cl = probe.cl AND lists.vec_id <> probe.q_id
+       |), codes AS (
+       |  SELECT vec_id, m, c_label AS code FROM ranked WHERE rnk = 1
+       |), lut AS (
+       |  SELECT vec_id AS q_id, m, c_label,
+       |    round(dist / ${Scale.toDouble * Scale}, 6)::DECIMAL(18,6) AS d6
+       |  FROM scored WHERE vec_id < $NumQueries
+       |), adc AS (
+       |  SELECT cand.q_id, cand.vec_id, sum(l.d6) AS adc
+       |  FROM cand
+       |  JOIN codes c ON c.vec_id = cand.vec_id
+       |  JOIN lut l ON l.q_id = cand.q_id AND l.m = c.m AND l.c_label = c.code
+       |  GROUP BY cand.q_id, cand.vec_id
+       |), rq AS (
+       |  SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)::INT AS rnk
+       |  FROM adc
+       |)
+       |SELECT q_id, vec_id, rnk, round(adc::DOUBLE, 6) AS adc_dist
+       |FROM rq WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_bfs_reach" ->
@@ -1560,13 +1634,17 @@ object Similarity extends QueryModule {
          |  round(count(lt.vec_id)::DOUBLE / $TopK, 6) AS recall_at_k
          |FROM bt LEFT JOIN lt ON bt.q_id = lt.q_id AND bt.vec_id = lt.vec_id
          |GROUP BY bt.q_id ORDER BY bt.q_id""".stripMargin,
-    "sim_brute_topk" ->
-      s"""WITH $corpusSql, pairs AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-         |    q.vq AS va, c.vq AS vb, q.nn AS na, c.nn AS nb
-         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries
-         |), ${rankSql("pairs", "q_id", "vec_id", TopK)}""".stripMargin,
+    "sim_recall_ivfpq" ->
+      s"""WITH bt AS (
+         |  SELECT q_id, vec_id FROM ($bruteTopkSql)
+         |), it AS (
+         |  SELECT q_id, vec_id FROM ($ivfpqTopkSql)
+         |)
+         |SELECT bt.q_id, count(it.vec_id)::BIGINT AS n_hits,
+         |  round(count(it.vec_id)::DOUBLE / $TopK, 6) AS recall_at_k
+         |FROM bt LEFT JOIN it ON bt.q_id = it.q_id AND bt.vec_id = it.vec_id
+         |GROUP BY bt.q_id ORDER BY bt.q_id""".stripMargin,
+    "sim_brute_topk" -> bruteTopkSql,
     "sim_lsh_topk" ->
       s"""WITH $corpusSql, $bandSql, cand AS (
          |  SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS vec_id
@@ -1643,43 +1721,7 @@ object Similarity extends QueryModule {
          |)
          |SELECT q_id, vec_id, rnk, round(adc::DOUBLE, 6) AS adc_dist
          |FROM rq WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
-    "sim_ivfpq_topk" ->
-      s"""WITH $pqChainSql, coarse AS (
-         |  SELECT vec_id, c_label,
-         |    list_sum(list_apply(range($Dim), i -> vq[(i + 1)::INT]::DOUBLE * cv[(i + 1)::INT])) /
-         |      (sqrt(${n2.format("vq")}::DOUBLE) * sqrt(list_sum(list_apply(cv, x -> x * x)))) AS cos
-         |  FROM eq, cent
-         |), crk AS (
-         |  SELECT vec_id, c_label,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS crnk
-         |  FROM coarse
-         |), lists AS (
-         |  SELECT vec_id, c_label AS cl FROM crk WHERE crnk = 1
-         |), probe AS (
-         |  SELECT vec_id AS q_id, c_label AS cl FROM crk
-         |  WHERE vec_id < $NumQueries AND crnk <= $NProbe
-         |), cand AS (
-         |  SELECT probe.q_id, lists.vec_id
-         |  FROM probe JOIN lists ON lists.cl = probe.cl AND lists.vec_id <> probe.q_id
-         |), codes AS (
-         |  SELECT vec_id, m, c_label AS code FROM ranked WHERE rnk = 1
-         |), lut AS (
-         |  SELECT vec_id AS q_id, m, c_label,
-         |    round(dist / ${Scale.toDouble * Scale}, 6)::DECIMAL(18,6) AS d6
-         |  FROM scored WHERE vec_id < $NumQueries
-         |), adc AS (
-         |  SELECT cand.q_id, cand.vec_id, sum(l.d6) AS adc
-         |  FROM cand
-         |  JOIN codes c ON c.vec_id = cand.vec_id
-         |  JOIN lut l ON l.q_id = cand.q_id AND l.m = c.m AND l.c_label = c.code
-         |  GROUP BY cand.q_id, cand.vec_id
-         |), rq AS (
-         |  SELECT q_id, vec_id, adc,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)::INT AS rnk
-         |  FROM adc
-         |)
-         |SELECT q_id, vec_id, rnk, round(adc::DOUBLE, 6) AS adc_dist
-         |FROM rq WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "sim_ivfpq_topk" -> ivfpqTopkSql,
     "sim_pq_rerank" ->
       s"""WITH $pqChainSql, codes AS (
          |  SELECT vec_id, m, c_label AS code FROM ranked WHERE rnk = 1

@@ -1425,6 +1425,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Seq(("a", "b", 4L), ("b", "c", 1L), ("c", "d", 1L)))
   }
 
+  test("sim_recall_ivfpq: hit counts equal the driver-side truth/result intersection") {
+    import spark.implicits._
+    val truth = Similarity.bruteTopK(spark, dir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(spark, dir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = Similarity.recallIvfPq(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(recall.map(_._1).toSeq.sorted === truth.map(_._1).toSeq.distinct.sorted)
+    recall.foreach { case (q, hits, r) =>
+      val expected = truth.filter(_._1 == q).count(got.contains)
+      assert(hits === expected.toLong, s"query $q hits")
+      assert(r >= 0.0 && r <= 1.0 && math.abs(r - hits / 5.0) < 1e-9, s"query $q recall")
+    }
+  }
+
   test("q_zorder: cell stats equal a JVM bit-interleave reference; spans pigeonhole-bounded") {
     import spark.implicits._
     import graft.ops.Relational
