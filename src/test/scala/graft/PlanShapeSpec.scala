@@ -39,7 +39,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "txt_dsir", // 1-row corpus/target token-totals scalar broadcast
     "sim_graph_rank_full", // 1-row per-round dangling-mass scalar broadcast
     "sim_ivfpq_topk", // same bounded centroid-broadcast subtree as sim_ivf_*
-    "q_approx_topk") // 1-row n_total scalar broadcast onto the ≤ k row output
+    "q_approx_topk", // 1-row n_total scalar broadcast onto the ≤ k row output
+    "q_zorder", // 1-row key-extremes scalar broadcast (range normalization)
+    "sim_recall_ivfpq") // composes brute + IVF-PQ, both bounded as above
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)
