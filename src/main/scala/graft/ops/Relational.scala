@@ -315,6 +315,74 @@ object Relational extends QueryModule {
           lit(1L)).otherwise(lit(0L)).as("within_tol"))
       .orderBy("y")
 
+  // --------------------------------------------------------------- q_profile
+
+  /** Columns profiled by [[profile]] — a key, two measures, two low-card
+    * codes, and a timestamp: one of each statistics shape a profiler meets.
+    */
+  private val ProfileCols = Seq("l_orderkey", "l_quantity", "l_discount",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** Single-pass column profiler — the data-quality stage every training
+    * pipeline runs before ingesting a new source (the Deequ/dbt-test
+    * class): per column, row count, null count, distinct cardinality,
+    * min/max, and a tolerance verdict on the sketch the 100 TB path would
+    * use. One wide aggregate over ONE scan produces every statistic; the
+    * result then unpivots (`stack`) to a row per column.
+    *
+    * Scale shape: count/min/max/HLL are all map-side partial aggregates —
+    * fixed state per column per task, one shuffle of one wide row per
+    * partition. The EXACT multi-column distinct exists only to make the
+    * sketch gate hash-checkable against DuckDB; it is the one non-scalable
+    * piece (Catalyst plans k distinct columns via an Expand ×k of the
+    * scan) and at 100 TB the profiler ships the HLL estimate alone —
+    * `within_tol` is the driver-visible proof those estimates sit within
+    * 2.5× the requested 2 % rsd of truth. min/max compare in value space
+    * and cast AFTER aggregating (lexicographic string min would order
+    * '10' < '9'); l_shipdate truncates to DATE so both engines print the
+    * identical literal.
+    *
+    * The extremes aggregate runs as a SEPARATE pass, not inside the
+    * cardinality aggregate: min/max over a STRING column carries a
+    * var-length buffer Spark's HashAggregate can't hold, and fused with
+    * the multi-distinct Expand that demotes the whole plan to a
+    * SortAggregate that SORTS the k×-expanded input (measured 11 s/rep vs
+    * sub-second split at sf0.1). Alone, the grouping-key-less extremes
+    * pass needs no sort at all; the two 1-row frames meet in a broadcast
+    * cross join.
+    */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val cardAggs = ProfileCols.flatMap { c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      approx_count_distinct(col(c), rsd = 0.02).as(s"ad_$c"))
+    }
+    def asStr(c: String, agg: Column => Column): Column =
+      if (c == "l_shipdate") agg(col(c)).cast("date").cast("string")
+      else agg(col(c)).cast("string")
+    val extremeAggs = ProfileCols.flatMap { c => Seq(
+      asStr(c, min).as(s"mn_$c"),
+      asStr(c, max).as(s"mx_$c"))
+    }
+    val wide = li.agg(count(lit(1)).as("n_rows"), cardAggs: _*)
+      .crossJoin(broadcast(
+        li.agg(extremeAggs.head, extremeAggs.tail: _*)))
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', nn_$c, nd_$c, ad_$c, mn_$c, mx_$c").mkString(", ")
+    wide
+      .select(col("n_rows"), expr(
+        s"stack(${ProfileCols.size}, $stackArgs) AS " +
+          "(col_name, n_nonnull, n_distinct, n_approx, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"),
+        when(abs(col("n_approx") - col("n_distinct")).cast("double")
+            <= lit(0.05) * col("n_distinct").cast("double"), lit(1L))
+          .otherwise(lit(0L)).as("within_tol"))
+      .orderBy("col_name")
+  }
+
   // ---------------------------------------------------------------- q_zorder
 
   private val ZBits = 16 // bits interleaved per dimension
@@ -1245,6 +1313,7 @@ object Relational extends QueryModule {
     "q_approx_percentiles" -> (approxPercentiles(_, _)),
     "q_approx_topk" -> (approxTopK(_, _)),
     "q_approx_intersect" -> (approxIntersect(_, _)),
+    "q_profile" -> (profile(_, _)),
     "q_zorder" -> (zorderStats(_, _)),
     "q_unpivot" -> (unpivotPricing(_, _)),
     "q_upsert" -> (upsert(_, _)),
@@ -1312,6 +1381,23 @@ object Relational extends QueryModule {
       """SELECT l_partkey, COUNT(*) AS cnt_exact, CAST(1 AS BIGINT) AS within_tol
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY cnt_exact DESC, l_partkey LIMIT 20""".stripMargin,
+    "q_profile" -> {
+      val per = ProfileCols.map { c =>
+        val (mn, mx) =
+          if (c == "l_shipdate") (s"min($c)::DATE::VARCHAR", s"max($c)::DATE::VARCHAR")
+          else (s"min($c)::VARCHAR", s"max($c)::VARCHAR")
+        s"""  SELECT '$c' AS col_name, count(*) AS n_rows,
+           |    count(*) - count($c) AS n_null,
+           |    count(DISTINCT $c) AS n_distinct,
+           |    $mn AS min_val, $mx AS max_val FROM lineitem""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH p AS (
+         |$per
+         |)
+         |SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val,
+         |  CAST(1 AS BIGINT) AS within_tol
+         |FROM p ORDER BY col_name""".stripMargin
+    },
     "q_zorder" -> {
       // identical integer arithmetic on both engines: (x // 2^i) % 2 is the
       // i-th bit of a non-negative key, never an engine bit intrinsic

@@ -453,6 +453,53 @@ object Streamish extends QueryModule {
     */
   private val PatternRe = ">view(?:>view)+>purchase"
 
+  // ----------------------------------------------------------- ev_hll_merge
+
+  /** Log-size of the datasketches HLL register array for [[hllMerge]]:
+    * 2^12 registers ≈ 0.8 kB per sketch, rsd ≈ 1.6 % — and exact (sparse
+    * mode) below a few thousand distinct values per group.
+    */
+  private val HllLgK = 12
+
+  /** Mergeable-sketch roll-up — the property that makes sketch analytics
+    * work at 100 TB: distinct users per (event_type, week) computed NOT
+    * from raw ids but by MERGING per-day HLL sketches
+    * (`hll_sketch_agg` → `hll_union_agg` → `hll_sketch_estimate`, the
+    * Apache DataSketches pipeline). A plain distinct-count is not
+    * re-aggregatable — yesterday's count can't combine with today's — so
+    * the production pattern pre-aggregates each day/partition into a
+    * fixed-size sketch binary and answers ANY coarser window by union,
+    * never re-reading raw data. This query is that path end-to-end, gated:
+    * the output carries the exact weekly distinct (hash-checked against
+    * DuckDB) and `within_tol` = 1 iff the merged-sketch estimate sits
+    * within 5 % of it (≈ 3× the lgK=12 rsd; the sf-scale cardinalities sit
+    * in the sketch's sparse-exact range, so the gate has slack at any sf).
+    *
+    * Scale shape: the daily sketch is a map-side-partial hash aggregate
+    * whose state is ≤ 2^[[HllLgK]] registers per (type, day) per task —
+    * the shuffle carries sketch binaries, never user ids; the weekly union
+    * aggregates ~7 fixed-size binaries per output row. The exact side
+    * (shuffling distinct user ids) exists only for the driver gate.
+    */
+  def hllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      date_trunc("day", col("ts")).cast("date").as("day"))
+    val daily = ev.groupBy("event_type", "week", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
+    val merged = daily.groupBy("event_type", "week")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("n_approx"))
+    val exact = ev.groupBy("event_type", "week")
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    exact.join(merged, Seq("event_type", "week"))
+      .select(col("event_type"), col("week"), col("n_users_exact"),
+        when(abs(col("n_approx") - col("n_users_exact")).cast("double")
+            <= lit(0.05) * col("n_users_exact").cast("double"), lit(1L))
+          .otherwise(lit(0L)).as("within_tol"))
+      .orderBy("event_type", "week")
+  }
+
   // -------------------------------------------------------------- ev_markov
 
   /** First-order Markov transition matrix over event types — the
@@ -563,6 +610,7 @@ object Streamish extends QueryModule {
     "ev_markov" -> (markov(_, _)),
     "ev_paths" -> (paths(_, _)),
     "ev_pattern" -> (patternMatch(_, _)),
+    "ev_hll_merge" -> (hllMerge(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
     "ev_streaks" -> (streaks(_, _)),
@@ -660,6 +708,15 @@ object Streamish extends QueryModule {
          |FROM seq
          |WHERE len(regexp_extract_all(s, '$PatternRe')) > 0
          |ORDER BY user_id""".stripMargin,
+    "ev_hll_merge" ->
+      // the sketch side is engine-specific; the oracle checks the exact
+      // weekly distinct and a literal within_tol = 1 (the q_approx_distinct
+      // gate pattern) — hash-green iff the merged estimate honors its bound
+      """SELECT event_type,
+        |  date_trunc('week', ts::TIMESTAMP)::DATE AS week,
+        |  count(DISTINCT user_id) AS n_users_exact,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, week""".stripMargin,
     "ev_pivot" ->
       ("""SELECT ts::TIMESTAMP::DATE AS day,
          |""" + EventTypes.map(t =>

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.Relational
+import graft.ops.{Relational, Streamish}
 
 /** Hard gate for the sketch path: `q_approx_distinct` is declared rows-only
   * (HLL estimates are engine-specific, so no DuckDB hash oracle), so this
@@ -91,6 +91,34 @@ class SketchSpec extends AnyFunSuite {
     val i = Relational.approxIntersect(spark, TestSpark.sfDir)
       .select("within_tol").collect().map(_.getLong(0))
     assert(i.nonEmpty && i.forall(_ == 1L))
+    val pr = Relational.profile(spark, TestSpark.sfDir)
+      .select("within_tol").collect().map(_.getLong(0))
+    assert(pr.nonEmpty && pr.forall(_ == 1L))
+    val h = Streamish.hllMerge(spark, TestSpark.sfDir)
+      .select("within_tol").collect().map(_.getLong(0))
+    assert(h.nonEmpty && h.forall(_ == 1L))
+  }
+
+  test("q_profile statistics are the known fixture facts") {
+    val rows = Relational.profile(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rf = rows("l_returnflag")
+    assert(rf.getLong(2) == 0L, "n_null")       // parquet column is dense
+    assert(rf.getLong(3) == 3L, "n_distinct")   // A / N / R
+    assert(rf.getString(4) == "A" && rf.getString(5) == "R")
+    val sd = rows("l_shipdate")
+    // DATE-truncated string extremes, identical to DuckDB's ::DATE::VARCHAR
+    assert(sd.getString(4).matches("\\d{4}-\\d{2}-\\d{2}"))
+    assert(rows.keySet.size == 6 && rows.values.forall(_.getLong(1) > 0))
+  }
+
+  test("ev_hll_merge: merged weekly sketch agrees with exact at sparse scale") {
+    // at these per-group cardinalities the lgK=12 sketch is in sparse-exact
+    // mode, so merge-then-estimate must land well inside the 5% gate on
+    // every (type, week) — a broken union would miss immediately
+    val rows = Streamish.hllMerge(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length > 10)
+    assert(rows.forall(_.getLong(3) == 1L))
   }
 
   private def assertIntersectBound(dir: String): Unit = {
