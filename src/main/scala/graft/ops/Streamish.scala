@@ -409,7 +409,7 @@ object Streamish extends QueryModule {
     * sequence string is capped at this many events (first N in event-time
     * order), so no single task ever materializes an unbounded string.
     */
-  private val SeqCap = 100000
+  private[graft] val SeqCap = 100000
 
   /** CEP-style sequence pattern matching (the MATCH_RECOGNIZE class):
     * count, per user, the non-overlapping occurrences of a "browse-binge

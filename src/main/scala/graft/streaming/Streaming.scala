@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+import graft.ops.Streamish
 
 /** Running per-user totals — the state carried by [[Streaming.runningUserTotals]]. */
 final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
@@ -41,6 +42,20 @@ final case class ShardAssign(doc_id: Long, media_type: String, sub: Long,
 
 /** One consecutive-event transition emitted by [[Streaming.transitionsViaState]]. */
 final case class Transition(cur_type: String, next_type: String)
+
+/** CEP state for [[Streaming.bingeMatchesViaState]]: the current
+  * consecutive-`view` run length SATURATED at 2 (the pattern only asks
+  * "≥ 2", so longer runs need no extra state) plus events seen so far
+  * (the batch operator's SeqCap parity counter) — O(1) per user however
+  * long the stream.
+  */
+final case class BingeState(run: Int, seen: Long)
+
+/** One completed binge-conversion match emitted by
+  * [[Streaming.bingeMatchesViaState]]; `event_id` is the consuming
+  * purchase's.
+  */
+final case class BingeMatch(user_id: Long, event_id: Long)
 
 /** One exactly-once MERGE action from [[Streaming.upsertAuditViaState]]:
   * `prev_price` is the replaced base price for an update, None for an insert.
@@ -365,6 +380,52 @@ object Streaming {
             sorted.iterator.map(r => (r._2, r._3, r._4)).toList
           seq.lastOption.foreach { l => state.update(LastEvent(l._1, l._2, l._3)) }
           seq.sliding(2).collect { case List(a, b) => Transition(a._3, b._3) }
+      }
+  }
+
+  /** Streaming twin of the batch ev_pattern CEP query (MATCH_RECOGNIZE
+    * class): count, per user, non-overlapping "two-or-more consecutive
+    * views immediately followed by a purchase" occurrences — but
+    * incrementally, as a per-user state MACHINE instead of a regex over
+    * the materialized sequence. The machine is exactly the greedy
+    * leftmost-match scan the batch regex performs: a `view` extends the
+    * current run (saturating at 2), a `purchase` closing a run ≥ 2 emits
+    * one match and CONSUMES the run (non-overlap), any other type — or a
+    * short-run purchase — resets it. Equivalence with the batch regex is
+    * pinned by StreamingSpec over a chunked replay. State is O(1) per
+    * user (run ∈ {0,1,2} + the SeqCap counter) where the batch side
+    * materializes the whole ≤ SeqCap sequence string — the streaming form
+    * is STRICTLY cheaper, the point of running CEP incrementally at
+    * scale. Matches past the user's SeqCap-th event are suppressed for
+    * batch parity. Ordering regime as [[transitionsViaState]]: intra-batch
+    * disorder absorbed by the (ts, event_id) sort, in-order chunk arrival
+    * across batches.
+    */
+  def bingeMatchesViaState(s: SparkSession, events: DataFrame): Dataset[BingeMatch] = {
+    import s.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[BingeState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(BingeState(0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[BingeMatch]()
+          sorted.foreach { r =>
+            if (st.seen < Streamish.SeqCap) {
+              st = r._4 match {
+                case "view" => BingeState(math.min(st.run + 1, 2), st.seen + 1)
+                case "purchase" =>
+                  if (st.run >= 2) out += BingeMatch(user, r._3)
+                  BingeState(0, st.seen + 1)
+                case _ => BingeState(0, st.seen + 1)
+              }
+            } else st = st.copy(seen = st.seen + 1)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

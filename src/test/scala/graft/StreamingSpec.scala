@@ -188,6 +188,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming CEP state machine accumulates to the batch ev_pattern counts") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.ntile
+    import spark.implicits._
+    // The O(1)-state machine replayed over 4 time-ordered micro-batches
+    // must count exactly what the batch regex counts — including runs and
+    // matches that SPAN a batch boundary (views at the end of batch N,
+    // purchase at the start of batch N+1), which is what the carried
+    // BingeState is for.
+    val src = "/tmp/graft-stream-src-binge"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val batchEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val chunked = batchEvents
+      .withColumn("chunk", ntile(4).over(W.orderBy("ts", "event_id")))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val got = runToMemory(
+      Streaming.bingeMatchesViaState(spark, stream).toDF(), "t_binge", "append")
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toSet
+    val want = Streamish.patternMatch(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture has no binge conversions — vacuous test")
+    assert(got === want)
+  }
+
   test("streaming dedup keeps exactly one document per batch dd_exact fingerprint") {
     // Which doc_id survives per fingerprint is arrival-order-dependent (the
     // batch picks min doc_id; the stream picks first-processed), so the pin
