@@ -291,6 +291,60 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  // ------------------------------------------------------- dd_lsh_recall
+
+  /** Recall audit of the MinHash-LSH candidate generator against exact
+    * ground truth — the dedup-family twin of sim_recall_at_k /
+    * sim_recall_ivfpq: every approximate path in this engine ships with a
+    * measured-recall query. Truth is ALL pairs with shingle Jaccard ≥
+    * [[JaccardT]], found losslessly by PPJoin prefix filtering (any
+    * qualifying pair must share one of each doc's `n − ⌈t·n⌉ + 1` rarest
+    * shingles — pigeonhole, so the truth side is exact, not another
+    * approximation); found is the production banded path ([[lshCandidates]]
+    * + the same exact-Jaccard verify), a subset of truth by construction.
+    * Output: one row (n_true, n_found, recall). The expected recall is the
+    * banding s-curve itself — 1 − (1 − t^r)^b ≈ 0.94 at t = 0.8 with
+    * r = 3, b = 4 — so this query is the dial-reading for the
+    * bands-vs-candidates trade dd_neardup's scaladoc describes.
+    *
+    * Scale shape: both sides are equi-joins (band keys / rare-prefix
+    * shingles), never all-pairs; ONE shingle build feeds LSH banding, both
+    * verify sides, and the truth prefix — persisted and released once the
+    * 1-row audit materializes. Everything is deterministic integer/md5
+    * arithmetic, so the oracle reproduces the identical recall.
+    */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val sh0 = shingled(s, dir).withColumn("n", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def verify(cand: DataFrame): DataFrame = cand
+      .join(sh0.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("na")), "doc_a")
+      .join(sh0.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("nb")), "doc_b")
+      .filter(least(col("na"), col("nb")) >= lit(JaccardT) * greatest(col("na"), col("nb")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= JaccardT)
+      .select("doc_a", "doc_b")
+    val ex = sh0.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+    val prefix = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("g").asc)))
+      .filter(col("pos") <= col("n") - ceil(col("n") * lit(JaccardT)) + 1)
+      .select("doc_id", "g")
+    val truthCand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val out = verify(truthCand).agg(count(lit(1)).as("n_true"))
+      .crossJoin(verify(lshCandidates(sh0)).agg(count(lit(1)).as("n_found")))
+      .select(col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true"), 4).as("recall"))
+    materializeThenRelease(out, sh0)
+  }
+
   // ------------------------------------------------------- dd_edit_verify
 
   private val EditSimT = 0.8 // normalized edit-similarity acceptance bar
@@ -1125,6 +1179,7 @@ object Dedup extends QueryModule {
     "dd_leakage_split" -> (leakageSplit(_, _)),
     "dd_incremental" -> (incrementalDedup(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
+    "dd_lsh_recall" -> (lshRecall(_, _)),
     "dd_edit_verify" -> (editVerify(_, _)),
     "dd_cluster" -> (cluster(_, _)),
     "dd_cluster_stats" -> (clusterStats(_, _)),
@@ -1263,6 +1318,29 @@ object Dedup extends QueryModule {
       s"""WITH $neardupVerSql
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM ver
          |WHERE jac >= $JaccardT ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_lsh_recall" ->
+      // truth side as plain inverted-index all-pairs (oracle compactness
+      // over efficiency, the dd_ngram_jaccard precedent) — identical pair
+      // set to the engine's lossless prefix-filtered form
+      s"""WITH $neardupVerSql, ix AS (
+         |  SELECT doc_id, unnest(sh) AS g FROM s
+         |), tc AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ix a JOIN ix b ON a.g = b.g AND a.doc_id < b.doc_id
+         |), tv AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+         |  FROM tc
+         |  JOIN s sa ON sa.doc_id = doc_a
+         |  JOIN s sb ON sb.doc_id = doc_b
+         |), agg AS (
+         |  SELECT (SELECT count(*) FROM tv WHERE jac >= $JaccardT) AS n_true,
+         |    (SELECT count(*) FROM ver WHERE jac >= $JaccardT) AS n_found
+         |)
+         |SELECT n_true, n_found,
+         |  round(n_found::DOUBLE / n_true, 4) AS recall
+         |FROM agg""".stripMargin,
     "dd_edit_verify" ->
       s"""WITH $neardupVerSql
          |SELECT doc_a, doc_b, lev, round(sim, 4) AS edit_sim FROM (
