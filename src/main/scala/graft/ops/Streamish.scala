@@ -451,7 +451,7 @@ object Streamish extends QueryModule {
   /** The binge-conversion pattern over the '>'-framed sequence — RE2-safe
     * (no lookaround), identical non-overlapping scan in Java regex and RE2.
     */
-  private val PatternRe = ">view(?:>view)+>purchase"
+  private[graft] val PatternRe = ">view(?:>view)+>purchase"
 
   // ----------------------------------------------------------- ev_hll_merge
 

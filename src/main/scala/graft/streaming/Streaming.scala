@@ -414,20 +414,27 @@ object Streaming {
           var st = state.getOption.getOrElse(BingeState(0, 0L))
           val out = scala.collection.mutable.ArrayBuffer[BingeMatch]()
           sorted.foreach { r =>
-            if (st.seen < Streamish.SeqCap) {
-              st = r._4 match {
-                case "view" => BingeState(math.min(st.run + 1, 2), st.seen + 1)
-                case "purchase" =>
-                  if (st.run >= 2) out += BingeMatch(user, r._3)
-                  BingeState(0, st.seen + 1)
-                case _ => BingeState(0, st.seen + 1)
-              }
-            } else st = st.copy(seen = st.seen + 1)
+            val (next, matched) = bingeStep(st, r._4)
+            if (matched) out += BingeMatch(user, r._3)
+            st = next
           }
           state.update(st)
           out.iterator
       }
   }
+
+  /** One CEP machine step: next state plus whether this event completed a
+    * match. Pure and shared with the StreamingSpec property test, which
+    * pins fold-over-bingeStep ≡ the batch regex on random sequences —
+    * the machine IS the regex's greedy leftmost non-overlapping scan.
+    */
+  private[graft] def bingeStep(st: BingeState, eventType: String): (BingeState, Boolean) =
+    if (st.seen >= Streamish.SeqCap) (st.copy(seen = st.seen + 1), false)
+    else eventType match {
+      case "view" => (BingeState(math.min(st.run + 1, 2), st.seen + 1), false)
+      case "purchase" => (BingeState(0, st.seen + 1), st.run >= 2)
+      case _ => (BingeState(0, st.seen + 1), false)
+    }
 
   /** Streaming twin of ev_lift's (user, type) DEDUP stage: one bounded
     * [[SeenTypes]] state row per user (≤ |event types| entries — a

@@ -220,6 +220,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("CEP machine step == greedy regex scan on random sequences (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // The pure-machine half of the twin's equivalence claim, checked
+    // exhaustively-ish: fold bingeStep over ANY type sequence and the
+    // match count must equal the batch regex's non-overlapping scan of
+    // the same '>'-framed sequence. (The Spark-replay test above covers
+    // the stateful/batch-boundary half on real data.)
+    val types = Gen.oneOf("view", "purchase", "click", "signup", "error")
+    val seqs = Gen.listOf(types)
+    val re = Streamish.PatternRe.r
+    val prop = forAll(seqs) { ts: List[String] =>
+      val viaMachine = ts.foldLeft((graft.streaming.BingeState(0, 0L), 0)) {
+        case ((st, n), t) =>
+          val (next, matched) = Streaming.bingeStep(st, t)
+          (next, if (matched) n + 1 else n)
+      }._2
+      val framed = if (ts.isEmpty) ">" else ts.mkString(">", ">", ">")
+      viaMachine == re.findAllIn(framed).length
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("streaming dedup keeps exactly one document per batch dd_exact fingerprint") {
     // Which doc_id survives per fingerprint is arrival-order-dependent (the
     // batch picks min doc_id; the stream picks first-processed), so the pin
