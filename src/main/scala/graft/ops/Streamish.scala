@@ -481,16 +481,34 @@ object Streamish extends QueryModule {
     * aggregates ~7 fixed-size binaries per output row. The exact side
     * (shuffling distinct user ids) exists only for the driver gate.
     */
-  def hllMerge(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"),
-      date_trunc("week", col("ts")).cast("date").as("week"),
-      date_trunc("day", col("ts")).cast("date").as("day"))
-    val daily = ev.groupBy("event_type", "week", "day")
+  /** Per-(type, week, day) HLL user sketches — SHARED by the batch
+    * [[hllMerge]] and the streaming twin
+    * ([[graft.streaming.Streaming.dailySketchesStreaming]]) so the two
+    * ingest paths cannot drift: the stream maintains exactly these rows
+    * in its state store, and weekly answers union them at read time.
+    */
+  private[graft] def dailySketchesOf(events: DataFrame): DataFrame =
+    events.select(col("event_type"), col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy("event_type", "week", "day")
       .agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
-    val merged = daily.groupBy("event_type", "week")
+
+  /** Weekly union + estimate over a daily-sketch frame — the read-time
+    * half, likewise shared with the streaming twin's test.
+    */
+  private[graft] def weeklyEstimateOf(daily: DataFrame): DataFrame =
+    daily.groupBy("event_type", "week")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
         .as("n_approx"))
-    val exact = ev.groupBy("event_type", "week")
+
+  def hllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val merged = weeklyEstimateOf(dailySketchesOf(ev))
+    val exact = ev
+      .select(col("event_type"), col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .groupBy("event_type", "week")
       .agg(countDistinct(col("user_id")).as("n_users_exact"))
     exact.join(merged, Seq("event_type", "week"))
       .select(col("event_type"), col("week"), col("n_users_exact"),

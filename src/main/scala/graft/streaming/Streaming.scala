@@ -436,6 +436,24 @@ object Streaming {
       case _ => (BingeState(0, st.seen + 1), false)
     }
 
+  /** Streaming twin of ev_hll_merge's INGEST half: the stream maintains
+    * the per-(type, week, day) HLL user sketches — SHARED expression with
+    * the batch path ([[graft.ops.Streamish.dailySketchesOf]]), so batch
+    * and stream cannot drift — as a streaming aggregation whose state is
+    * one fixed-size register array per open group. This is the
+    * metrics-store pattern end-to-end: ingestion never keeps raw user
+    * ids (the state store holds sketch buffers), and any coarser window
+    * (the weekly roll-up) is answered at READ time by unioning the
+    * sink's daily sketches — `weeklyEstimateOf` over the sink equals the
+    * batch estimate exactly, because HLL register maxima are
+    * arrival-order-independent and the union is exact. StreamingSpec
+    * pins that equality. Spark's one-stateful-aggregation rule is why
+    * the weekly union lives at read time — which is also precisely how
+    * a production sketch store works.
+    */
+  def dailySketchesStreaming(s: SparkSession, events: DataFrame): DataFrame =
+    Streamish.dailySketchesOf(events)
+
   /** Streaming twin of ev_lift's (user, type) DEDUP stage: one bounded
     * [[SeenTypes]] state row per user (≤ |event types| entries — a
     * vocabulary bound, not a history bound) emits each (user, type) pair

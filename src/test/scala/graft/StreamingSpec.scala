@@ -220,6 +220,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming daily HLL sketches union to the batch weekly estimates") {
+    import spark.implicits._
+    // The sketch-store pattern: the stream maintains per-day register
+    // arrays (never raw user ids); the weekly answer is a read-time union
+    // over the sink. Register maxima are arrival-order-independent and
+    // the union is exact, so the streamed-then-unioned estimate must
+    // EQUAL the batch daily->weekly estimate, not just approximate it.
+    val sink = runToMemory(
+      Streaming.dailySketchesStreaming(spark, Streaming.eventsStream(spark, dir)),
+      "t_hll_daily", "complete")
+    val got = Streamish.weeklyEstimateOf(sink)
+      .select(col("event_type"), col("week").cast("string"), col("n_approx"))
+      .as[(String, String, Long)].collect().toSet
+    val want = Streamish.weeklyEstimateOf(
+        Streamish.dailySketchesOf(Tables.events(spark, dir)))
+      .select(col("event_type"), col("week").cast("string"), col("n_approx"))
+      .as[(String, String, Long)].collect().toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("CEP machine step == greedy regex scan on random sequences (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.Prop.forAll
