@@ -104,8 +104,58 @@ object Pipeline extends QueryModule {
       .orderBy("split", "lang", "shard")
   }
 
+  /** The per-source DATA CARD — the attrition funnel every training run
+    * publishes alongside its corpus (the Datasheets-for-Datasets /
+    * data-card practice): for each source, total documents, how many pass
+    * the quality gate, how many are exact-dedup winners, how many carry
+    * benchmark passage contamination, and how many — with how many
+    * tokens — survive the full [[corpus]] composition. The final-count
+    * column uses the SAME stage predicates as pipe_corpus (bench sources
+    * excluded, quality ∧ exact-winner ∧ near-dup-survivor ∧
+    * ¬contaminated), so `sum(n_final)` here equals pipe_corpus's row
+    * count by construction — the card audits the pipeline it describes.
+    *
+    * Scale shape: one corpus scan tokenizes and derives every stage flag
+    * via doc_id equi-joins (AQE broadcasts the bounded keep-lists — no
+    * new corpus pass per stage); the rollup is a map-side-partial hash
+    * aggregate onto ≤ |sources| rows. The stage caches release once the
+    * bounded card materializes (≤ 1 cached frame).
+    */
+  def datacard(s: SparkSession, dir: String): DataFrame = {
+    val keep = TextOps.c4Filter(s, dir).filter(col("keep"))
+      .select(col("doc_id"), lit(1L).as("q"))
+    val winners = Dedup.exactDedup(s, dir).select(col("doc_id"), lit(1L).as("w"))
+    val (surv, releaseSurv) = Dedup.survivorsWithRelease(s, dir)
+    val (contam, releaseContam) = Dedup.passageDecontaminateWithRelease(s, dir)
+    val isBench = col("source").isin(Dedup.BenchSources: _*)
+    val fin = when(!isBench && col("q").isNotNull && col("w").isNotNull &&
+      col("sv").isNotNull && col("ct").isNull, 1L).otherwise(0L)
+    val out = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(keep, Seq("doc_id"), "left")
+      .join(winners, Seq("doc_id"), "left")
+      .join(surv.select(col("doc_id"), lit(1L).as("sv")), Seq("doc_id"), "left")
+      .join(contam.select("doc_id").dropDuplicates("doc_id")
+        .withColumn("ct", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("q"), lit(0L))).as("n_quality"),
+        sum(coalesce(col("w"), lit(0L))).as("n_exact_unique"),
+        sum(coalesce(col("ct"), lit(0L))).as("n_contaminated"),
+        sum(fin).as("n_final"),
+        sum(when(fin === 1L, col("n_tokens")).otherwise(lit(0L)))
+          .as("n_tokens_final"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    releaseSurv()
+    releaseContam()
+    out.orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus" -> (corpus(_, _)),
+    "pipe_datacard" -> (datacard(_, _)),
     "pipe_shards" -> (shards(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -127,6 +177,34 @@ object Pipeline extends QueryModule {
          |WHERE d.source NOT IN (${Dedup.BenchSources.map(x => s"'$x'").mkString(", ")})
          |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
          |ORDER BY d.doc_id""".stripMargin,
+    "pipe_datacard" ->
+      s"""WITH keepq AS (
+         |  SELECT doc_id FROM (${TextOps.oracles("txt_c4_filter")}) WHERE keep
+         |), winners AS (
+         |  SELECT doc_id FROM (${Dedup.oracles("dd_exact")})
+         |), surv AS (
+         |  SELECT doc_id FROM (${Dedup.oracles("dd_survivors")})
+         |), contam AS (
+         |  SELECT DISTINCT doc_id FROM (${Dedup.oracles("dd_passage_decontaminate")})
+         |), d AS (
+         |  SELECT m.doc_id, m.source,
+         |    len(${graft.OracleSql.toks("lower(m.text)")})::BIGINT AS n_tokens,
+         |    m.doc_id IN (SELECT doc_id FROM keepq) AS q,
+         |    m.doc_id IN (SELECT doc_id FROM winners) AS w,
+         |    m.doc_id IN (SELECT doc_id FROM surv) AS sv,
+         |    m.doc_id IN (SELECT doc_id FROM contam) AS ct,
+         |    m.source IN (${Dedup.BenchSources.map(x => s"'$x'").mkString(", ")}) AS bench
+         |  FROM documents m
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE q) AS n_quality,
+         |  count(*) FILTER (WHERE w) AS n_exact_unique,
+         |  count(*) FILTER (WHERE ct) AS n_contaminated,
+         |  count(*) FILTER (WHERE q AND w AND sv AND NOT ct AND NOT bench) AS n_final,
+         |  COALESCE(sum(n_tokens)
+         |    FILTER (WHERE q AND w AND sv AND NOT ct AND NOT bench), 0)::BIGINT
+         |    AS n_tokens_final
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "pipe_shards" ->
       s"""WITH keepq AS (
          |  SELECT doc_id FROM (${TextOps.oracles("txt_c4_filter")}) WHERE keep

@@ -127,6 +127,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out.intersect(bench).isEmpty) // the eval set never trains
   }
 
+  test("pipe_datacard: the card's final column audits pipe_corpus exactly") {
+    import spark.implicits._
+    val card = graft.ops.Pipeline.datacard(spark, dir).collect()
+    assert(card.nonEmpty)
+    // the per-source attrition funnel is internally monotone...
+    card.foreach { r =>
+      val (docs, q, fin) = (r.getLong(1), r.getLong(2), r.getLong(5))
+      assert(fin <= q && q <= docs, s"${r.getString(0)}: $fin <= $q <= $docs")
+    }
+    // ...and its final counts sum to EXACTLY the composed corpus size —
+    // the card uses the same stage predicates as the pipeline it audits
+    val nFinal = card.map(_.getLong(5)).sum
+    val nCorpus = graft.ops.Pipeline.corpus(spark, dir).count()
+    assert(nFinal === nCorpus)
+  }
+
   test("boundedSequence: empty for inverted bounds and typed by its inputs") {
     val r = spark.range(1).select(
       graft.functions.Exprs.boundedSequence(lit(1), lit(0)).as("e"),
