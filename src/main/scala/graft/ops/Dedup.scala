@@ -340,8 +340,13 @@ object Dedup extends QueryModule {
       .dropDuplicates("doc_a", "doc_b")
     val out = verify(truthCand).agg(count(lit(1)).as("n_true"))
       .crossJoin(verify(lshCandidates(sh0)).agg(count(lit(1)).as("n_found")))
+      // empty-truth guard: recall over zero qualifying pairs is vacuously
+      // perfect (1.0), never NULL/inf — Spark's non-ANSI divide and
+      // DuckDB's version-dependent x/0 would otherwise diverge here
       .select(col("n_true"), col("n_found"),
-        round(col("n_found").cast("double") / col("n_true"), 4).as("recall"))
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(round(col("n_found").cast("double") / col("n_true"), 4))
+          .as("recall"))
     materializeThenRelease(out, sh0)
   }
 
@@ -1339,7 +1344,8 @@ object Dedup extends QueryModule {
          |    (SELECT count(*) FROM ver WHERE jac >= $JaccardT) AS n_found
          |)
          |SELECT n_true, n_found,
-         |  round(n_found::DOUBLE / n_true, 4) AS recall
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |       ELSE round(n_found::DOUBLE / n_true, 4) END AS recall
          |FROM agg""".stripMargin,
     "dd_edit_verify" ->
       s"""WITH $neardupVerSql

@@ -67,40 +67,39 @@ object Pipeline extends QueryModule {
     * gates the corpus, [[Dedup.leakageSplit]] assigns train/val/test by
     * exact-dedup fingerprint (verbatim duplicates can never straddle a
     * split), and the kept docs pack into 2048-token sequences per
-    * (split, lang, 16-way md5 shard) — the txt_pack running-sum shape with
-    * the split in the partition key. The output is the bounded manifest a
+    * (split, lang, 16-way md5 shard). The output is the bounded manifest a
     * trainer's data loader reads: docs/tokens/packs per (split, lang,
-    * shard).
+    * shard). `n_packs` is the EXACT number of 2048-token sequences the
+    * cell's contiguous concatenation emits — ceil(n_tokens / 2048) in pure
+    * integer arithmetic, so a single doc longer than the budget counts
+    * every sequence it spans (the r14 starting-offset-bucket count could
+    * undercount there and mislead a data loader sizing its epoch).
     *
     * Scale shape: the gates are doc_id equi-joins (AQE broadcasts the
-    * keep-list side when small); the only windows run on (split, lang,
-    * shard) — the shard width is the parallelism lever, NShards scales with
-    * the cluster exactly as in txt_pack/mm_shard_manifest — and the
-    * manifest aggregate collapses map-side to ≤ |splits|·|langs|·NShards
+    * keep-list side when small); the pack count is now derived from the
+    * cell's token SUM, so the manifest needs no window at all — one
+    * map-side-partial hash aggregate onto ≤ |splits|·|langs|·NShards
     * rows. The oracle composes the stage oracles as derived tables: the
     * gate proves the composition.
     */
   def shards(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val Budget = 2048
     val keep = TextOps.c4Filter(s, dir).filter(col("keep")).select("doc_id")
     val sp = Dedup.leakageSplit(s, dir).select(col("doc_id"), col("split"))
     val shard = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
       lit(16L))
-    val w = Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .join(keep, "doc_id")
       .join(sp, "doc_id")
       .withColumn("shard", shard)
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id",
-        floor((col("cum") - col("n_tokens")) / lit(Budget.toDouble)).cast("long"))
       .groupBy("split", "lang", "shard")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
-        countDistinct("pack_id").as("n_packs"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      // exact integer ceil — safe past 2^53 tokens where a double divide
+      // would round
+      .withColumn("n_packs", expr(s"(n_tokens + ${Budget - 1}) div $Budget"))
       .orderBy("split", "lang", "shard")
   }
 
@@ -216,17 +215,9 @@ object Pipeline extends QueryModule {
          |    ('0x' || substr(md5(m.doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,
          |    sp.split
          |  FROM documents m JOIN keepq USING (doc_id) JOIN sp USING (doc_id)
-         |), c AS (
-         |  SELECT split, lang, shard, doc_id, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY split, lang, shard ORDER BY doc_id) AS cum
-         |  FROM d
-         |), p AS (
-         |  SELECT split, lang, shard, n_tokens,
-         |    floor((cum - n_tokens) / 2048.0)::BIGINT AS pack_id
-         |  FROM c
          |)
          |SELECT split, lang, shard, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  count(DISTINCT pack_id) AS n_packs
-         |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+         |  (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 AS n_packs
+         |FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 }

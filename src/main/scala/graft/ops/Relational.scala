@@ -420,9 +420,18 @@ object Relational extends QueryModule {
       shiftright(col("p"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
         shiftright(col("s"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
     }.reduce(_ + _)
+    // overflow guard: (span * 65535) exceeds 2^63 once the key span passes
+    // 2^47 (e.g. hashed 63-bit ids at 100 TB), so both engines pre-shift
+    // offset AND span by a fixed 17 bits in that regime — the shifted span
+    // still carries ≥ 2^30 resolution against the 16-bit z target, and
+    // floor monotonicity keeps p ≤ 65535
+    val psh = s"CASE WHEN pmax - pmin >= ${1L << 47}L THEN 17 ELSE 0 END"
+    val ssh = s"CASE WHEN smax - smin >= ${1L << 47}L THEN 17 ELSE 0 END"
     li.crossJoin(ext)
-      .withColumn("p", expr(s"((pk - pmin) * ${top}L) div greatest(pmax - pmin, 1)"))
-      .withColumn("s", expr(s"((sk - smin) * ${top}L) div greatest(smax - smin, 1)"))
+      .withColumn("p", expr(s"(shiftright(pk - pmin, $psh) * ${top}L)" +
+        s" div greatest(shiftright(pmax - pmin, $psh), 1)"))
+      .withColumn("s", expr(s"(shiftright(sk - smin, $ssh) * ${top}L)" +
+        s" div greatest(shiftright(smax - smin, $ssh), 1)"))
       .withColumn("z", z)
       .withColumn("cell", shiftright(col("z"), 2 * ZBits - 8))
       .groupBy("cell")
@@ -1406,12 +1415,18 @@ object Relational extends QueryModule {
           s"((s // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
       s"""WITH ext AS (
          |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
-         |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |    min(l_suppkey) AS smin, max(l_suppkey) AS smax,
+         |    CASE WHEN max(l_partkey) - min(l_partkey) >= ${1L << 47}
+         |      THEN 17 ELSE 0 END AS psh,
+         |    CASE WHEN max(l_suppkey) - min(l_suppkey) >= ${1L << 47}
+         |      THEN 17 ELSE 0 END AS ssh
          |  FROM lineitem
          |), k AS (
          |  SELECT l_partkey AS pk, l_suppkey AS sk,
-         |    ((l_partkey - pmin) * ${(1L << ZBits) - 1}) // greatest(pmax - pmin, 1) AS p,
-         |    ((l_suppkey - smin) * ${(1L << ZBits) - 1}) // greatest(smax - smin, 1) AS s
+         |    (((l_partkey - pmin) >> psh) * ${(1L << ZBits) - 1})
+         |      // greatest((pmax - pmin) >> psh, 1) AS p,
+         |    (((l_suppkey - smin) >> ssh) * ${(1L << ZBits) - 1})
+         |      // greatest((smax - smin) >> ssh, 1) AS s
          |  FROM lineitem, ext
          |), zz AS (
          |  SELECT pk, sk, $zExpr AS z FROM k

@@ -35,7 +35,7 @@ object Similarity extends QueryModule {
   private val Scale = 1048576L // 2^20
   private[graft] val Dim = 64
   private val NumQueries = 8 // vec_id < 8 is the fixed demo query set
-  private val TopK = 5
+  private[graft] val TopK = 5
   private val GraphK = 3
 
   // ------------------------------------------------- LSH banding parameters

@@ -1453,7 +1453,8 @@ class OpsSpec extends AnyFunSuite {
     recall.foreach { case (q, hits, r) =>
       val expected = truth.filter(_._1 == q).count(got.contains)
       assert(hits === expected.toLong, s"query $q hits")
-      assert(r >= 0.0 && r <= 1.0 && math.abs(r - hits / 5.0) < 1e-9, s"query $q recall")
+      assert(r >= 0.0 && r <= 1.0 &&
+        math.abs(r - hits / Similarity.TopK.toDouble) < 1e-9, s"query $q recall")
     }
   }
 
@@ -1526,9 +1527,8 @@ class OpsSpec extends AnyFunSuite {
     assert(m.map(_.getLong(3)).sum === keepN) // every kept doc in exactly one cell
     m.foreach { r =>
       val (nt, np) = (r.getLong(4), r.getLong(5))
-      // pack ids are starting-offset buckets: at least one, never more than
-      // the token total admits
-      assert(np >= 1L && np <= nt / 2048 + 1,
+      // n_packs is the exact sequence count of contiguous packing
+      assert(np === (nt + 2047) / 2048,
         s"cell ${r.getString(0)}/${r.getString(1)}/${r.getLong(2)}: $np packs for $nt tokens")
     }
   }
