@@ -1265,6 +1265,99 @@ object TextOps extends QueryModule {
       .limit(BpeTopK)
   }
 
+  // ----------------------------------------------------------- txt_bpe_train
+
+  private[graft] val BpeMerges = 10 // training rounds (merges learned)
+
+  /** The full BPE TRAINING LOOP ([[bpeStep]] is one link of it, the
+    * sim_kmeans_step → sim_kmeans_train precedent): [[BpeMerges]] rounds of
+    * count-pairs → pick the best merge (count desc, then lexicographic —
+    * the deterministic tiebreak both engines share byte-for-byte) → APPLY
+    * it to the vocabulary → re-count. Emits the learned merge list
+    * (step, lhs, rhs, pair_count) — the artifact a BPE tokenizer ships
+    * (Sennrich et al. 2016, public algorithm).
+    *
+    * Vocabulary words are held as symbol sequences framed `{sym}{sym}…`
+    * (the ev_pattern delimiter-framing idea); applying a merge is then one
+    * codegen'd `replace(ws, '{a}{b}', '{ab}')` whose left-to-right
+    * non-overlapping scan IS BPE's greedy merge application — identical in
+    * the JVM and DuckDB, proven on `lll` → `{ll}{l}` in the fixture. The
+    * brace frame makes partial-symbol matches impossible; the rare token
+    * that itself contains a brace is excluded up front (documented
+    * contract, mirrored in the oracle).
+    *
+    * Scale shape: the ONLY corpus-scale shuffle is the one word-frequency
+    * aggregate building the vocab (map-side partials; vocab is
+    * Heaps-sublinear in the corpus). Every round then runs on VOCAB rows —
+    * explode to adjacent pairs, partial-agg, TakeOrdered(1) — and on a real
+    * cluster ships kilobytes. Per round the new vocab is an EAGER
+    * localCheckpoint and its predecessor's blocks are released (the
+    * [[Dedup.labelPropagate]] discipline): lineage TRUNCATION is load-
+    * bearing here, not just caching — each round's merge pick feeds both
+    * the output row and the next vocab, so un-truncated plans double per
+    * round and the 2^K plan STRING alone OOMs the driver around round 10
+    * (persist keeps execution linear but not the logical plan). The K
+    * one-row merge frames stay checkpoint blocks only until the final
+    * union materializes into the returned cache.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(Tables.documents(s, dir))
+
+  private[graft] def bpeTrainOf(docs: DataFrame): DataFrame = {
+    def chk(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
+    var vocab = chk(docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(!col("w").contains("{") && !col("w").contains("}"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(regexp_replace(col("w"), "(.)", "{$1}").as("ws"), col("f")))
+    val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeMerges && !exhausted) {
+      val top = chk(vocab
+        .select(col("f"),
+          split(expr("substring(ws, 2, length(ws) - 2)"), "\\}\\{").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("f"), col("s"),
+          explode(sequence(lit(1), size(col("s")) - 1)).as("i"))
+        .select(element_at(col("s"), col("i")).as("lhs"),
+          element_at(col("s"), col("i") + 1).as("rhs"), col("f"))
+        .groupBy("lhs", "rhs").agg(sum("f").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .select(lit(step.toLong).as("step"), col("lhs"), col("rhs"),
+          col("pair_count")))
+      if (top.isEmpty) { release(top); exhausted = true }
+      else {
+        tops += top
+        val next = chk(vocab
+          .crossJoin(broadcast(top.select(col("lhs").as("ml"), col("rhs").as("mr"))))
+          .select(expr("replace(ws, '{' || ml || '}{' || mr || '}'," +
+            " '{' || ml || mr || '}')").as("ws"), col("f")))
+        release(vocab)
+        vocab = next
+        step += 1
+      }
+    }
+    release(vocab)
+    if (tops.isEmpty) {
+      import docs.sparkSession.implicits._
+      return Seq.empty[(Long, String, String, Long)]
+        .toDF("step", "lhs", "rhs", "pair_count")
+    }
+    // one regular cache holds the K-row merge list; the checkpoint blocks
+    // behind it release right after (the labelPropagate fin pattern)
+    val out = tops.reduce(_ union _).orderBy("step")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tops.foreach(release)
+    out
+  }
+
   // ---------------------------------------------------------- txt_hash_embed
 
   private[graft] val EmbedDim = 64 // hashing-trick dimensionality
@@ -1319,6 +1412,7 @@ object TextOps extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_bpe_step" -> (bpeStep(_, _)),
+    "txt_bpe_train" -> (bpeTrain(_, _)),
     "txt_hash_embed" -> (hashEmbed(_, _)),
     "txt_dsir" -> (dsirWeights(_, _)),
     "txt_weighted_sample" -> (weightedSample(_, _)),
@@ -1394,7 +1488,44 @@ object TextOps extends QueryModule {
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Unrolled-CTE oracle for [[bpeTrain]] — one (split → pair-zip → top-1 →
+    * merge-apply) block per round, the sim_graph_rank unrolled-loop
+    * precedent. DuckDB's parallel `unnest` of the two shifted list slices
+    * zips adjacent symbols positionally.
+    */
+  private def bpeTrainSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""s$r AS (
+         |  SELECT string_split(substr(ws, 2, length(ws) - 2), '}{') AS s, f
+         |  FROM v${r - 1}
+         |), p$r AS (
+         |  SELECT unnest(s[1:len(s)-1]) AS lhs, unnest(s[2:len(s)]) AS rhs, f
+         |  FROM s$r WHERE len(s) >= 2
+         |), t$r AS (
+         |  SELECT lhs, rhs, sum(f)::BIGINT AS pair_count
+         |  FROM p$r GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 1
+         |), v$r AS (
+         |  SELECT replace(ws, '{' || lhs || '}{' || rhs || '}',
+         |                 '{' || lhs || rhs || '}') AS ws, f
+         |  FROM v${r - 1}, t$r
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to BpeMerges)
+      .map(r => s"SELECT $r::BIGINT AS step, lhs, rhs, pair_count FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS ws, f FROM (
+       |    SELECT w, count(*)::BIGINT AS f FROM (
+       |      SELECT unnest($toksSql) AS w FROM documents
+       |    ) WHERE NOT contains(w, '{') AND NOT contains(w, '}')
+       |    GROUP BY 1
+       |  )
+       |), $rounds
+       |SELECT * FROM ($union) ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "txt_bpe_train" -> bpeTrainSql,
     "txt_bpe_step" ->
       s"""WITH vocab AS (
          |  SELECT w, count(*) AS f

@@ -1533,6 +1533,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_bpe_train: hand-computed merge sequence, greedy application, early exhaustion") {
+    import spark.implicits._
+    // vocab: hello f=4, hell f=1, lll f=2, a f=1. Hand-derived rounds:
+    //  1: (l,l)=4+1+2·2=9  → hello={h}{e}{ll}{o}, hell={h}{e}{ll}, lll={ll}{l}
+    //  2: he=5, e·ll=5 tie → lexicographic lhs: (e,ll,5)
+    //  3: (h,ell,5)   4: (hell,o,4)   5: (ll,l,2) — lll's LEFT-greedy split
+    //  6: every word is one symbol → the loop stops early at 5 merges
+    val docs = Seq((1L, "hello hello hello hell lll"), (2L, "hello a lll"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeTrainOf(docs)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "l", "l", 9L), (2L, "e", "ll", 5L),
+      (3L, "h", "ell", 5L), (4L, "hell", "o", 4L), (5L, "ll", "l", 2L)))
+    // the training loop's first pick IS the step query's top candidate
+    val step1 = TextOps.bpeStepOf(docs).as[(String, String, Long)].head()
+    assert((got.head._2, got.head._3, got.head._4) === step1)
+  }
+
   test("txt_bpe_step: equals a JVM brute-force pair counter on random corpora") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
