@@ -19,6 +19,12 @@ final case class DecodedAsset(doc_id: Long, media_type: String, n_bytes: Int,
     magic_hex: String, n_channels: Int, ch0_mean: Double, ch1_mean: Double,
     ch2_mean: Double, checksum: String)
 
+/** 64-bit DCT perceptual-hash signature, packed as 4×16-bit bands — the
+  * mm_dct_phash map output (fixed schema keeps the downstream join plan
+  * fully typed).
+  */
+final case class DctSig(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
 /** Multimodal-column battery: image/audio/video handled as opaque `binary`
   * columns with typed metadata, per the LLM-pipeline mandate.
   *
@@ -232,10 +238,10 @@ object Multimodal extends QueryModule {
     * position-normalized byte samples (nearest-neighbor over byte offsets —
     * robust to length drift the way image aHash is robust to resolution),
     * and bit i = sample i > sample mean, compared integer-exactly as
-    * 64·sample > Σ samples. A REAL pHash swaps the sampler for a DCT over
-    * decoded pixels (the [[typedDecode]] stub slot); every stage after the
-    * sampler — banding, candidate join, hamming verify — is the production
-    * plumbing unchanged.
+    * 64·sample > Σ samples. The REAL pHash — a 2-D DCT over decoded netpbm
+    * pixels — is [[dctPhash]], which reuses every stage after the sampler
+    * unchanged; this 1-D aHash stays as the cheaper signature for blobs
+    * with no decodable image structure.
     *
     * Scale shape: signatures band into 4×16-bit keys, candidates come ONLY
     * from an equi-join on (band_idx, band_val) — pigeonhole-complete for
@@ -294,6 +300,139 @@ object Multimodal extends QueryModule {
     Dedup.materializeThenRelease(out, bands)
   }
 
+  // ---------------------------------------------------------- mm_dct_phash
+
+  private[graft] val DctN = 16   // synthesized gray image side (N×N)
+  private val DctBlock = 8       // low-frequency block kept (8×8 = 64 bits)
+  private val DctScale = 1 << 14 // fixed-point cosine scale
+  private val DctHamT = 10       // accept pairs with hamming <= T
+
+  /** Fixed-point DCT-II cosine table C(u)(x) = round(cos(π(2x+1)u / 2N)·2¹⁴)
+    * for u < [[DctBlock]], x < [[DctN]] — the ONE table both engines share:
+    * the oracle embeds these exact integers as literals, so the whole
+    * transform is order-independent long arithmetic on both sides (a
+    * floating DCT would hang cross-engine equality on summation order).
+    * Magnitude: |pix·Cx·Cy| ≤ 255·2²⁸ and ≤ 2¹⁰ terms ⇒ every partial fits
+    * a long with ≥ 13 bits to spare.
+    */
+  private[graft] val DctCos: Array[Array[Long]] =
+    Array.tabulate(DctBlock, DctN) { (u, x) =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * u / (2.0 * DctN)) * DctScale)
+    }
+
+  /** Separable fixed-point 2-D DCT-II over an N×N gray image → the low
+    * [[DctBlock]]² coefficient block → 64 bits packed as 4×16-bit bands.
+    * Bit (u·8+v) = [63·F(u,v) > Σ F over the 63 non-DC cells] — the
+    * standard pHash mean rule in exact integer form (the DC cell compares
+    * too and lands 1 on any non-degenerate image; a constant shared bit,
+    * documented rather than special-cased so the oracle is one CASE).
+    */
+  private[graft] def dctHash64(pix: Array[Int]): Array[Long] = {
+    // rows first: G(u,y) = Σx pix(y·N+x)·C(u)(x)
+    val g = Array.ofDim[Long](DctBlock, DctN)
+    var u = 0
+    while (u < DctBlock) {
+      var y = 0
+      while (y < DctN) {
+        var sAcc = 0L
+        var x = 0
+        while (x < DctN) { sAcc += pix(y * DctN + x) * DctCos(u)(x); x += 1 }
+        g(u)(y) = sAcc
+        y += 1
+      }
+      u += 1
+    }
+    // then columns: F(u,v) = Σy G(u,y)·C(v)(y)
+    val f = Array.ofDim[Long](DctBlock, DctBlock)
+    var m = 0L
+    u = 0
+    while (u < DctBlock) {
+      var v = 0
+      while (v < DctBlock) {
+        var sAcc = 0L
+        var y = 0
+        while (y < DctN) { sAcc += g(u)(y) * DctCos(v)(y); y += 1 }
+        f(u)(v) = sAcc
+        if (u != 0 || v != 0) m += sAcc
+        v += 1
+      }
+      u += 1
+    }
+    val bands = new Array[Long](4)
+    u = 0
+    while (u < DctBlock) {
+      var v = 0
+      while (v < DctBlock) {
+        val i = u * DctBlock + v
+        if (63L * f(u)(v) > m) bands(i / 16) |= 1L << (15 - i % 16)
+        v += 1
+      }
+      u += 1
+    }
+    bands
+  }
+
+  /** The REAL pHash [[phashNearDup]]'s scaladoc promises: a 2-D DCT over
+    * DECODED netpbm pixels in place of the 1-D byte sampler, every stage
+    * after the transform — banding, candidate equi-join, exact hamming
+    * verify — the production plumbing unchanged. Each payload is framed as
+    * a strict 16×16 P5 blob (body = payload bytes repeated mod-length) and
+    * ROUND-TRIPPED through the same [[netpbmHeader]] parser mm_typed_decode
+    * uses — the encode→decode path is exercised per row, not faked — then
+    * hashed via [[dctHash64]]. On a corpus whose blobs already ARE P5/P6,
+    * the synthesis step disappears and [[decodeNetpbmPixels]] feeds the
+    * identical plan.
+    *
+    * Scale shape: the signature is a typed mapPartitions (per-partition
+    * codec init amortized, same as [[typedDecode]]) emitting 4 long bands
+    * per asset — bytes never shuffle; candidates come ONLY from the
+    * (band_idx, band_val) equi-join (pigeonhole-complete to hamming ≤ 3,
+    * s-curve recall to [[DctHamT]] — the documented LSH trade), and the
+    * hamming verify is codegen'd xor+bit_count over the bounded pair list.
+    */
+  def dctPhash(s: SparkSession, dir: String): DataFrame =
+    dctPhashOf(assets(s, dir))
+
+  private[graft] def dctPhashOf(assetFrame: DataFrame): DataFrame = {
+    import assetFrame.sparkSession.implicits._
+    val sigs = assetFrame
+      .filter(length(col("payload")) > 0)
+      .as[MediaAsset]
+      .mapPartitions { it =>
+        val body = new Array[Byte](DctN * DctN) // per-partition scratch
+        it.map { a =>
+          var k = 0
+          while (k < body.length) { body(k) = a.payload(k % a.payload.length); k += 1 }
+          val pix = decodeNetpbmPixels(encodeP5(DctN, DctN, body)).getOrElse(
+            throw new IllegalStateException(s"P5 round-trip failed: doc ${a.doc_id}"))
+          val b = dctHash64(pix)
+          DctSig(a.doc_id, b(0), b(1), b(2), b(3))
+        }
+      }
+    val wide = sigs.toDF()
+      .select(col("doc_id"),
+        array(col("b0"), col("b1"), col("b2"), col("b3")).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val long = wide.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val cand = long.as("x").join(long.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val out = cand
+      .join(wide.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
+      .join(wide.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
+      .withColumn("hamming", expr(
+        "bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1]) + " +
+          "bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3])"))
+      .filter(col("hamming") <= DctHamT)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+    Dedup.materializeThenRelease(out, wide)
+  }
+
   /** Synthetic blob container layout the decoder parses (defined here, not
     * in any external library — the container ships no image/audio codecs):
     *   - bytes [0, 4): magic (emitted as lowercase hex; shorter payloads
@@ -327,7 +466,20 @@ object Multimodal extends QueryModule {
     * exactly), so a synthetic blob that merely starts with 'P''5'/'P''6'
     * can never be misparsed — it falls back to the container layout.
     */
-  private[graft] def decodeNetpbm(p: Array[Byte]): Option[(String, Int, Int, Array[Double])] = {
+  private[graft] def decodeNetpbm(p: Array[Byte]): Option[(String, Int, Int, Array[Double])] =
+    netpbmHeader(p).map { case (nch, w, h, off) =>
+      val sums = new Array[Long](3)
+      var j = off
+      while (j < p.length) { sums((j - off) % nch) += p(j) & 0xff; j += 1 }
+      val n = w.toLong * h
+      (new String(p, 0, 2, "US-ASCII"), w, h, sums.map(_.toDouble / n))
+    }
+
+  /** The strict header parse both decode entry points share: Some((channels,
+    * width, height, body offset)) iff the payload is a complete, valid
+    * P5/P6 image under the rules in [[decodeNetpbm]]'s scaladoc.
+    */
+  private def netpbmHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (p.length < 2 || p(0) != 'P' || (p(1) != '5' && p(1) != '6')) return None
     val nch = if (p(1) == '6') 3 else 1
     var i = 2
@@ -357,11 +509,39 @@ object Multimodal extends QueryModule {
       return None
     i += 1
     if (p.length - i != nch.toLong * w * h) return None // strict: complete body
-    val sums = new Array[Long](3)
-    var j = i
-    while (j < p.length) { sums((j - i) % nch) += p(j) & 0xff; j += 1 }
-    val n = w.toLong * h
-    Some((new String(p, 0, 2, "US-ASCII"), w, h, sums.map(_.toDouble / n)))
+    Some((nch, w, h, i))
+  }
+
+  /** Decoded GRAY pixels, row-major (y·w + x): P5 samples verbatim, P6
+    * collapsed to integer luma (r + g + b) div 3 — exact arithmetic so the
+    * downstream DCT stays engine-reproducible. None unless strictly valid.
+    */
+  private[graft] def decodeNetpbmPixels(p: Array[Byte]): Option[Array[Int]] =
+    netpbmHeader(p).map { case (nch, w, h, off) =>
+      val pix = new Array[Int](w * h)
+      var k = 0
+      while (k < pix.length) {
+        if (nch == 1) pix(k) = p(off + k) & 0xff
+        else {
+          val b = off + 3 * k
+          pix(k) = ((p(b) & 0xff) + (p(b + 1) & 0xff) + (p(b + 2) & 0xff)) / 3
+        }
+        k += 1
+      }
+      pix
+    }
+
+  /** Minimal strict-form P5 encoder — the inverse of [[netpbmHeader]] for
+    * gray images, used to frame synthesized pixel bodies as real blobs the
+    * decoder round-trips.
+    */
+  private[graft] def encodeP5(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    require(body.length == w * h, "P5 body must be exactly w*h samples")
+    val header = s"P5 $w $h 255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + body.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(body, 0, out, header.length, body.length)
+    out
   }
 
   /** A real byte-level parse — netpbm branch (P5/P6) first, container
@@ -436,14 +616,70 @@ object Multimodal extends QueryModule {
     "mm_resize" -> (resize(_, _)),
     "mm_typed_decode" -> (typedDecode(_, _)),
     "mm_shard_manifest" -> (shardManifest(_, _)),
-    "mm_phash_neardup" -> (phashNearDup(_, _)))
+    "mm_phash_neardup" -> (phashNearDup(_, _)),
+    "mm_dct_phash" -> (dctPhash(_, _)))
 
   // ------------------------------------------------------------- oracle SQL
 
   private val mtSql =
     "(['image', 'audio', 'video', 'text'])[(substr(source, 4)::INT % 4) + 1]"
 
+  /** The [[DctCos]] table as literal (u, x, c) rows — the shared-constant
+    * bridge that keeps the oracle's DCT bit-identical to the JVM's.
+    */
+  private def dctCosRows: String =
+    (for (u <- 0 until DctBlock; x <- 0 until DctN)
+      yield s"($u, $x, ${DctCos(u)(x)})").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "mm_dct_phash" ->
+      s"""WITH px AS (
+         |  SELECT doc_id, (k % $DctN)::INT AS x, (k // $DctN)::INT AS y,
+         |    ascii(substr(text, ((k % length(text)) + 1)::INT, 1))::BIGINT AS v
+         |  FROM (SELECT doc_id, text, unnest(range(${DctN * DctN})) AS k
+         |        FROM documents WHERE length(text) > 0)
+         |), cx(u, x, c) AS (
+         |  SELECT * FROM (VALUES $dctCosRows)
+         |), g AS (
+         |  SELECT doc_id, u, y, sum(v * c)::BIGINT AS gv
+         |  FROM px JOIN cx ON cx.x = px.x
+         |  GROUP BY doc_id, u, y
+         |), f AS (
+         |  SELECT g.doc_id, g.u AS u, cy.u AS v, sum(gv * cy.c)::BIGINT AS fv
+         |  FROM g JOIN cx cy ON cy.x = g.y
+         |  GROUP BY g.doc_id, g.u, cy.u
+         |), m AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE fv END)::BIGINT AS msum
+         |  FROM f GROUP BY doc_id
+         |), bits AS (
+         |  SELECT f.doc_id, (u * $DctBlock + v)::INT AS i,
+         |    CASE WHEN 63 * fv > msum THEN 1 ELSE 0 END AS bit
+         |  FROM f JOIN m ON m.doc_id = f.doc_id
+         |), bands AS (
+         |  SELECT doc_id, (i // 16)::INT AS band_idx,
+         |    sum(bit * (1::BIGINT << (15 - (i % 16))::INT))::BIGINT AS band_val
+         |  FROM bits GROUP BY doc_id, i // 16
+         |), wide AS (
+         |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bands
+         |  FROM bands GROUP BY doc_id
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |      AND x.doc_id < y.doc_id
+         |), ham AS (
+         |  SELECT doc_a, doc_b,
+         |    (bit_count(xor(wa.bands[1], wb.bands[1]))
+         |     + bit_count(xor(wa.bands[2], wb.bands[2]))
+         |     + bit_count(xor(wa.bands[3], wb.bands[3]))
+         |     + bit_count(xor(wa.bands[4], wb.bands[4])))::INT AS hamming
+         |  FROM cand
+         |  JOIN wide wa ON wa.doc_id = doc_a
+         |  JOIN wide wb ON wb.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= $DctHamT ORDER BY doc_a, doc_b""".stripMargin,
     "mm_shard_manifest" ->
       s"""WITH a AS (
          |  SELECT doc_id, $mtSql AS media_type,

@@ -843,6 +843,60 @@ class OpsSpec extends AnyFunSuite {
     assert(out.head._3 <= 4, s"patch moved too many bits: ${out.head._3}")
   }
 
+  test("mm_dct_phash: hand-checked low-frequency block, pixel decode, near-dup pairing") {
+    import spark.implicits._
+    val N = Multimodal.DctN
+    val C = Multimodal.DctCos
+    // -- decoded-pixel paths: P5 verbatim, P6 exact-integer luma
+    val gray = Array(10, 20, 30, 40, 50, 60).map(_.toByte)
+    val pgm = ("P5\n3 2\n255\n".getBytes("US-ASCII")) ++ gray
+    assert(Multimodal.decodeNetpbmPixels(pgm).get.toSeq === Seq(10, 20, 30, 40, 50, 60))
+    val rgb = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120).map(_.toByte)
+    val ppm = ("P6\n2 2\n255\n".getBytes("US-ASCII")) ++ rgb
+    assert(Multimodal.decodeNetpbmPixels(ppm).get.toSeq === Seq(20, 50, 80, 110))
+    // encode → strict parse round-trip agrees with the means decoder
+    val body = Array.tabulate(N * N)(k => (k % 251).toByte)
+    val blob = Multimodal.encodeP5(N, N, body)
+    val pix = Multimodal.decodeNetpbmPixels(blob).get
+    assert(pix.toSeq === body.map(_ & 0xff).toSeq)
+    assert(Multimodal.decodeNetpbm(blob).get._4(0) === pix.sum.toDouble / (N * N))
+    // -- hand-checked low-frequency block: a vertical step edge (0 | 200)
+    // separates the 2-D transform into a PRODUCT — F(u,v) = 200·hu·sv with
+    // hu = Σ_{x≥8} C(u)(x) and sv = Σ_y C(v)(y) — an independent derivation
+    // of every coefficient the nested-loop dctHash64 must reproduce.
+    // Hand facts: s0 = 16·16384 = 262144 exactly; sv = 0 EXACTLY for odd v
+    // (the rounded table is antisymmetric, no .5 ties at these angles), so
+    // the only big coefficients sit in column v = 0 with sign(hu).
+    val step = Array.tabulate(N * N)(k => if (k % N < N / 2) 0 else 200)
+    val hu = Array.tabulate(8)(u => (N / 2 until N).map(C(u)(_)).sum)
+    val sv = Array.tabulate(8)(v => (0 until N).map(C(v)(_)).sum)
+    assert(sv(0) === 16L * 16384L)
+    assert((1 until 8 by 2).forall(v => sv(v) === 0L))
+    val f = Array.tabulate(8, 8)((u, v) => 200L * hu(u) * sv(v))
+    val m = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) yield f(u)(v)).sum
+    val expected = new Array[Long](4)
+    for (u <- 0 until 8; v <- 0 until 8) {
+      val i = u * 8 + v
+      if (63L * f(u)(v) > m) expected(i / 16) |= 1L << (15 - i % 16)
+    }
+    assert(Multimodal.dctHash64(step).toSeq === expected.toSeq)
+    // -- the production tail: exact dup at hamming 0, one-char patch at low
+    // hamming, unrelated text unpaired
+    val aTxt = "the quick brown fox jumps over the lazy dog " * 3
+    val bTxt = aTxt.updated(10, 'X')
+    val cTxt = ("zq9" * 60).take(aTxt.length)
+    val docs = Seq((1L, aTxt), (2L, aTxt), (3L, bTxt), (4L, cTxt))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), lit("image").as("media_type"),
+        col("text").cast("binary").as("payload"))
+    val out = Multimodal.dctPhashOf(docs)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.contains((1L, 2L, 0)), s"exact dup must land hamming 0: $out")
+    assert(out.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 10),
+      s"one-char patch should pair at low hamming: $out")
+    assert(!out.exists(p => p._2 == 4L), s"unrelated text must not pair: $out")
+  }
+
   test("ev_streaks: islands split on gaps, longest ties break to the earliest start") {
     import spark.implicits._
     // user 1: days 1,2,3 then 5,6 -> streaks 3 and 2, longest 3 starting d1
