@@ -330,34 +330,35 @@ object Relational extends QueryModule {
     * use. One wide aggregate over ONE scan produces every statistic; the
     * result then unpivots (`stack`) to a row per column.
     *
-    * Scale shape: count/min/max/HLL are all map-side partial aggregates —
-    * fixed state per column per task, one shuffle of one wide row per
-    * partition. The EXACT multi-column distinct exists only to make the
-    * sketch gate hash-checkable against DuckDB; it is the one non-scalable
-    * piece (Catalyst plans k distinct columns via an Expand ×k of the
-    * scan) and at 100 TB the profiler ships the HLL estimate alone —
-    * `within_tol` is the driver-visible proof those estimates sit within
-    * 2.5× the requested 2 % rsd of truth. min/max compare in value space
-    * and cast AFTER aggregating (lexicographic string min would order
-    * '10' < '9'); l_shipdate truncates to DATE so both engines print the
-    * identical literal.
+    * Scale shape — TWO passes, both fully scalable (the r14 shape carried
+    * a gate-only `countDistinct`×6, which Catalyst plans as an Expand ×k
+    * of the scan into the multi-distinct aggregate — the suite's single
+    * most expensive non-graph component; this one keeps the exact counts
+    * but drops that machinery):
     *
-    * The extremes aggregate runs as a SEPARATE pass, not inside the
-    * cardinality aggregate: min/max over a STRING column carries a
-    * var-length buffer Spark's HashAggregate can't hold, and fused with
-    * the multi-distinct Expand that demotes the whole plan to a
-    * SortAggregate that SORTS the k×-expanded input (measured 11 s/rep vs
-    * sub-second split at sf0.1). Alone, the grouping-key-less extremes
-    * pass needs no sort at all; the two 1-row frames meet in a broadcast
-    * cross join.
+    *   - CARDINALITY pass: posexplode the k profiled values per row into
+    *     (column_idx, value-as-string) pairs, then TWO stacked hash
+    *     aggregates — (ci, v) with map-side partials (the shuffle carries
+    *     at most Σ per-column distincts per partition, not the ×k row
+    *     explosion), then per-ci count / Σ / HLL. The stringify is
+    *     injective on every profiled type, so the exact distinct count is
+    *     the column's own, and HLL is duplicate-insensitive, so sketching
+    *     the deduped (ci, v) rows IS the sketch of the raw column — one
+    *     pass yields n_nonnull, exact n_distinct, and the estimate.
+    *   - EXTREMES pass: row count + typed min/max ×k in one grouping-key-
+    *     less aggregate (string extremes make it a SortAggregate, but with
+    *     no grouping key there is nothing to sort — it must merely stay
+    *     un-fused with any Expand, the measured-11-s trap). min/max
+    *     aggregate in VALUE space and cast after (lexicographic string min
+    *     would order '10' < '9'); l_shipdate truncates to DATE so both
+    *     engines print the identical literal.
+    *
+    * The two meet in a 6-row broadcast join. At 100 TB the profiler ships
+    * the HLL estimate alone; `within_tol` is the driver-visible proof the
+    * estimates sit within 2.5× the requested 2 % rsd of truth.
     */
   def profile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val cardAggs = ProfileCols.flatMap { c => Seq(
-      count(col(c)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      approx_count_distinct(col(c), rsd = 0.02).as(s"ad_$c"))
-    }
     def asStr(c: String, agg: Column => Column): Column =
       if (c == "l_shipdate") agg(col(c)).cast("date").cast("string")
       else agg(col(c)).cast("string")
@@ -365,15 +366,22 @@ object Relational extends QueryModule {
       asStr(c, min).as(s"mn_$c"),
       asStr(c, max).as(s"mx_$c"))
     }
-    val wide = li.agg(count(lit(1)).as("n_rows"), cardAggs: _*)
-      .crossJoin(broadcast(
-        li.agg(extremeAggs.head, extremeAggs.tail: _*)))
-    val stackArgs = ProfileCols.map(c =>
-      s"'$c', nn_$c, nd_$c, ad_$c, mn_$c, mx_$c").mkString(", ")
-    wide
+    val stackArgs = ProfileCols.map(c => s"'$c', mn_$c, mx_$c").mkString(", ")
+    val extremes = li.agg(count(lit(1)).as("n_rows"), extremeAggs: _*)
       .select(col("n_rows"), expr(
-        s"stack(${ProfileCols.size}, $stackArgs) AS " +
-          "(col_name, n_nonnull, n_distinct, n_approx, min_val, max_val)"))
+        s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, min_val, max_val)"))
+    val names = array(ProfileCols.map(lit): _*)
+    val cards = li
+      .select(posexplode(array(ProfileCols.map(c => col(c).cast("string")): _*))
+        .as(Seq("ci", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy("ci", "v").agg(count(lit(1)).as("k"))
+      .groupBy("ci").agg(count(lit(1)).as("n_distinct"),
+        sum("k").as("n_nonnull"),
+        approx_count_distinct(col("v"), rsd = 0.02).as("n_approx"))
+      .select(element_at(names, col("ci") + 1).as("col_name"),
+        col("n_nonnull"), col("n_distinct"), col("n_approx"))
+    cards.join(broadcast(extremes), "col_name")
       .select(col("col_name"), col("n_rows"),
         (col("n_rows") - col("n_nonnull")).as("n_null"),
         col("n_distinct"), col("min_val"), col("max_val"),

@@ -42,7 +42,6 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_approx_topk", // 1-row n_total scalar broadcast onto the ≤ k row output
     "q_zorder", // 1-row key-extremes scalar broadcast (range normalization)
     "sim_recall_ivfpq", // composes brute + IVF-PQ, both bounded as above
-    "q_profile", // 1-row column-extremes scalar broadcast onto the 1-row cardinality frame
     "dd_lsh_recall") // 1-row n_true × 1-row n_found audit scalars
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
