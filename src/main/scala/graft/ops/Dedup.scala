@@ -112,9 +112,15 @@ object Dedup extends QueryModule {
     * hash equally), so at 100 TB this is a single scan; the terminal
     * orderBy is presentation-only for the harness compare.
     */
-  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+  def leakageSplit(s: SparkSession, dir: String): DataFrame =
+    leakageSplitOf(Tables.documents(s, dir))
+
+  /** The split core over an explicit (doc_id, text) frame — factored for
+    * the OpsSpec property test over random corpora with injected dups.
+    */
+  private[graft] def leakageSplitOf(docs: DataFrame): DataFrame = {
     val bucket = conv(substring(col("fp"), 1, 8), 16, 10).cast("long") % 100
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         when(size(col("toks")) <= 0, lit(null))

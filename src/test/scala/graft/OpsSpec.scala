@@ -1485,6 +1485,37 @@ class OpsSpec extends AnyFunSuite {
     assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
   }
 
+  test("dd_leakage_split: property — injected verbatim dups stay atomic, fractions hold") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa")
+    val text = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = for {
+      base <- Gen.listOfN(100, text)            // natural repeats possible
+      dupIdx <- Gen.listOfN(40, Gen.choose(0, 99)) // injected verbatim copies
+      nEmpty <- Gen.choose(0, 3)                // token-less docs (NULL fp)
+    } yield (base ++ dupIdx.map(base) ++ List.fill(nEmpty)("   "))
+      .zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+    val prop = Prop.forAll(corpus) { rows =>
+      val out = graft.ops.Dedup.leakageSplitOf(rows.toDF("doc_id", "text"))
+        .as[(Long, Option[String], String)].collect().toSeq
+      val byFp = out.filter(_._2.isDefined).groupBy(_._2.get)
+      // leak-free: every verbatim-dup group is atomic under the split
+      val atomic = byFp.values.forall(_.map(_._3).distinct.size == 1)
+      val emptiesTest = out.filter(_._2.isEmpty).forall(_._3 == "test")
+      // 80/10/10 by GROUP under hash uniformity — 3σ-loose for ~100 groups
+      val splits = byFp.values.map(_.head._3).toSeq
+      val n = splits.size.toDouble
+      val tr = splits.count(_ == "train") / n
+      atomic && emptiesTest && tr > 0.6 && tr < 0.95 &&
+        splits.count(_ == "val") / n < 0.3 && splits.count(_ == "test") / n < 0.3
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("txt_bpe_step: vocab-weighted character-pair counts with tie-break") {
     import spark.implicits._
     // vocab: ab->3, cd->1, abc->1, x->1 (single char, no pairs)
