@@ -169,29 +169,43 @@ object Bench {
       if (sentFlat.isEmpty || sentFlat.min <= 0) 0.0 else sentFlat.max / sentFlat.min
     // CALIBRATED headline: divide each sample by its pass-window's sentinel
     // ratio (window level / box floor), then take the per-query min across
-    // passes. The floor is the min sentinel across the whole run EXCLUDING
-    // the first sample — that one carries JVM warmup (~3.4 s on a box whose
-    // floor is ~1 s) and would fake a 3× contention correction on every
-    // sample of a quiet run. A window's level is the mean of its two
-    // bounding sentinel probes; the ratio clamps at 1 so a below-floor
-    // window never CREDITS a query with speed it didn't show. Raw `value`
-    // stays reported unchanged — `value_calibrated` is the same suite with
-    // the measured machine contention divided out, the number to trend
-    // round-over-round on a shared box.
+    // passes. The floor derives from sentinel samples EXCLUDING the first —
+    // that one carries JVM warmup (~3.4 s on a box whose floor is ~1 s) and
+    // would fake a 3× contention correction on every sample of a quiet
+    // run. A window's level is the mean of its two bounding sentinel
+    // probes; the ratio clamps at 1 so a below-floor window never CREDITS
+    // a query with speed it didn't show. Raw `value` stays reported
+    // unchanged — `value_calibrated` is the suite at the box's quiet
+    // sentinel level: on a quiet window it EQUALS raw (ratios clamp to 1),
+    // on a contended one it reads what the same code would have clocked
+    // quiet — the number to trend round-over-round on a shared box.
     // The floor must be a property of the BOX, not of this run: a run that
     // is uniformly contended end-to-end has a uniformly elevated sentinel,
     // looks quiet relative to itself, and a within-run floor corrects
     // nothing (measured: 32 background spinners lift the within-run floor
     // 1.04 → 2.07 and the "calibrated" total still swings 2.2×). So the
     // floor persists across runs in a small sidecar file keyed by (sfDir,
-    // cpus): each run contributes its own min, the floor is the monotone
-    // min of history and present, and a contended run reads the quiet
-    // floor some earlier run established. First-ever run degrades to
+    // cpus): each run contributes a ROBUST statistic — the MEDIAN of its
+    // sentinel samples, not its min (the r14 lesson: one outlier-fast
+    // sample, 0.68 s on a box whose quiet sentinel reads 0.95–1.2 s,
+    // became the permanent floor and pushed `value_calibrated` to ~60% of
+    // genuine quiet wall-time) — and the floor is the monotone min of
+    // history and present MEDIANS. On a quiet run the window levels then
+    // sit AT the floor (ratio clamps to 1), so calibrated ≈ raw there:
+    // the calibrated unit is anchored to quiet wall-clock by
+    // construction, and only contended windows get divided down. The
+    // sidecar key is version-prefixed so pre-v2 min-contaminated entries
+    // are orphaned rather than inherited. First-ever run degrades to
     // within-run self-calibration.
     val floorCands = sentFlat.drop(1).filter(_ > 0)
-    val runMin = if (floorCands.isEmpty) 1.0 else floorCands.min
+    val runStat =
+      if (floorCands.isEmpty) 1.0
+      else {
+        val s = floorCands.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
     val floorPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_FLOOR_FILE", ".sentinel_floor"))
-    val floorKey = s"$sfDir|$cpus"
+    val floorKey = s"v2|$sfDir|$cpus"
     val hist: Map[String, Double] =
       if (Files.exists(floorPath))
         Files.readAllLines(floorPath).toArray(Array.empty[String]).toSeq
@@ -200,7 +214,7 @@ object Bench {
             case _ => None
           }}.toMap
       else Map.empty
-    val floor = math.min(runMin, hist.getOrElse(floorKey, Double.MaxValue))
+    val floor = math.min(runStat, hist.getOrElse(floorKey, Double.MaxValue))
     try Files.writeString(floorPath, (hist + (floorKey -> floor))
       .map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
     catch { case _: java.io.IOException => () } // read-only CWD: still calibrate
