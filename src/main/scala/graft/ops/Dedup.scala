@@ -269,8 +269,10 @@ object Dedup extends QueryModule {
     val sh = shingled(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sh)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "doc_b")
       // |A∪B| = |A| + |B| − |A∩B| (arrays are distinct) — one array op
       // per pair instead of two.
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -324,9 +326,9 @@ object Dedup extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def verify(cand: DataFrame): DataFrame = cand
       .join(sh0.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("n").as("na")), "doc_a")
+        col("n").as("na")).hint("shuffle_hash"), "doc_a")
       .join(sh0.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("n").as("nb")), "doc_b")
+        col("n").as("nb")).hint("shuffle_hash"), "doc_b")
       .filter(least(col("na"), col("nb")) >= lit(JaccardT) * greatest(col("na"), col("nb")))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", col("inter").cast("double")
@@ -383,8 +385,10 @@ object Dedup extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = documents.select(col("doc_id"), col("text"))
     val out = lshCandidates(sh)
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("lev", levenshtein(col("ta"), col("tb")))
       .withColumn("sim", lit(1.0) - col("lev").cast("double")
         / greatest(length(col("ta")), length(col("tb"))))
@@ -650,8 +654,10 @@ object Dedup extends QueryModule {
       .select(col("t.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
       .dropDuplicates("doc_id", "bench_id")
     val out = cand
-      .join(sh.select(col("doc_id"), col("sh").as("sh_t")), "doc_id")
-      .join(sh.select(col("doc_id").as("bench_id"), col("sh").as("sh_b")), "bench_id")
+      .join(sh.select(col("doc_id"), col("sh").as("sh_t"))
+        .hint("shuffle_hash"), "doc_id")
+      .join(sh.select(col("doc_id").as("bench_id"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "bench_id")
       .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_b"))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sh_t")) + size(col("sh_b")) - col("inter")))
@@ -752,9 +758,20 @@ object Dedup extends QueryModule {
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // shuffle_hash, not the default sort-merge: SMJ on the SECOND join
+    // sorts the (pair × gram-array) wide rows, and that sort's spill is
+    // candidates × array bytes — measured at the r15 factor-100 probe as
+    // an 80 GB disk fill that killed the query (SPILL_OUT_OF_MEMORY).
+    // Hash-building the per-doc payload side (bounded per partition, and
+    // partitions scale with the cluster) streams the wide rows straight
+    // into the verify filter, which collapses them to narrow output before
+    // the terminal sort. Applied at every candidate-verify site in this
+    // family (minhash, edit, recall, decontaminate, embed, semantic).
     val out = cand
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("n").as("na")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("n").as("nb")), "doc_b")
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        col("n").as("na")).hint("shuffle_hash"), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+        col("n").as("nb")).hint("shuffle_hash"), "doc_b")
       // size-ratio prefilter (J ≥ t ⇒ min/max ≥ t) skips the array work
       // for hopeless pairs; union via sizes as in minhashNearDup.
       .filter(least(col("na"), col("nb")) >= lit(GramJaccardT) * greatest(col("na"), col("nb")))
@@ -791,8 +808,10 @@ object Dedup extends QueryModule {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
     val out = cand
-      .join(c.select(col("vec_id").as("vec_a"), col("vq").as("va"), col("n2").as("na")), "vec_a")
-      .join(c.select(col("vec_id").as("vec_b"), col("vq").as("vb"), col("n2").as("nb")), "vec_b")
+      .join(c.select(col("vec_id").as("vec_a"), col("vq").as("va"),
+        col("n2").as("na")).hint("shuffle_hash"), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("vq").as("vb"),
+        col("n2").as("nb")).hint("shuffle_hash"), "vec_b")
       .withColumn("cos",
         Similarity.cosine(Similarity.idot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= CosT)
@@ -836,8 +855,10 @@ object Dedup extends QueryModule {
       .select(col("a.vec_id").as("bench_id"), col("b.vec_id").as("doc_id"))
       .dropDuplicates("bench_id", "doc_id")
     val out = cand
-      .join(c.select(col("vec_id").as("bench_id"), col("vq").as("va"), col("n2").as("na")), "bench_id")
-      .join(c.select(col("vec_id").as("doc_id"), col("vq").as("vb"), col("n2").as("nb")), "doc_id")
+      .join(c.select(col("vec_id").as("bench_id"), col("vq").as("va"),
+        col("n2").as("na")).hint("shuffle_hash"), "bench_id")
+      .join(c.select(col("vec_id").as("doc_id"), col("vq").as("vb"),
+        col("n2").as("nb")).hint("shuffle_hash"), "doc_id")
       .withColumn("cos",
         Similarity.cosine(Similarity.idot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= CosT)

@@ -265,8 +265,9 @@ object Similarity extends QueryModule {
       .select(col("q.vec_id").as("q_id"), col("a.vec_id").as("vec_id"))
       .dropDuplicates("q_id", "vec_id")
     val scored = cand
-      .join(c.select(col("vec_id").as("q_id"), col("vq").as("qv"), col("n2").as("qn2")), "q_id")
-      .join(c, "vec_id")
+      .join(c.select(col("vec_id").as("q_id"), col("vq").as("qv"),
+        col("n2").as("qn2")).hint("shuffle_hash"), "q_id")
+      .join(c.hint("shuffle_hash"), "vec_id")
       .select(col("q_id"), col("vec_id"),
         cosine(idot(col("vq"), col("qv")), col("n2"), col("qn2")).as("cos"))
     val out = topKPerGroup(scored, Seq("q_id"), "vec_id", TopK,
@@ -316,9 +317,14 @@ object Similarity extends QueryModule {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
       .dropDuplicates("vec_id", "nbr_id")
+    // shuffle_hash on the payload side: SMJ would sort (pair × vector)
+    // wide rows — the r15 factor-100 probe's disk-fill shape (see
+    // Dedup.ngramJaccard); hash-building the bounded per-partition vector
+    // slice streams the wide rows straight into the cosine projection.
     val scored = cand
-      .join(c, "vec_id")
-      .join(c.select(col("vec_id").as("nbr_id"), col("vq").as("nv"), col("n2").as("nn2")), "nbr_id")
+      .join(c.hint("shuffle_hash"), "vec_id")
+      .join(c.select(col("vec_id").as("nbr_id"), col("vq").as("nv"),
+        col("n2").as("nn2")).hint("shuffle_hash"), "nbr_id")
       .select(col("vec_id"), col("nbr_id"),
         cosine(idot(col("vq"), col("nv")), col("n2"), col("nn2")).as("cos"))
     val out = topKPerGroup(scored, Seq("vec_id"), "nbr_id", GraphK,

@@ -15,13 +15,24 @@ import org.apache.spark.sql.functions._
   * scaling. Instead each copy is the base corpus with its STRUCTURE intact
   * and its cross-copy overlap destroyed:
   *
-  *  - documents: copy c ≥ 1 appends a copy tag to every token (`tokens`
-  *    splits on whitespace, so `foo` → `fooqc1` stays one token). Every
-  *    shingle/trigram/bigram/simhash/window digest within a copy relates
-  *    exactly as in the base corpus; across copies the vocabularies are
-  *    disjoint, so exact/minhash/simhash/n-gram/substring dedup find the
-  *    SAME duplicate density per unit of data at any factor. doc_ids shift
-  *    by c·stride; n_chars is recomputed from the rewritten text.
+  *  - documents: copy c ≥ 1 rewrites the text through a per-copy INJECTIVE
+  *    character map — an affine cipher x → (a_c·x + b_c) mod 26 over the
+  *    letter alphabet (case-consistent) and mod 10 over digits, with
+  *    (a_c, b_c) distinct for every copy below lcm(12, 26) = 156. An
+  *    injective char map preserves EVERYTHING the text operators key on —
+  *    lengths and n_chars (so length-bucket blocking is identical),
+  *    whitespace structure (tokens map injectively), within-copy equality
+  *    of tokens, shingles, and CHARACTER n-grams — while two distinct
+  *    affine maps agree on at most one letter, so cross-copy grams are
+  *    disjoint up to single-repeated-letter windows. The r14 form tagged
+  *    each token with a copy suffix, which makes token vocabularies
+  *    disjoint but leaves word-INTERIOR character 4-grams shared across
+  *    every copy — measured at factor 100: prefix-gram df grew with the
+  *    factor and dd_ngram_jaccard's candidate join output went superlinear
+  *    (216 937 raw candidates at the base, 14.4 M at ×10 — 66× for 10×
+  *    the docs), a densification of the REPLICA, not the engine. doc_ids
+  *    shift by c·stride; n_chars carries over unchanged (translation is
+  *    length-preserving).
   *  - embeddings: copy c rotates each vector cyclically by (c·7 mod Dim)
   *    lanes. Rotation is an orthogonal transform applied uniformly within
   *    the copy: every within-copy dot product / norm / cosine is EXACTLY
@@ -51,15 +62,27 @@ object ScaleUp {
     // stride leaves the base id space intact and keeps ids dense-ish —
     // deterministic winner election (min doc_id) behaves as in the base
     val docStride = docs.agg(max("doc_id")).head.getLong(0) + 1
+    // per-copy affine char maps; (a, b) pairs distinct for all c < 156 and
+    // any two distinct maps agree on at most one letter
+    val As = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25) // coprime to 26
+    def alphaMap(c: Int): (String, String) = {
+      val a = As((c * 7 + 3) % As.size)
+      val b = (c * 11 + 5) % 26
+      val lo = ('a' to 'z').map(x => ('a' + ((x - 'a') * a + b) % 26).toChar)
+      val da = Seq(1, 3, 7, 9)((c * 3 + 1) % 4) // coprime to 10
+      val db = (c * 13 + 2) % 10
+      val dg = ('0' to '9').map(x => ('0' + ((x - '0') * da + db) % 10).toChar)
+      (('a' to 'z').mkString + ('A' to 'Z').mkString + ('0' to '9').mkString,
+        lo.mkString + lo.map(_.toUpper).mkString + dg.mkString)
+    }
     def docCopy(c: Int): DataFrame =
       if (c == 0) docs
       else {
-        val tagged = regexp_replace(col("text"), "(\\S+)", s"$$1qc$c")
+        val (matching, replace) = alphaMap(c)
         docs.select(
           (col("doc_id") + lit(c * docStride)).as("doc_id"),
-          tagged.as("text"),
-          col("lang"), col("source"),
-          length(tagged).cast("long").as("n_chars"))
+          translate(col("text"), matching, replace).as("text"),
+          col("lang"), col("source"), col("n_chars"))
       }
     (0 until factor).map(docCopy).reduce(_ unionAll _)
       .repartition(cpus.toInt)
