@@ -752,12 +752,33 @@ object Dedup extends QueryModule {
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)))
       .filter(col("pos") <= col("n") - ceil(col("n") * lit(GramJaccardT)) + 1)
-      .select("doc_id", "lang", "lb", "gram")
+      .select("doc_id", "lang", "lb", "gram", "pos", "n")
+    // PPJoin POSITIONAL filter (Xiao et al. §3.2), applied while the pair
+    // rows are still NARROW: both docs order grams by the same global
+    // (df, gram) key, so a shared prefix gram at ranks (pa, pb) bounds the
+    // overlap by min(pa,pb)−1 common grams before it, itself, and
+    // min(na−pa, nb−pb) after — and J ≥ t forces overlap ≥
+    // ⌈t/(1+t)·(na+nb)⌉. Pairs whose tightest witness bound misses that
+    // floor are pruned BEFORE any gram array attaches. This is the lever
+    // that keeps the verify's pair×array shuffle proportional to
+    // near-QUALIFYING pairs, not to everything the prefix join emits —
+    // the r15 factor-100 probe measured the unpruned form shuffling
+    // candidates × 4.4 KB gram payloads into a local-disk fill (the same
+    // bytes spread across a cluster's executor disks, but the constant is
+    // pure waste at any scale). Size-ratio pruning folds in for free.
+    val t = GramJaccardT
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (least(col("a.pos"), col("b.pos")) +
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))).as("ub"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min("ub").as("ub"), min("na").as("na"), min("nb").as("nb"))
+      .filter(col("ub") >= ceil(lit(t) / (1 + t) * (col("na") + col("nb"))) &&
+        least(col("na"), col("nb")) >= lit(t) * greatest(col("na"), col("nb")))
+      .select("doc_a", "doc_b")
     // shuffle_hash, not the default sort-merge: SMJ on the SECOND join
     // sorts the (pair × gram-array) wide rows, and that sort's spill is
     // candidates × array bytes — measured at the r15 factor-100 probe as
