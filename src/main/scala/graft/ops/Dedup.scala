@@ -341,11 +341,30 @@ object Dedup extends QueryModule {
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("g").asc)))
       .filter(col("pos") <= col("n") - ceil(col("n") * lit(JaccardT)) + 1)
-      .select("doc_id", "g")
+      .select("doc_id", "g", "pos", "n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Same three lossless candidate prunes as [[ngramJaccard]] (size
+    // ratio / positional / prefix-overlap + suffix), at the 0.8 shingle
+    // bar: J ≥ 4/5 ⟺ 9·inter ≥ 4·(na+nb), all exact BIGINT — a float
+    // ceil could round one unit high at an exact-boundary pair and prune
+    // what the verify's double compare (which admits exactly J = t)
+    // accepts. Truth must stay LOSSLESS. No filter before the aggregate:
+    // cnt must count every witness to stay an exact |Sa∩Sb|.
+    def kOf(n: Column): Column = n - ceil(n * lit(JaccardT)) + 1
     val truthCand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (least(col("a.pos"), col("b.pos")) +
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))).as("ub"),
+        col("a.n").as("pna"), col("b.n").as("pnb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("cnt"),
+        min("ub").as("ub"), min("pna").as("pna"), min("pnb").as("pnb"))
+      .filter(least(col("pna"), col("pnb")) * 5 >= greatest(col("pna"), col("pnb")) * 4 &&
+        col("ub") * 9 >= (col("pna") + col("pnb")) * 4 &&
+        (col("cnt") + greatest(col("pna") - kOf(col("pna")),
+          col("pnb") - kOf(col("pnb")))) * 9 >= (col("pna") + col("pnb")) * 4)
+      .select("doc_a", "doc_b")
     val out = verify(truthCand).agg(count(lit(1)).as("n_true"))
       .crossJoin(verify(lshCandidates(sh0)).agg(count(lit(1)).as("n_found")))
       // empty-truth guard: recall over zero qualifying pairs is vacuously
@@ -355,7 +374,7 @@ object Dedup extends QueryModule {
         when(col("n_true") === 0, lit(1.0))
           .otherwise(round(col("n_found").cast("double") / col("n_true"), 4))
           .as("recall"))
-    materializeThenRelease(out, sh0)
+    materializeThenRelease(out, sh0, prefix)
   }
 
   // ------------------------------------------------------- dd_edit_verify
@@ -384,12 +403,25 @@ object Dedup extends QueryModule {
     val sh = shingledOf(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = documents.select(col("doc_id"), col("text"))
+    // Banded DP: sim ≥ 0.8 needs lev ≤ max/5, so cap the Levenshtein at
+    // thr = ⌊max/5⌋+1 (exact integer; the +1 margin covers the double
+    // compare's admission of the exact boundary). Spark's thresholded
+    // levenshtein walks an O(thr·n) diagonal band instead of the O(n²)
+    // full DP — a 5× CPU cut per surviving pair — and returns −1 past the
+    // cap, which the final double filter would reject anyway (lev > thr ⇒
+    // sim < 0.8 − 1/max). Accepted pairs see the identical exact distance,
+    // so oracle parity is untouched. The |la−lb| > thr prune skips the DP
+    // entirely for length-mismatched candidates: lev ≥ |la−lb| always.
     val out = lshCandidates(sh)
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
         .hint("shuffle_hash"), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
         .hint("shuffle_hash"), "doc_b")
-      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .withColumn("thr",
+        (greatest(length(col("ta")), length(col("tb"))) / 5).cast("int") + 1)
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= col("thr"))
+      .withColumn("lev", expr("levenshtein(ta, tb, thr)"))
+      .filter(col("lev") >= 0)
       .withColumn("sim", lit(1.0) - col("lev").cast("double")
         / greatest(length(col("ta")), length(col("tb"))))
       .filter(col("sim") >= EditSimT)
@@ -747,26 +779,51 @@ object Dedup extends QueryModule {
       explode(col("grams")).as("gram"))
     // df via a window over the exploded rows (one shuffle) instead of
     // groupBy + join-back (two shuffles of the 18-per-doc gram rows).
+    // Persisted: the candidate self-join reads the prefix TWICE (side a /
+    // side b), and un-persisted each side re-runs the explode plus both
+    // window sorts — at the r15 factor-100 probe that doubled the heaviest
+    // shuffles in the query. ~0.4·|grams| narrow rows, MEMORY_AND_DISK.
     val prefix = ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "lb", "gram")))
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)))
       .filter(col("pos") <= col("n") - ceil(col("n") * lit(GramJaccardT)) + 1)
       .select("doc_id", "lang", "lb", "gram", "pos", "n")
-    // PPJoin POSITIONAL filter (Xiao et al. §3.2), applied while the pair
-    // rows are still NARROW: both docs order grams by the same global
-    // (df, gram) key, so a shared prefix gram at ranks (pa, pb) bounds the
-    // overlap by min(pa,pb)−1 common grams before it, itself, and
-    // min(na−pa, nb−pb) after — and J ≥ t forces overlap ≥
-    // ⌈t/(1+t)·(na+nb)⌉. Pairs whose tightest witness bound misses that
-    // floor are pruned BEFORE any gram array attaches. This is the lever
-    // that keeps the verify's pair×array shuffle proportional to
-    // near-QUALIFYING pairs, not to everything the prefix join emits —
-    // the r15 factor-100 probe measured the unpruned form shuffling
-    // candidates × 4.4 KB gram payloads into a local-disk fill (the same
-    // bytes spread across a cluster's executor disks, but the constant is
-    // pure waste at any scale). Size-ratio pruning folds in for free.
-    val t = GramJaccardT
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PPJoin-style candidate pruning (Xiao et al., WWW'08), applied while
+    // the pair rows are still NARROW — before any gram array attaches.
+    // Three lossless bounds, combined at the pair aggregate:
+    //
+    //  1. SIZE ratio: J ≥ t forces min(na,nb) ≥ t·max(na,nb).
+    //  2. POSITIONAL (§3.2): a shared prefix gram at ranks (pa, pb) of the
+    //     common global (df, gram) order bounds overlap by
+    //     min(pa,pb) + min(na−pa, nb−pb); the pair keeps the min over its
+    //     witnesses. (Weak here on its own: df-ranking places a shared
+    //     gram at a SIMILAR rank in both docs, so the bound rarely bites —
+    //     measured at the r15 factor-100 probe.)
+    //  3. PREFIX-OVERLAP + SUFFIX: cnt = |Sa∩Sb| is exact from the
+    //     witness count, and inter ≤ cnt + max(na−ka, nb−kb) — any shared
+    //     gram outside both prefixes lies in a suffix, and the global
+    //     order forbids Sa∩Tb and Ta∩Sb being BOTH non-empty (a gram
+    //     below one boundary and above the other fixes the boundaries'
+    //     order), so the extras all fit in ONE suffix. Near-dups share
+    //     most of their prefixes (the df-correlation that weakens #2
+    //     strengthens #3); random pairs share a handful of grams and die
+    //     here. THIS is the lever that keeps the verify's pair×array
+    //     shuffle proportional to near-qualifying pairs: the unpruned
+    //     form shuffled candidates × 4.4 KB gram payloads into a
+    //     local-disk fill at factor 100 (the same bytes spread across a
+    //     cluster's executor disks, but the constant is pure waste at any
+    //     scale).
+    //
+    // All bounds in exact BIGINT arithmetic (J ≥ 3/5 ⟺ 8·inter ≥
+    // 3·(na+nb)): a float ceil could round one unit high at an
+    // exact-boundary pair and prune what the verify's double compare
+    // (which admits exactly J = t) accepts. ka reuses the prefix filter's
+    // own float-ceil expression so the suffix length matches the kept
+    // prefix EXACTLY. No filter runs before the aggregate — cnt must
+    // count every witness to stay an exact |Sa∩Sb|.
+    def kOf(n: Column): Column = n - ceil(n * lit(GramJaccardT)) + 1
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -775,9 +832,12 @@ object Dedup extends QueryModule {
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))).as("ub"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .groupBy("doc_a", "doc_b")
-      .agg(min("ub").as("ub"), min("na").as("na"), min("nb").as("nb"))
-      .filter(col("ub") >= ceil(lit(t) / (1 + t) * (col("na") + col("nb"))) &&
-        least(col("na"), col("nb")) >= lit(t) * greatest(col("na"), col("nb")))
+      .agg(count(lit(1)).as("cnt"),
+        min("ub").as("ub"), min("na").as("na"), min("nb").as("nb"))
+      .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 3 &&
+        col("ub") * 8 >= (col("na") + col("nb")) * 3 &&
+        (col("cnt") + greatest(col("na") - kOf(col("na")),
+          col("nb") - kOf(col("nb")))) * 8 >= (col("na") + col("nb")) * 3)
       .select("doc_a", "doc_b")
     // shuffle_hash, not the default sort-merge: SMJ on the SECOND join
     // sorts the (pair × gram-array) wide rows, and that sort's spill is
@@ -801,7 +861,7 @@ object Dedup extends QueryModule {
       .filter(col("jac") >= GramJaccardT)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-    materializeThenRelease(out, g)
+    materializeThenRelease(out, g, prefix)
   }
 
   // ------------------------------------------- dd_embed_neardup
