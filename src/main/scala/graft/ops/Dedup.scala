@@ -753,8 +753,17 @@ object Dedup extends QueryModule {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.functions.NgramHashes.register(s)
+    ngramJaccardOf(Tables.documents(s, dir))
+  }
+
+  /** [[ngramJaccard]] over an explicit documents frame (needs `doc_id`,
+    * `lang`, `text`, `n_chars`; `ngram_hashes` must be registered on the
+    * owning session) — factored out so the candidate-prune losslessness
+    * can be property-tested against blocked all-pairs on random corpora.
+    */
+  private[graft] def ngramJaccardOf(documents: DataFrame): DataFrame = {
     val tx = lower(col("text"))
-    val g = Tables.documents(s, dir)
+    val g = documents
       .filter(length(tx) >= 4)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 16).as("lb"),

@@ -1516,6 +1516,53 @@ class OpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("dd_ngram_jaccard: property — pruned candidates find exactly the blocked all-pairs result") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    graft.functions.NgramHashes.register(spark)
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra")
+    val text = Gen.choose(10, 18).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    // base corpus + verbatim copies (J = 1) + one-word mutations (J near
+    // but on either side of the 0.6 bar) across two language blocks —
+    // losslessness means the PPJoin path (prefix + size/positional/
+    // overlap-suffix prunes + verify) returns EXACTLY what exhaustive
+    // blocked all-pairs returns, qualifying or not.
+    val corpus = for {
+      base <- Gen.listOfN(40, text)
+      verbatim <- Gen.listOfN(8, Gen.choose(0, 39))
+      mut <- Gen.listOfN(12, Gen.zip(Gen.choose(0, 39), Gen.choose(0, 9), word))
+    } yield {
+      val mutated = mut.map { case (i, w, nw) =>
+        val ws = base(i).split(" "); ws(w % ws.length) = nw; ws.mkString(" ")
+      }
+      (base ++ verbatim.map(base) ++ mutated).zipWithIndex.map { case (t, i) =>
+        (i.toLong + 1, if (i % 2 == 0) "en" else "de", t, t.length.toLong)
+      }
+    }
+    val prop = Prop.forAll(corpus) { rows =>
+      val docs = rows.toDF("doc_id", "lang", "text", "n_chars")
+      val engine = Dedup.ngramJaccardOf(docs)
+        .as[(Long, Long, Double)].collect().toSet
+      val side = docs.filter(length(lower(col("text"))) >= 4)
+        .select(col("doc_id"), col("lang"), floor(col("n_chars") / 16).as("lb"),
+          array_distinct(expr("ngram_hashes(lower(text), 4)")).as("grams"))
+      val truth = side.as("a").join(side.as("b"),
+          col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("inter", size(array_intersect(col("a.grams"), col("b.grams"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("a.grams")) + size(col("b.grams")) - col("inter")))
+        .filter(col("jac") >= 0.6)
+        .select(col("a.doc_id"), col("b.doc_id"), round(col("jac"), 4))
+        .as[(Long, Long, Double)].collect().toSet
+      engine == truth && truth.nonEmpty // verbatim copies guarantee pairs
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("txt_bpe_step: vocab-weighted character-pair counts with tie-break") {
     import spark.implicits._
     // vocab: ab->3, cd->1, abc->1, x->1 (single char, no pairs)
