@@ -321,8 +321,16 @@ object Dedup extends QueryModule {
     * 1-row audit materializes. Everything is deterministic integer/md5
     * arithmetic, so the oracle reproduces the identical recall.
     */
-  def lshRecall(s: SparkSession, dir: String): DataFrame = {
-    val sh0 = shingled(s, dir).withColumn("n", size(col("sh")))
+  def lshRecall(s: SparkSession, dir: String): DataFrame =
+    lshRecallOf(Tables.documents(s, dir))
+
+  /** [[lshRecall]] over an explicit documents frame (needs `doc_id`,
+    * `text`) — factored out so the truth side's candidate-prune
+    * losslessness can be property-tested against exhaustive all-pairs
+    * shingle Jaccard on random corpora.
+    */
+  private[graft] def lshRecallOf(documents: DataFrame): DataFrame = {
+    val sh0 = shingledOf(documents).withColumn("n", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def verify(cand: DataFrame): DataFrame = cand
       .join(sh0.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),

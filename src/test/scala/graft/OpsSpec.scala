@@ -1563,6 +1563,54 @@ class OpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("dd_lsh_recall: property — the lossless truth side counts exactly the all-pairs Jaccard>=0.8 set") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra")
+    val text = Gen.choose(25, 35).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    // one changed word in an L-token doc alters 3 shingles, so J lands
+    // near (L−5)/(L+1) ≈ 0.81-0.83 — right at the 0.8 truth bar; verbatim
+    // copies pin J = 1 pairs. n_true from the pruned PPJoin truth path
+    // must equal the exhaustive all-pairs count every time.
+    val corpus = for {
+      base <- Gen.listOfN(30, text)
+      verbatim <- Gen.listOfN(6, Gen.choose(0, 29))
+      mut <- Gen.listOfN(10, Gen.zip(Gen.choose(0, 29), Gen.choose(0, 34), word))
+    } yield {
+      val mutated = mut.map { case (i, w, nw) =>
+        val ws = base(i).split(" "); ws(w % ws.length) = nw; ws.mkString(" ")
+      }
+      (base ++ verbatim.map(base) ++ mutated).zipWithIndex.map { case (t, i) =>
+        (i.toLong + 1, t)
+      }
+    }
+    val prop = Prop.forAll(corpus) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val nTrue = Dedup.lshRecallOf(docs)
+        .select("n_true").as[Long].head()
+      val sh = docs.select(col("doc_id"),
+          array_distinct(transform(
+            graft.functions.Exprs.boundedSequence(
+              lit(1), size(TextOps.tokens(col("text"))) - 2),
+            i => concat_ws(" ",
+              element_at(TextOps.tokens(col("text")), i),
+              element_at(TextOps.tokens(col("text")), i + 1),
+              element_at(TextOps.tokens(col("text")), i + 2)))).as("sh"))
+        .filter(size(col("sh")) >= 1)
+      val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .count()
+      nTrue == brute && brute > 0
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("txt_bpe_step: vocab-weighted character-pair counts with tie-break") {
     import spark.implicits._
     // vocab: ab->3, cd->1, abc->1, x->1 (single char, no pairs)
