@@ -1303,7 +1303,15 @@ object TextOps extends QueryModule {
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrainOf(Tables.documents(s, dir))
 
-  private[graft] def bpeTrainOf(docs: DataFrame): DataFrame = {
+  /** The shared training loop: returns the K one-row merge frames, the
+    * FINAL vocabulary `(w, ws, f)` — original word, fully-merged framed
+    * symbol string, corpus frequency — and the checkpoint-release hook.
+    * [[bpeTrainOf]] ships the merge list; [[bpeTokenizeOf]] ships the
+    * final vocab applied back to the corpus. Both release everything they
+    * don't return.
+    */
+  private def bpeLoop(docs: DataFrame)
+      : (Seq[DataFrame], DataFrame, DataFrame => Unit) = {
     def chk(df: DataFrame): DataFrame = df.localCheckpoint(true)
     def release(df: DataFrame): Unit =
       df.queryExecution.analyzed.collect {
@@ -1313,7 +1321,8 @@ object TextOps extends QueryModule {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(!col("w").contains("{") && !col("w").contains("}"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(regexp_replace(col("w"), "(.)", "{$1}").as("ws"), col("f")))
+      .select(col("w"), regexp_replace(col("w"), "(.)", "{$1}").as("ws"),
+        col("f")))
     val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var step = 1
     var exhausted = false
@@ -1336,13 +1345,18 @@ object TextOps extends QueryModule {
         tops += top
         val next = chk(vocab
           .crossJoin(broadcast(top.select(col("lhs").as("ml"), col("rhs").as("mr"))))
-          .select(expr("replace(ws, '{' || ml || '}{' || mr || '}'," +
+          .select(col("w"), expr("replace(ws, '{' || ml || '}{' || mr || '}'," +
             " '{' || ml || mr || '}')").as("ws"), col("f")))
         release(vocab)
         vocab = next
         step += 1
       }
     }
+    (tops.toSeq, vocab, release)
+  }
+
+  private[graft] def bpeTrainOf(docs: DataFrame): DataFrame = {
+    val (tops, vocab, release) = bpeLoop(docs)
     release(vocab)
     if (tops.isEmpty) {
       import docs.sparkSession.implicits._
@@ -1355,6 +1369,58 @@ object TextOps extends QueryModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     tops.foreach(release)
+    out
+  }
+
+  // -------------------------------------------------------- txt_bpe_tokenize
+
+  /** The train → APPLY half of the tokenizer story: encode the corpus
+    * under the [[bpeTrain]] merge list and report the per-language
+    * compression a trainer's budget model consumes — whitespace tokens,
+    * BPE tokens after the K merges, characters, BPE-per-word fertility,
+    * chars-per-BPE-token.
+    *
+    * The corpus is never re-scanned per merge: the final vocabulary
+    * already holds every word's fully-merged symbol string, so encoding is
+    * a JOIN — corpus word counts (one map-side-partial aggregate keyed on
+    * (lang, word), output vocab-sublinear × languages) against the
+    * per-word symbol count, then a per-language rollup. Brace-carrying
+    * words are excluded from training and statistics alike (the
+    * documented contract, mirrored in the oracle).
+    *
+    * Scale shape: the ONLY corpus-scale shuffle is the (lang, word)
+    * aggregate; the join and rollup run on vocab-scale rows
+    * (shuffle-hash, no sort); zero windows. One cached frame (the bounded
+    * output); every loop checkpoint releases before return.
+    */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame =
+    bpeTokenizeOf(Tables.documents(s, dir))
+
+  private[graft] def bpeTokenizeOf(docs: DataFrame): DataFrame = {
+    val (tops, vocab, release) = bpeLoop(docs)
+    tops.foreach(release)
+    val nsyms = vocab.select(col("w"),
+      size(split(expr("substring(ws, 2, length(ws) - 2)"), "\\}\\{"))
+        .cast("long").as("n_syms"))
+    val out = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(!col("w").contains("{") && !col("w").contains("}"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .join(nsyms.hint("shuffle_hash"), "w")
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("n_syms")).as("bpe_tokens"),
+        sum(col("c") * length(col("w"))).as("n_chars"))
+      .select(col("lang"), col("n_tokens"), col("bpe_tokens"),
+        col("n_chars"),
+        round(col("bpe_tokens").cast("double") / col("n_tokens"), 4)
+          .as("bpe_per_token"),
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 4)
+          .as("chars_per_bpe"))
+      .orderBy("lang")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release(vocab)
     out
   }
 
@@ -1413,6 +1479,7 @@ object TextOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_bpe_step" -> (bpeStep(_, _)),
     "txt_bpe_train" -> (bpeTrain(_, _)),
+    "txt_bpe_tokenize" -> (bpeTokenize(_, _)),
     "txt_hash_embed" -> (hashEmbed(_, _)),
     "txt_dsir" -> (dsirWeights(_, _)),
     "txt_weighted_sample" -> (weightedSample(_, _)),
@@ -1493,7 +1560,12 @@ object TextOps extends QueryModule {
     * precedent. DuckDB's parallel `unnest` of the two shifted list slices
     * zips adjacent symbols positionally.
     */
-  private def bpeTrainSql: String = {
+  /** The shared unrolled-CTE training chain (v0 … v[[BpeMerges]]), the
+    * oracle twin of [[bpeLoop]]; `carryW` threads the original word
+    * through the merge rounds for the tokenize oracle's final join.
+    */
+  private def bpeChainSql(carryW: Boolean): String = {
+    val w = if (carryW) "w, " else ""
     val rounds = (1 to BpeMerges).map { r =>
       s"""s$r AS (
          |  SELECT string_split(substr(ws, 2, length(ws) - 2), '}{') AS s, f
@@ -1505,27 +1577,52 @@ object TextOps extends QueryModule {
          |  SELECT lhs, rhs, sum(f)::BIGINT AS pair_count
          |  FROM p$r GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 1
          |), v$r AS (
-         |  SELECT replace(ws, '{' || lhs || '}{' || rhs || '}',
+         |  SELECT ${w}replace(ws, '{' || lhs || '}{' || rhs || '}',
          |                 '{' || lhs || rhs || '}') AS ws, f
          |  FROM v${r - 1}, t$r
          |)""".stripMargin
     }.mkString(", ")
-    val union = (1 to BpeMerges)
-      .map(r => s"SELECT $r::BIGINT AS step, lhs, rhs, pair_count FROM t$r")
-      .mkString(" UNION ALL ")
-    s"""WITH v0 AS (
-       |  SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS ws, f FROM (
+    s"""v0 AS (
+       |  SELECT ${w}regexp_replace(w, '(.)', '{\\1}', 'g') AS ws, f FROM (
        |    SELECT w, count(*)::BIGINT AS f FROM (
        |      SELECT unnest($toksSql) AS w FROM documents
        |    ) WHERE NOT contains(w, '{') AND NOT contains(w, '}')
        |    GROUP BY 1
        |  )
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  private def bpeTrainSql: String = {
+    val union = (1 to BpeMerges)
+      .map(r => s"SELECT $r::BIGINT AS step, lhs, rhs, pair_count FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeChainSql(carryW = false)}
        |SELECT * FROM ($union) ORDER BY step""".stripMargin
   }
 
+  private def bpeTokenizeSql: String =
+    s"""WITH ${bpeChainSql(carryW = true)},
+       |ns AS (
+       |  SELECT w, len(string_split(substr(ws, 2, length(ws) - 2),
+       |                             '}{'))::BIGINT AS n_syms
+       |  FROM v$BpeMerges
+       |), tok AS (
+       |  SELECT lang, w, count(*)::BIGINT AS c FROM (
+       |    SELECT lang, unnest($toksSql) AS w FROM documents
+       |  ) WHERE NOT contains(w, '{') AND NOT contains(w, '}')
+       |  GROUP BY 1, 2
+       |)
+       |SELECT lang, sum(c)::BIGINT AS n_tokens,
+       |  sum(c * n_syms)::BIGINT AS bpe_tokens,
+       |  sum(c * length(w))::BIGINT AS n_chars,
+       |  round(sum(c * n_syms)::DOUBLE / sum(c), 4) AS bpe_per_token,
+       |  round(sum(c * length(w))::DOUBLE / sum(c * n_syms), 4) AS chars_per_bpe
+       |FROM tok JOIN ns USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "txt_bpe_train" -> bpeTrainSql,
+    "txt_bpe_tokenize" -> bpeTokenizeSql,
     "txt_bpe_step" ->
       s"""WITH vocab AS (
          |  SELECT w, count(*) AS f

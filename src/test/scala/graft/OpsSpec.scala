@@ -1731,6 +1731,65 @@ class OpsSpec extends AnyFunSuite {
     assert((got.head._2, got.head._3, got.head._4) === step1)
   }
 
+  test("txt_bpe_tokenize: hand-computed compression stats on the train fixture") {
+    import spark.implicits._
+    // Same corpus as the train fixture (5 merges, then every word is one
+    // symbol): en = hello×3 + hell + lll → 5 words / 5 BPE tokens /
+    // 22 chars; de = hello + a + lll → 3 / 3 / 9.
+    val docs = Seq((1L, "en", "hello hello hello hell lll"),
+      (2L, "de", "hello a lll")).toDF("doc_id", "lang", "text")
+    val got = TextOps.bpeTokenizeOf(docs)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(("de", 3L, 3L, 9L, 1.0, 3.0),
+      ("en", 5L, 5L, 22L, 1.0, 4.4)))
+  }
+
+  test("txt_bpe_tokenize: equals a JVM reference applier of the learned merges on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val docGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(2, 5).flatMap(k => Gen.listOfN(k, docGen))
+      .map(_.zipWithIndex.map { case (t, i) =>
+        (i.toLong + 1, if (i % 2 == 0) "en" else "de", t)
+      })
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.toDF("doc_id", "lang", "text")
+      val merges = TextOps.bpeTrainOf(docs)
+        .as[(Long, String, String, Long)].collect().toSeq
+      // JVM reference: frame each word, apply the merges in step order via
+      // literal left-to-right non-overlapping replace — the same greedy
+      // semantics the engine's codegen'd replace carries.
+      def nSyms(w: String): Long = {
+        var framed = w.map(c => s"{$c}").mkString
+        merges.foreach { case (_, l, r, _) =>
+          framed = framed.replace(s"{$l}{$r}", s"{$l$r}")
+        }
+        framed.count(_ == '{').toLong
+      }
+      val expect = corpus
+        .flatMap { case (_, lang, t) =>
+          t.toLowerCase.split(MapReduce.WhitespaceClass).filter(_.nonEmpty)
+            .map(w => (lang, w))
+        }
+        .groupBy(_._1).view.mapValues { ws =>
+          val n = ws.size.toLong
+          val bpe = ws.map(w => nSyms(w._2)).sum
+          val ch = ws.map(_._2.length.toLong).sum
+          (n, bpe, ch,
+            BigDecimal(bpe.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(ch.toDouble / bpe).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toMap
+      val got = TextOps.bpeTokenizeOf(docs)
+        .as[(String, Long, Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("txt_bpe_step: equals a JVM brute-force pair counter on random corpora") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
