@@ -38,9 +38,17 @@ import org.apache.spark.sql.functions._
   *    the copy: every within-copy dot product / norm / cosine is EXACTLY
   *    the base corpus's, while cross-copy cosines decorrelate (the demo
   *    query set `vec_id < 8` lives in the untouched copy 0).
-  *  - every other table (lineitem for the bench sentinel, region for
-  *    warmup, events etc.) is carried over unchanged — the probe's top-10
-  *    queries read only documents + embeddings.
+  *  - TPC-H facts (r15): customer/supplier/part/orders/lineitem grow
+  *    linearly as key-SHIFTED copies with every foreign key rewritten
+  *    consistently — exactly how dbgen scales SF — while region/nation
+  *    stay fixed (as at every official SF; shifted nationkeys still land
+  *    on them). events likewise: user_id/event_id shift per copy,
+  *    timestamps untouched, so per-user session/funnel shape is the
+  *    base's and the user population grows with the factor. Value
+  *    columns carry over unchanged everywhere. NOTE: the bench sentinel
+  *    reads lineitem, so at a scaled output dir the sentinel is no
+  *    longer a fixed-size box probe — compare RAW seconds there, not the
+  *    calibrated unit.
   *
   * Usage: ScaleUp <srcDir> <outDir> <factor>
   */
@@ -107,11 +115,56 @@ object ScaleUp {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // carry the remaining tables over unchanged
+    // TPC-H fact/dim tables: key-SHIFTED copies, exactly how dbgen scales
+    // SF — customer/supplier/part/orders/lineitem grow linearly with every
+    // foreign key rewritten consistently (copy c shifts each key family by
+    // c·its own stride), while region/nation stay fixed (they are fixed at
+    // every official SF, and the shifted nationkeys still land on them).
+    // Value columns (dates, prices, quantities, flags) carry over
+    // unchanged, so per-key group structure and join fan-outs are the base
+    // corpus's within every copy and the probe measures VOLUME, not
+    // densification. Events scale the same way: user_id/event_id shift per
+    // copy, timestamps untouched — per-user session/funnel shapes are
+    // preserved, the user population grows with the factor.
+    def strideOf(t: String, key: String): Long =
+      spark.read.parquet(s"$srcDir/$t.parquet").agg(max(key)).head.getLong(0) + 1
+    val custS = strideOf("customer", "c_custkey")
+    val suppS = strideOf("supplier", "s_suppkey")
+    val partS = strideOf("part", "p_partkey")
+    val ordS = strideOf("orders", "o_orderkey")
+    def copies(t: String, shifted: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$srcDir/$t.parquet")
+      (0 until factor).map(c => if (c == 0) base else shifted(base, c))
+        .reduce(_ unionAll _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    copies("customer", (df, c) => df.withColumn("c_custkey",
+      col("c_custkey") + lit(c * custS)))
+    copies("supplier", (df, c) => df.withColumn("s_suppkey",
+      col("s_suppkey") + lit(c * suppS)))
+    copies("part", (df, c) => df.withColumn("p_partkey",
+      col("p_partkey") + lit(c * partS)))
+    copies("orders", (df, c) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(c * ordS))
+      .withColumn("o_custkey", col("o_custkey") + lit(c * custS)))
+    copies("lineitem", (df, c) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(c * ordS))
+      .withColumn("l_partkey", col("l_partkey") + lit(c * partS))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(c * suppS)))
+    val evUserS = strideOf("events", "user_id")
+    val evIdS = strideOf("events", "event_id")
+    copies("events", (df, c) => df
+      .withColumn("event_id", col("event_id") + lit(c * evIdS))
+      .withColumn("user_id", col("user_id") + lit(c * evUserS)))
+
+    // carry the fixed dims (and any remaining table) over unchanged
+    val scaled = Set("documents", "embeddings", "customer", "supplier",
+      "part", "orders", "lineitem", "events").map(_ + ".parquet")
     val src = new java.io.File(srcDir)
     src.listFiles().filter(_.getName.endsWith(".parquet"))
       .map(_.getName)
-      .filterNot(n => n == "documents.parquet" || n == "embeddings.parquet")
+      .filterNot(scaled)
       .foreach { n =>
         spark.read.parquet(s"$srcDir/$n")
           .write.mode("overwrite").parquet(s"$outDir/$n")
