@@ -82,32 +82,34 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    // SENTINEL: a fixed scan+window+two-shuffle aggregate, timed at the
-    // start / middle / end of every pass. Its workload never changes, so
-    // its timing is a pure probe of the box. The r9–r12 rounds could not
-    // tell a code regression from a contended machine (the r12 full-suite
-    // run came back uniformly 1.55× slower while a controlled same-day
-    // re-measure of identical code was normal); with the sentinel inline,
-    // that call is made from data: a slow query next to floor-level
-    // sentinel samples is a code problem, a slow query inside a slow
-    // sentinel window is the environment.
+    // SENTINEL: a fixed window+two-shuffle aggregate over GENERATED rows,
+    // timed at the start / middle / end of every pass. Its workload never
+    // changes — and since r15 it reads no table at all (spark.range), so
+    // it is a pure probe of the box at ANY data directory: the earlier
+    // lineitem-scan form stopped being a fixed-size probe the moment the
+    // scaling replica grew the fact tables (measured: factor-100 dirs
+    // inflated the sentinel ~10–30× and the calibrated unit divided real
+    // query time away). The r9–r12 rounds could not tell a code
+    // regression from a contended machine (the r12 full-suite run came
+    // back uniformly 1.55× slower while a controlled same-day re-measure
+    // of identical code was normal); with the sentinel inline, that call
+    // is made from data: a slow query next to floor-level sentinel
+    // samples is a code problem, a slow query inside a slow sentinel
+    // window is the environment.
     def sentinelOnce(): Double = {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       sweep()
       val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
-          col("l_quantity"), col("l_extendedprice"))
+      spark.range(0, 10L << 20, 1, cpus.toInt)
+        .select((col("id") % 100000).as("k"),
+          pmod(xxhash64(col("id")), lit(1L << 32)).as("h")) // ANSI-safe sums
         .withColumn("rk", row_number().over(
-          Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc,
-            col("l_orderkey"), col("l_partkey"))))
-        .groupBy("l_orderkey")
-        .agg(sum("l_quantity").as("q"), sum("l_extendedprice").as("p"),
-          min("rk").as("mr"), count(lit(1)).as("n"))
-        .groupBy((col("l_orderkey") % 128).as("b"))
-        .agg(sum("q").as("sq"), avg("p").as("ap"), min("mr").as("mmr"),
-          max("n").as("mn"))
+          Window.partitionBy(pmod(col("k"), lit(512))).orderBy(col("h"))))
+        .groupBy("k")
+        .agg(sum("h").as("sh"), min("rk").as("mr"), count(lit(1)).as("n"))
+        .groupBy((col("k") % 128).as("b"))
+        .agg(sum("sh").as("ssh"), avg("mr").as("amr"), max("n").as("mn"))
         .orderBy("b")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -205,7 +207,10 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
     val floorPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_FLOOR_FILE", ".sentinel_floor"))
-    val floorKey = s"v2|$sfDir|$cpus"
+    // v3: the synthetic sentinel is data-independent, so the floor is a
+    // property of the BOX (cpus) alone — one floor per machine shape, any
+    // data directory. v2's per-dir lineitem-sentinel entries are orphaned.
+    val floorKey = s"v3|$cpus"
     val hist: Map[String, Double] =
       if (Files.exists(floorPath))
         Files.readAllLines(floorPath).toArray(Array.empty[String]).toSeq
