@@ -1270,6 +1270,50 @@ class OpsSpec extends AnyFunSuite {
     assert(fp < 1000L, s"fp=$fp of 10001") // prunes ≥90% of clean keys
   }
 
+  test("dd_edit_verify: property — the banded-DP accept set equals the unthresholded filter") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // Random near-pairs of word sequences: mutate 0-4 words out of ~15 so
+    // normalized similarity straddles the 0.8 bar from both sides. The
+    // thresholded levenshtein (thr = floor(max/5)+1, -1 past the cap) must
+    // accept exactly the pairs the plain levenshtein + double filter
+    // accepts, with identical distances on the accepted side.
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    val pairGen = for {
+      n <- Gen.choose(12, 18)
+      base <- Gen.listOfN(n, word)
+      k <- Gen.choose(0, 4)
+      muts <- Gen.listOfN(k, Gen.zip(Gen.choose(0, n - 1), word))
+    } yield {
+      val b = base.toArray
+      muts.foreach { case (i, w) => b(i) = w }
+      (base.mkString(" "), b.mkString(" "))
+    }
+    val prop = Prop.forAll(Gen.listOfN(12, pairGen)) { pairs =>
+      val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "ta", "tb")
+      val banded = df
+        .withColumn("thr",
+          (greatest(length(col("ta")), length(col("tb"))) / 5).cast("int") + 1)
+        .withColumn("lev", expr("levenshtein(ta, tb, thr)"))
+        .filter(col("lev") >= 0)
+        .withColumn("sim", lit(1.0) - col("lev").cast("double")
+          / greatest(length(col("ta")), length(col("tb"))))
+        .filter(col("sim") >= 0.8)
+        .select("id", "lev").as[(Long, Int)].collect().toMap
+      val plain = df
+        .withColumn("lev", levenshtein(col("ta"), col("tb")))
+        .withColumn("sim", lit(1.0) - col("lev").cast("double")
+          / greatest(length(col("ta")), length(col("tb"))))
+        .filter(col("sim") >= 0.8)
+        .select("id", "lev").as[(Long, Int)].collect().toMap
+      banded == plain
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dd_edit_verify: near-identical docs accepted with the exact edit distance; unrelated docs never pair") {
     import spark.implicits._
     val t1 = "the quick brown fox jumps over the lazy dog today"
