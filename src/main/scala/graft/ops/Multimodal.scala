@@ -248,10 +248,24 @@ object Multimodal extends QueryModule {
     * hamming ≤ 3 (a pair differing in ≤ 3 bits cannot dirty all 4 bands);
     * pairs between 4 and [[PhashHamT]] surface when at least one band
     * survives untouched — the documented LSH recall tradeoff, same class
-    * as dd_embed_neardup's banding. The exact verify runs on the bounded
-    * candidate list via codegen'd xor+bit_count. No pairwise scan anywhere;
-    * a production corpus would add the LshBanding bucket-size cap before
-    * the self-join to bound flat-signature pileups.
+    * as dd_embed_neardup's banding.
+    *
+    * The banded join runs over DISTINCT signatures, not documents. A 64-bit
+    * aHash of text-derived payloads is deliberately lossy, and on a large
+    * corpus many assets share one signature (the factor-100 probe measured
+    * 487k docs → 126k distinct signatures, band buckets of 8k docs): joining
+    * documents directly makes candidate pairs grow ∝ Σ bucket² in DOCUMENT
+    * counts (measured super-linear, exponent 1.13 raw — 672M candidate
+    * pairs), while every doc in a signature group shares one verify verdict.
+    * So: group docs by signature (`sig_id` = the group's min doc_id), band
+    * ONLY one representative per distinct signature into the candidate
+    * self-join (26× fewer pairs at factor 100), verify hamming on signature
+    * pairs, then expand qualifying signature pairs back to doc pairs by two
+    * membership equi-joins — output-proportional by construction. Identical-
+    * signature pairs (hamming 0) never enter the banded join at all: they
+    * expand directly from the membership table keyed by the FULL signature,
+    * the only join whose output is inherently quadratic — in the true
+    * answer, not in any intermediate. No pairwise scan anywhere.
     */
   def phashNearDup(s: SparkSession, dir: String): DataFrame =
     phashNearDupOf(assets(s, dir))
@@ -259,7 +273,12 @@ object Multimodal extends QueryModule {
   /** The aHash+banding core over an explicit (doc_id, payload) frame —
     * factored for fixture tests with constructed near-dup payloads.
     */
-  private[graft] def phashNearDupOf(assetFrame: DataFrame): DataFrame = {
+  /** doc_id → the full 64-bit aHash signature as its 4 packed 16-bit band
+    * values in ascending band order — the shared front half of
+    * [[phashNearDupOf]] and [[phashDedupOf]]. Assets under
+    * [[PhashMinBytes]] are excluded (no signal).
+    */
+  private def phashSignatures(assetFrame: DataFrame): DataFrame = {
     val sampled = assetFrame
       .filter(length(col("payload")) >= PhashMinBytes)
       .select(col("doc_id"), col("payload"),
@@ -273,31 +292,91 @@ object Multimodal extends QueryModule {
       .withColumn("ssum", sum(col("sample")).over(Window.partitionBy("doc_id")))
       .withColumn("bit", (col("sample") * PhashBits > col("ssum")).cast("long"))
     // per-(doc, band) packed value: Σ bit·2^(15 − i mod 16) — integer-exact
-    // in both engines; feeds the candidate self-join AND the wide signature
-    val bands = bits
+    // in both engines
+    bits
       .groupBy(col("doc_id"), (col("i") / PhashBandBits).cast("int").as("band_idx"))
       .agg(sum(expr(s"bit * shiftleft(1, ${PhashBandBits - 1} - i % $PhashBandBits)"))
         .cast("long").as("band_val"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wide = bands.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("band_idx"), col("band_val")))),
         x => x.getField("band_val")).as("bands"))
-    val cand = bands.as("x").join(bands.as("y"),
+  }
+
+  private[graft] def phashNearDupOf(assetFrame: DataFrame): DataFrame = {
+    // membership: doc → full signature (4-long array) + its group's sig_id
+    // (min doc_id over the signature — dense, stable, gives the group a
+    // representative and a total order). Persisted: feeds the hamming-0
+    // expansion (twice), the representative table, and the cross-group
+    // expansion (twice).
+    val mem = phashSignatures(assetFrame)
+      .withColumn("sig_id", min(col("doc_id")).over(Window.partitionBy("bands")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hamming-0 pairs: same full signature — expanded straight from the
+    // membership table; the join key is the WHOLE signature, so output rows
+    // are exactly the true identical-hash pairs
+    val ident = mem.as("x").join(mem.as("y"),
+        col("x.sig_id") === col("y.sig_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    // banded candidate join over one representative per DISTINCT signature
+    val reps = mem.filter(col("doc_id") === col("sig_id"))
+      .select(col("sig_id"), col("bands"))
+    val rb = reps.select(col("sig_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val qual = rb.as("x").join(rb.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val out = cand
-      .join(wide.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
-      .join(wide.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
+          col("x.sig_id") < col("y.sig_id"))
+      .select(col("x.sig_id").as("sa"), col("y.sig_id").as("sb"),
+        col("x.bands").as("ba"), col("y.bands").as("bb"))
+      .distinct() // a pair of signatures can agree on several bands
       .withColumn("hamming", expr(
         "bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1]) + " +
           "bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3])"))
-      .filter(col("hamming") <= PhashHamT)
+      .filter(col("hamming") <= PhashHamT) // ≥ 1 is implicit: sigs differ
+      .select(col("sa"), col("sb"), col("hamming"))
+    // expand qualifying signature pairs to doc pairs (groups are disjoint,
+    // so least/greatest ordering can never collide with ident's pairs)
+    val exp = qual
+      .join(mem.select(col("sig_id").as("sa"), col("doc_id").as("da")), "sa")
+      .join(mem.select(col("sig_id").as("sb"), col("doc_id").as("db")), "sb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val out = ident.unionByName(exp)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("doc_a", "doc_b")
-    Dedup.materializeThenRelease(out, bands)
+    Dedup.materializeThenRelease(out, mem)
+  }
+
+  // --------------------------------------------------------- mm_phash_dedup
+
+  /** The asset-dedup TERMINAL: one canonical asset per identical 64-bit
+    * aHash signature, with the number of assets it stands for —
+    * [[Dedup.exactDedup]]'s keep-list shape lifted from byte-exact
+    * fingerprints to perceptual-hash-exact signatures. This is the pass a
+    * production media pipeline runs FIRST: the factor-100 probe measured
+    * 487k assets collapsing to 126k distinct signatures (the pair list
+    * there is inherently ~n² — 14.7M hamming-0 pairs), so the keep-list,
+    * not the pair list, is the artifact a 100 TB asset corpus can actually
+    * materialize. Assets under [[PhashMinBytes]] carry no signal and are
+    * kept as singletons (nothing to merge on). `sum(n_merged)` = asset
+    * count by construction.
+    *
+    * Scale shape: one map-side-partial hash aggregate onto the signature
+    * (≤ |distinct sigs| rows), no join, no window, no pair expansion —
+    * strictly linear, the terminal [[phashNearDup]] cannot be.
+    */
+  def phashDedup(s: SparkSession, dir: String): DataFrame =
+    phashDedupOf(assets(s, dir))
+
+  private[graft] def phashDedupOf(assetFrame: DataFrame): DataFrame = {
+    val winners = phashSignatures(assetFrame)
+      .groupBy("bands")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_merged"))
+      .select(col("doc_id"), col("n_merged"))
+    val singles = assetFrame.filter(length(col("payload")) < PhashMinBytes)
+      .select(col("doc_id"), lit(1L).as("n_merged"))
+    winners.unionByName(singles).orderBy("doc_id")
   }
 
   // ---------------------------------------------------------- mm_dct_phash
@@ -617,6 +696,7 @@ object Multimodal extends QueryModule {
     "mm_typed_decode" -> (typedDecode(_, _)),
     "mm_shard_manifest" -> (shardManifest(_, _)),
     "mm_phash_neardup" -> (phashNearDup(_, _)),
+    "mm_phash_dedup" -> (phashDedup(_, _)),
     "mm_dct_phash" -> (dctPhash(_, _)))
 
   // ------------------------------------------------------------- oracle SQL
@@ -743,6 +823,41 @@ object Multimodal extends QueryModule {
          |)
          |SELECT doc_a, doc_b, hamming FROM ham
          |WHERE hamming <= $PhashHamT ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_phash_dedup" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE octet_length(text::BLOB) >= $PhashMinBytes
+         |), sm AS (
+         |  SELECT doc_id, i,
+         |    ascii(substr(text,
+         |      ((i * (length(text) - 1)) // ${PhashBits - 1} + 1)::INT, 1))::BIGINT
+         |      AS sample
+         |  FROM a, range($PhashBits) r(i)
+         |), ws AS (
+         |  SELECT doc_id, i, sample,
+         |    sum(sample) OVER (PARTITION BY doc_id) AS ssum
+         |  FROM sm
+         |), bits AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN sample * $PhashBits > ssum THEN 1 ELSE 0 END AS bit
+         |  FROM ws
+         |), bands AS (
+         |  SELECT doc_id, (i // $PhashBandBits)::INT AS band_idx,
+         |    sum(bit * (1::BIGINT << (${PhashBandBits - 1} - (i % $PhashBandBits))::INT))::BIGINT
+         |      AS band_val
+         |  FROM bits GROUP BY doc_id, i // $PhashBandBits
+         |), wide AS (
+         |  SELECT doc_id, list(band_val ORDER BY band_idx) AS bands
+         |  FROM bands GROUP BY doc_id
+         |), g AS (
+         |  SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_merged
+         |  FROM wide GROUP BY bands
+         |)
+         |SELECT doc_id, n_merged FROM g
+         |UNION ALL
+         |SELECT doc_id, 1::BIGINT AS n_merged FROM documents
+         |WHERE octet_length(text::BLOB) < $PhashMinBytes
+         |ORDER BY doc_id""".stripMargin,
     "mm_meta_stats" ->
       s"""SELECT media_type, count(*) AS n,
          |  sum(octet_length(payload))::BIGINT AS total_bytes,

@@ -45,10 +45,11 @@ import org.apache.spark.sql.functions._
   *    on them). events likewise: user_id/event_id shift per copy,
   *    timestamps untouched, so per-user session/funnel shape is the
   *    base's and the user population grows with the factor. Value
-  *    columns carry over unchanged everywhere. NOTE: the bench sentinel
-  *    reads lineitem, so at a scaled output dir the sentinel is no
-  *    longer a fixed-size box probe — compare RAW seconds there, not the
-  *    calibrated unit.
+  *    columns carry over unchanged everywhere. NOTE: since the v3
+  *    synthetic sentinel (a fixed `spark.range` workload that reads no
+  *    table), the calibrated unit is a valid box probe at scaled output
+  *    dirs too; only the pre-v3 lineitem-scan sentinel required raw
+  *    seconds here (the r15 relational_event_100x legs predate v3).
   *
   * Usage: ScaleUp <srcDir> <outDir> <factor>
   */

@@ -843,6 +843,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out.head._3 <= 4, s"patch moved too many bits: ${out.head._3}")
   }
 
+  test("mm_phash_neardup: identical signatures expand to all hamming-0 pairs") {
+    import spark.implicits._
+    // three byte-identical payloads (one signature group of 3) plus one
+    // far-off payload: the distinct-signature rewrite must still emit every
+    // within-group pair — (1,2), (1,3), (2,3) at hamming 0 — and nothing
+    // touching the outlier
+    val aTxt = ("abcdefgh" * 16)
+    val cTxt = "z" * 64 + "a" * 64
+    val docs = Seq((1L, aTxt), (2L, aTxt), (3L, aTxt), (4L, cTxt))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.phashNearDupOf(docs)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
+
+  test("mm_phash_dedup: identical-signature keep-list with merge counts") {
+    import spark.implicits._
+    val aTxt = ("abcdefgh" * 16)
+    val cTxt = "z" * 64 + "a" * 64
+    // docs 1,2 share a signature (winner 1, n_merged 2); 3 is its own
+    // signature; 5 is under the 64-byte floor and must be KEPT as a
+    // singleton, not dropped
+    val docs = Seq((1L, aTxt), (2L, aTxt), (3L, cTxt), (5L, "tiny"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.phashDedupOf(docs)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L), (3L, 1L), (5L, 1L)))
+  }
+
   test("mm_dct_phash: hand-checked low-frequency block, pixel decode, near-dup pairing") {
     import spark.implicits._
     val N = Multimodal.DctN

@@ -33,4 +33,24 @@ class SourceFormatSpec extends AnyFunSuite {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), scan)
   }
+
+  test("orc round-trip preserves rows; predicate + projection reach the scan") {
+    val src = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+    val want = src.orderBy("doc_id").collect().toSeq
+
+    val orcOut = "/tmp/graft-src-orc"
+    src.write.mode("overwrite").orc(orcOut)
+    val back = spark.read.orc(orcOut)
+    assert(back.schema === src.schema)
+    assert(back.orderBy("doc_id").collect().toSeq === want)
+
+    // ORC is the columnar alternative a warehouse migration hits first:
+    // the same pushdown/pruning contract as parquet must hold — the
+    // filter lands in PushedFilters and the projection in ReadSchema.
+    val pruned = back.filter(col("n_chars") >= 500).select("doc_id", "n_chars")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), scan)
+    assert(scan.contains("GreaterThanOrEqual(n_chars,500)"), scan)
+  }
 }
