@@ -273,34 +273,40 @@ object Multimodal extends QueryModule {
   /** The aHash+banding core over an explicit (doc_id, payload) frame —
     * factored for fixture tests with constructed near-dup payloads.
     */
+  /** Adds `sig` — the full 64-bit aHash signature PACKED into one BIGINT
+    * (batch bit i at position 63−i, i.e. band0·2⁴⁸|band1·2³²|band2·2¹⁶|
+    * band3) — to an asset frame, dropping sub-[[PhashMinBytes]] assets (no
+    * signal). Computed ENTIRELY with per-row array expressions: no explode,
+    * no window, no shuffle — one narrow projection in batch, and (the
+    * property [[graft.streaming.Streaming.phashKeepViaState]] needs) legal
+    * in a streaming plan, where the earlier posexplode + per-doc window
+    * formulation was not. The oracle keeps the explode/window SQL; both
+    * compute the identical exact-integer bits (sample·64 > Σ samples).
+    */
+  private[graft] def withPhashSig(assetFrame: DataFrame): DataFrame =
+    assetFrame
+      .filter(length(col("payload")) >= PhashMinBytes)
+      .withColumn("samples", expr(
+        s"transform(sequence(0, ${PhashBits - 1}), i -> CAST(conv(hex(" +
+          s"substring(payload, CAST(CAST(i AS BIGINT) * (length(payload) - 1) " +
+          s"DIV ${PhashBits - 1} AS INT) + 1, 1)), 16, 10) AS BIGINT))"))
+      .withColumn("ssum", expr("aggregate(samples, 0L, (a, x) -> a + x)"))
+      .withColumn("sig", expr(
+        s"aggregate(zip_with(samples, sequence(0, ${PhashBits - 1}), " +
+          s"(x, i) -> IF(x * $PhashBits > ssum, " +
+          s"shiftleft(1L, ${PhashBits - 1} - CAST(i AS INT)), 0L)), " +
+          "0L, (a, b) -> a | b)"))
+      .drop("samples", "ssum")
+
   /** doc_id → the full 64-bit aHash signature as its 4 packed 16-bit band
     * values in ascending band order — the shared front half of
-    * [[phashNearDupOf]] and [[phashDedupOf]]. Assets under
-    * [[PhashMinBytes]] are excluded (no signal).
+    * [[phashNearDupOf]] and [[phashDedupOf]], unpacked from
+    * [[withPhashSig]]'s one-long form.
     */
-  private def phashSignatures(assetFrame: DataFrame): DataFrame = {
-    val sampled = assetFrame
-      .filter(length(col("payload")) >= PhashMinBytes)
-      .select(col("doc_id"), col("payload"),
-        length(col("payload")).cast("long").as("len"),
-        posexplode(graft.functions.Exprs.boundedSequence(lit(0), lit(PhashBits - 1)))
-          .as(Seq("p", "i")))
-      .withColumn("pos", (expr(s"i * (len - 1) DIV ${PhashBits - 1}") + 1).cast("int"))
-      .withColumn("sample",
-        conv(hex(expr("substring(payload, pos, 1)")), 16, 10).cast("long"))
-    val bits = sampled
-      .withColumn("ssum", sum(col("sample")).over(Window.partitionBy("doc_id")))
-      .withColumn("bit", (col("sample") * PhashBits > col("ssum")).cast("long"))
-    // per-(doc, band) packed value: Σ bit·2^(15 − i mod 16) — integer-exact
-    // in both engines
-    bits
-      .groupBy(col("doc_id"), (col("i") / PhashBandBits).cast("int").as("band_idx"))
-      .agg(sum(expr(s"bit * shiftleft(1, ${PhashBandBits - 1} - i % $PhashBandBits)"))
-        .cast("long").as("band_val"))
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("band_idx"), col("band_val")))),
-        x => x.getField("band_val")).as("bands"))
-  }
+  private def phashSignatures(assetFrame: DataFrame): DataFrame =
+    withPhashSig(assetFrame).select(col("doc_id"), expr(
+      s"transform(sequence(0, 3), b -> CAST(shiftrightunsigned(sig, " +
+        s"$PhashBandBits * (3 - b)) & 65535 AS BIGINT))").as("bands"))
 
   private[graft] def phashNearDupOf(assetFrame: DataFrame): DataFrame = {
     // membership: doc → full signature (4-long array) + its group's sig_id

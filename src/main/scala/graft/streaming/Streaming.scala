@@ -113,6 +113,17 @@ final case class WinOccEv(doc_id: Long, pos: Long, ms: Long)
 final case class SubWinEvState(occ: Seq[WinOccEv], poisoned: Boolean,
     lastMs: Long)
 
+/** One signature group's running keep-list entry held in state by
+  * [[Streaming.phashKeepViaState]]: canonical doc (min seen) + merge count.
+  */
+final case class SigGroup(doc_id: Long, n: Long)
+
+/** A keep-list emission from [[Streaming.phashKeepViaState]]. `n_merged`
+  * is strictly monotone per `sig` (one emission per touched group per
+  * micro-batch), so a group's latest entry is its max-`n_merged` row.
+  */
+final case class SigKeep(sig: Long, doc_id: Long, n_merged: Long)
+
 /** Structured Streaming surface: the same event-time semantics as the batch
   * [[graft.ops.Streamish]] battery, expressed incrementally —
   * `readStream` → transforms → `writeStream`. The reference has no streaming
@@ -477,6 +488,40 @@ object Streaming {
           }
           state.update(SeenTypes(seen.toSeq))
           out.iterator
+      }
+  }
+
+  /** Streaming twin of mm_phash_dedup's signatured half: INCREMENTAL
+    * identical-signature asset dedup. Each arriving asset's 64-bit aHash
+    * signature is computed per row
+    * ([[graft.ops.Multimodal.withPhashSig]] — array expressions, no
+    * explode/window, which is what makes the plan streamable), assets
+    * group by signature, and ONE state row per distinct signature carries
+    * (canonical doc_id = min seen, n_merged). The keep-list updates as
+    * assets land — state is bounded by the DISTINCT-signature space, not
+    * by history (the sketch-store property again; the factor-100 probe
+    * measured 487k assets → 126k signatures). Each touched group emits its
+    * current [[SigKeep]] row per micro-batch with a strictly-monotone
+    * n_merged, so downstream reads "max n_merged per sig" as the live
+    * keep-list. Sub-PhashMinBytes assets carry no signal and never enter
+    * state (the batch operator keeps them as singletons; the spec composes
+    * them back).
+    */
+  def phashKeepViaState(s: SparkSession, docs: DataFrame): Dataset[SigKeep] = {
+    import s.implicits._
+    graft.ops.Multimodal.withPhashSig(
+        docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
+      .select(col("doc_id"), col("sig"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sig: Long, rows: Iterator[(Long, Long)], state: GroupState[SigGroup]) =>
+          val prev = state.getOption.getOrElse(SigGroup(Long.MaxValue, 0L))
+          var minDoc = prev.doc_id
+          var n = prev.n
+          rows.foreach { r => minDoc = math.min(minDoc, r._1); n += 1 }
+          state.update(SigGroup(minDoc, n))
+          Iterator.single(SigKeep(sig, minDoc, n))
       }
   }
 

@@ -430,6 +430,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(assigns.filter(!col("in_order")).count() === 0)
   }
 
+  test("streaming phash keep-list converges to the batch mm_phash_dedup") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.ntile
+    // 3 micro-batches in doc_id order: the per-signature (min doc, count)
+    // state must keep accumulating groups that straddle batch boundaries
+    val src = "/tmp/graft-stream-src-phash"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val docs = Tables.documents(spark, dir)
+    val chunked = docs.withColumn("chunk", ntile(3).over(W.orderBy("doc_id")))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val keeps = runToMemory(
+      Streaming.phashKeepViaState(spark, stream).toDF(), "t_phash_keep", "append")
+    val fn = org.apache.spark.sql.functions
+    // n_merged is strictly monotone per sig — a group's latest emission is
+    // its max-n_merged row; compose the sub-floor singletons back (they
+    // never enter state) and the live keep-list must BE the batch terminal
+    val latest = keeps.groupBy("sig")
+      .agg(fn.max(fn.struct(col("n_merged"), col("doc_id"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.n_merged").as("n_merged"))
+    val singles = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(fn.length(col("payload")) < 64)
+      .select(col("doc_id"), fn.lit(1L).as("n_merged"))
+    val got = latest.unionByName(singles).orderBy("doc_id").collect().toSeq
+    val want = graft.ops.Multimodal.phashDedup(spark, dir).collect().toSeq
+    assert(got === want)
+  }
+
   test("shard assignment flags an out-of-order arrival instead of diverging silently") {
     import spark.implicits._
     // pick two docs from the SAME lane, deliver the larger doc_id first and
