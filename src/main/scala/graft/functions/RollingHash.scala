@@ -99,6 +99,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramHashes(children.head, n,
           NgramHashes.DefaultBase1, NgramHashes.DefaultBase2, NgramHashes.DefaultMod)
       }))
+    e.injectFunction((FunctionIdentifier("ahash_sig"),
+      new ExpressionInfo(classOf[AhashSig].getName, "ahash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "ahash_sig takes exactly one argument")
+        AhashSig(children.head)
+      }))
     e.injectFunction((FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

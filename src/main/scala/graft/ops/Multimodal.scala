@@ -276,27 +276,22 @@ object Multimodal extends QueryModule {
   /** Adds `sig` — the full 64-bit aHash signature PACKED into one BIGINT
     * (batch bit i at position 63−i, i.e. band0·2⁴⁸|band1·2³²|band2·2¹⁶|
     * band3) — to an asset frame, dropping sub-[[PhashMinBytes]] assets (no
-    * signal). Computed ENTIRELY with per-row array expressions: no explode,
-    * no window, no shuffle — one narrow projection in batch, and (the
-    * property [[graft.streaming.Streaming.phashKeepViaState]] needs) legal
-    * in a streaming plan, where the earlier posexplode + per-doc window
-    * formulation was not. The oracle keeps the explode/window SQL; both
-    * compute the identical exact-integer bits (sample·64 > Σ samples).
+    * signal). Computed by the native codegen'd
+    * [[graft.functions.AhashSig]] expression: one per-row scalar
+    * projection — no explode, no window, no shuffle — so it is legal in a
+    * streaming plan (which [[graft.streaming.Streaming.phashKeepViaState]]
+    * needs, and the earlier posexplode + per-doc window formulation was
+    * not) AND stays inside WholeStageCodegen (the interim higher-order-
+    * function fold was CodegenFallback, measured 2–4× slower at sf0.1).
+    * The oracle keeps the explode/window SQL; both compute the identical
+    * exact-integer bits (sample·64 > Σ samples).
     */
-  private[graft] def withPhashSig(assetFrame: DataFrame): DataFrame =
+  private[graft] def withPhashSig(assetFrame: DataFrame): DataFrame = {
+    graft.functions.AhashSig.register(assetFrame.sparkSession)
     assetFrame
       .filter(length(col("payload")) >= PhashMinBytes)
-      .withColumn("samples", expr(
-        s"transform(sequence(0, ${PhashBits - 1}), i -> CAST(conv(hex(" +
-          s"substring(payload, CAST(CAST(i AS BIGINT) * (length(payload) - 1) " +
-          s"DIV ${PhashBits - 1} AS INT) + 1, 1)), 16, 10) AS BIGINT))"))
-      .withColumn("ssum", expr("aggregate(samples, 0L, (a, x) -> a + x)"))
-      .withColumn("sig", expr(
-        s"aggregate(zip_with(samples, sequence(0, ${PhashBits - 1}), " +
-          s"(x, i) -> IF(x * $PhashBits > ssum, " +
-          s"shiftleft(1L, ${PhashBits - 1} - CAST(i AS INT)), 0L)), " +
-          "0L, (a, b) -> a | b)"))
-      .drop("samples", "ssum")
+      .withColumn("sig", call_function("ahash_sig", col("payload")))
+  }
 
   /** doc_id → the full 64-bit aHash signature as its 4 packed 16-bit band
     * values in ascending band order — the shared front half of
