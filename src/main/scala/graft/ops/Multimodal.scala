@@ -229,7 +229,7 @@ object Multimodal extends QueryModule {
   private val PhashBits = 64     // signature width (one aHash bit per sample)
   private val PhashBandBits = 16 // 4 bands of 16 bits
   private val PhashHamT = 10     // accept pairs with hamming <= T
-  private val PhashMinBytes = 64 // tiny blobs carry no signal (all-zero sigs)
+  private[graft] val PhashMinBytes = 64 // tiny blobs carry no signal (all-zero sigs)
 
   /** Perceptual-hash-style near-duplicate detection over binary payloads —
     * the ASSET-level near-dup that exact checksums (identical bytes only)

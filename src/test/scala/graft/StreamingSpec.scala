@@ -457,7 +457,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("m.doc_id").as("doc_id"), col("m.n_merged").as("n_merged"))
     val singles = docs
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .filter(fn.length(col("payload")) < 64)
+      .filter(fn.length(col("payload")) < graft.ops.Multimodal.PhashMinBytes)
       .select(col("doc_id"), fn.lit(1L).as("n_merged"))
     val got = latest.unionByName(singles).orderBy("doc_id").collect().toSeq
     val want = graft.ops.Multimodal.phashDedup(spark, dir).collect().toSeq
