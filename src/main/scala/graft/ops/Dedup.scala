@@ -38,7 +38,7 @@ object Dedup extends QueryModule {
   private val NumHashes = 12 // MinHash signature length
   private val Bands = 4 //  × rows-per-band 3; s-curve midpoint ≈ 0.63
   private val RowsPerBand = NumHashes / Bands
-  private val JaccardT = 0.8
+  private[graft] val JaccardT = 0.8
   private val GramJaccardT = 0.6
   private val CosT = 0.4 // verify threshold; real pipelines use ~0.9 — the
   //                        synthetic fixture has no cluster structure, so a
@@ -62,7 +62,7 @@ object Dedup extends QueryModule {
   private def shingled(s: SparkSession, dir: String, carry: Seq[String] = Nil): DataFrame =
     shingledOf(Tables.documents(s, dir), carry)
 
-  private def shingledOf(documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+  private[graft] def shingledOf(documents: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val keep = col("doc_id") +: carry.map(col)
     documents
       .select(keep :+ toks.as("toks"): _*)
@@ -172,6 +172,84 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- dd_neardup_ingest
+
+  /** Incremental NEAR-dup ingest — [[incrementalDedup]]'s missing tier.
+    * The daily-crawl shape again (snapshot = even doc_ids, batch = odd),
+    * but a batch doc that exactly matches nothing may still be a near-
+    * duplicate of the corpus; classifying that at ingest time is how a
+    * production pipeline avoids re-deduping 100 TB per day. Status, by
+    * precedence: `dup_corpus` (exact fingerprint already in the snapshot)
+    * > `dup_batch` (an earlier batch doc — smaller doc_id — carries the
+    * same fingerprint) > `neardup_corpus` (shares a MinHash band with a
+    * snapshot doc AND exact shingle Jaccard ≥ [[JaccardT]]; `best_jac`
+    * reports the max verified Jaccard) > `new`. Near-dup is checked
+    * batch×snapshot only — in-batch near-dups are [[minhashNearDup]]'s
+    * job when the batch is folded in.
+    *
+    * Scale shape: the snapshot side reduces to its DISTINCT fingerprint
+    * set and its (b_idx, band) table — the persisted ingest index; at
+    * 100 TB those ARE the artifacts carried between runs, never the
+    * snapshot text. Only batch docs surviving the exact tiers (rnk = 1,
+    * no corpus fp hit) enter the band join — the near tier is the
+    * expensive one, so the cheap exact tiers prune it. Candidates come
+    * ONLY from the (b_idx, band) equi-join; shingle arrays cross the
+    * shuffle once per candidate (shuffle-hash, no sort). One persisted
+    * shingle frame feeds bands and both verify sides, released once the
+    * classification materializes.
+    */
+  def neardupIngest(s: SparkSession, dir: String): DataFrame =
+    neardupIngestOf(Tables.documents(s, dir))
+
+  private[graft] def neardupIngestOf(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) <= 0, lit(null))
+          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
+    val snapFp = fp.filter(col("doc_id") % 2 === 0)
+      .select(col("fp").as("snap_fp")).distinct()
+    val exact = fp.filter(col("doc_id") % 2 === 1)
+      .withColumn("rnk", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .join(snapFp, col("fp") === col("snap_fp"), "left")
+
+    val sh = shingledOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shSnap = sh.filter(col("doc_id") % 2 === 0)
+    // only exact-tier survivors pay the band join (semantics-free prune:
+    // the status CASE would mask their near verdict anyway)
+    val shBatch = sh.filter(col("doc_id") % 2 === 1)
+      .join(exact.filter(col("rnk") === 1 && col("snap_fp").isNull)
+        .select(col("doc_id")), "doc_id")
+    val cand = bandLong(shBatch).as("a")
+      .join(bandLong(shSnap).as("b"),
+        col("a.b_idx") === col("b.b_idx") && col("a.band") === col("b.band"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("snap_id"))
+      .dropDuplicates("doc_id", "snap_id")
+    val near = cand
+      .join(shBatch.select(col("doc_id"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "doc_id")
+      .join(shSnap.select(col("doc_id").as("snap_id"), col("sh").as("sh_s"))
+        .hint("shuffle_hash"), "snap_id")
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_s"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_b")) + size(col("sh_s")) - col("inter")))
+      .filter(col("jac") >= JaccardT)
+      .groupBy("doc_id").agg(max(col("jac")).as("best_jac"))
+
+    val out = exact.join(near, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("snap_fp").isNotNull, lit("dup_corpus"))
+          .when(col("rnk") > 1, lit("dup_batch"))
+          .when(col("best_jac").isNotNull, lit("neardup_corpus"))
+          .otherwise(lit("new")))
+      .select(col("doc_id"), col("fp"), col("status"),
+        when(col("status") === "neardup_corpus", round(col("best_jac"), 4))
+          .as("best_jac"))
+      .orderBy("doc_id")
+    materializeThenRelease(out, sh)
+  }
+
   // ---------------------------------------------------------- dd_neardup
 
   /** Universal-hash multipliers for the MinHash family: h_i(x) = (a_i·w1 +
@@ -216,7 +294,7 @@ object Dedup extends QueryModule {
     * frame — the shared candidate-generation core of [[minhashNearDup]] and
     * [[decontaminate]].
     */
-  private def bandLong(sh: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+  private[graft] def bandLong(sh: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val keep = col("doc_id") +: carry.map(col)
     sh.withColumn("words", shingleWords)
       .select(keep ++ sigCols: _*)
@@ -1308,6 +1386,7 @@ object Dedup extends QueryModule {
     "dd_exact" -> (exactDedup(_, _)),
     "dd_leakage_split" -> (leakageSplit(_, _)),
     "dd_incremental" -> (incrementalDedup(_, _)),
+    "dd_neardup_ingest" -> (neardupIngest(_, _)),
     "dd_neardup" -> (minhashNearDup(_, _)),
     "dd_lsh_recall" -> (lshRecall(_, _)),
     "dd_edit_verify" -> (editVerify(_, _)),
@@ -1341,12 +1420,12 @@ object Dedup extends QueryModule {
     .map(b => s"SELECT doc_id, $b AS b_idx, b$b AS band FROM banded")
     .mkString("\n  UNION ALL ")
 
-  /** Tokenize → shingle → MinHash → band join → exact-Jaccard verify as a
-    * CTE chain ending in `ver(doc_a, doc_b, jac)` — the exact SQL twin of
-    * [[minhashPairs]] (pre-threshold), shared by the dd_neardup and
-    * dd_cluster oracles.
+  /** Tokenize → shingle → MinHash → band rows as a CTE chain ending in
+    * `lng(doc_id, b_idx, band)` (with `s(doc_id, sh)` for verify sides) —
+    * the shared front of [[neardupVerSql]] and the dd_neardup_ingest
+    * oracle.
     */
-  private val neardupVerSql =
+  private val neardupLngSql =
     s"""t AS (
        |  SELECT doc_id, $toksSql AS toks FROM documents
        |), s AS (
@@ -1368,7 +1447,15 @@ object Dedup extends QueryModule {
        |  FROM sig
        |), lng AS (
        |  $bandLongSql
-       |), cand AS (
+       |)""".stripMargin
+
+  /** Tokenize → shingle → MinHash → band join → exact-Jaccard verify as a
+    * CTE chain ending in `ver(doc_a, doc_b, jac)` — the exact SQL twin of
+    * [[minhashPairs]] (pre-threshold), shared by the dd_neardup and
+    * dd_cluster oracles.
+    */
+  private val neardupVerSql =
+    s"""$neardupLngSql, cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM lng a JOIN lng b
        |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.doc_id < b.doc_id
@@ -1443,6 +1530,45 @@ object Dedup extends QueryModule {
          |       WHEN b.rnk > 1 THEN 'dup_batch'
          |       ELSE 'new' END AS status
          |FROM batch b LEFT JOIN snap s ON b.fp = s.fp
+         |ORDER BY b.doc_id""".stripMargin,
+    "dd_neardup_ingest" ->
+      // oracle computes the near tier for ALL batch docs (compactness over
+      // efficiency — the engine's exact-tier prune is masked by the status
+      // CASE precedence, so outputs are identical)
+      s"""WITH $neardupLngSql, fp AS (
+         |  SELECT doc_id, md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp
+         |  FROM documents
+         |), snap AS (
+         |  SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+         |), batch AS (
+         |  SELECT doc_id, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rnk
+         |  FROM fp WHERE doc_id % 2 = 1
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS snap_id
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |), near AS (
+         |  SELECT doc_id, max(jac) AS best_jac FROM (
+         |    SELECT c.doc_id,
+         |      len(list_intersect(sb.sh, ss.sh))::DOUBLE /
+         |        (len(sb.sh) + len(ss.sh) - len(list_intersect(sb.sh, ss.sh))) AS jac
+         |    FROM cand c
+         |    JOIN s sb ON sb.doc_id = c.doc_id
+         |    JOIN s ss ON ss.doc_id = c.snap_id
+         |  ) WHERE jac >= $JaccardT GROUP BY doc_id
+         |)
+         |SELECT b.doc_id, b.fp,
+         |  CASE WHEN sn.fp IS NOT NULL THEN 'dup_corpus'
+         |       WHEN b.rnk > 1 THEN 'dup_batch'
+         |       WHEN n.best_jac IS NOT NULL THEN 'neardup_corpus'
+         |       ELSE 'new' END AS status,
+         |  CASE WHEN sn.fp IS NULL AND b.rnk = 1 AND n.best_jac IS NOT NULL
+         |       THEN round(n.best_jac, 4) END AS best_jac
+         |FROM batch b
+         |LEFT JOIN snap sn ON b.fp = sn.fp
+         |LEFT JOIN near n ON n.doc_id = b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
     "dd_neardup" ->
       s"""WITH $neardupVerSql

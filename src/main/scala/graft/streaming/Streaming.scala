@@ -124,6 +124,22 @@ final case class SigGroup(doc_id: Long, n: Long)
   */
 final case class SigKeep(sig: Long, doc_id: Long, n_merged: Long)
 
+/** One pre-state row of [[Streaming.ingestClassifyViaBands]]: a batch doc
+  * with its exact fingerprint, corpus-fp-hit flag, and (possibly several,
+  * OR-reduced in the state fn) near-dup verify verdicts.
+  */
+final case class IngestRow(doc_id: Long, fp: Option[String],
+    corpus: Boolean, near: Boolean)
+
+/** Per-distinct-fingerprint state of [[Streaming.ingestClassifyViaBands]]:
+  * how many batch docs with this fingerprint have been classified so far
+  * (the streaming form of dd_neardup_ingest's row_number over fp).
+  */
+final case class FpSeen(n: Long)
+
+/** A classification emitted by [[Streaming.ingestClassifyViaBands]]. */
+final case class IngestStatus(doc_id: Long, status: String)
+
 /** Structured Streaming surface: the same event-time semantics as the batch
   * [[graft.ops.Streamish]] battery, expressed incrementally —
   * `readStream` → transforms → `writeStream`. The reference has no streaming
@@ -522,6 +538,82 @@ object Streaming {
           rows.foreach { r => minDoc = math.min(minDoc, r._1); n += 1 }
           state.update(SigGroup(minDoc, n))
           Iterator.single(SigKeep(sig, minDoc, n))
+      }
+  }
+
+  /** Streaming twin of dd_neardup_ingest: classify ARRIVING docs against a
+    * static corpus snapshot as dup_corpus / dup_batch / neardup_corpus /
+    * new — ingest-time dedup, the daily-crawl workflow run as a stream.
+    *
+    * Everything heavy is STATELESS stream-static work: per-row fingerprint,
+    * shingles, MinHash signature and band keys (all column expressions, so
+    * legal in a streaming plan), then (a) a stream-static LEFT join against
+    * the snapshot's distinct-fingerprint set for the exact-corpus tier and
+    * (b) a stream-static equi-join of the doc's 4 band rows against the
+    * snapshot band table (carrying the snapshot shingles) with the exact
+    * Jaccard ≥ [[graft.ops.Dedup.JaccardT]] verify for the near tier — the
+    * same candidate-only shape as the batch operator, never all-pairs. The
+    * ONLY state is one [[FpSeen]] counter per DISTINCT arriving
+    * fingerprint (the dup_batch tier's row_number restated incrementally —
+    * bounded by fingerprint space, not history). Docs must arrive in
+    * doc_id order per fingerprint for dup_batch parity with the batch
+    * row_number (the shard-assignment twin's ordering contract).
+    */
+  def ingestClassifyViaBands(s: SparkSession, docsStream: DataFrame,
+      snapshotDocs: DataFrame): Dataset[IngestStatus] = {
+    import s.implicits._
+    val D = graft.ops.Dedup
+    def fpCol(t: org.apache.spark.sql.Column) = {
+      val tk = graft.ops.TextOps.tokens(t)
+      when(size(tk) <= 0, lit(null)).otherwise(md5(concat_ws(" ", tk)))
+    }
+    // snapshot artifacts — static, computed once, cached for the run (at
+    // 100 TB these ARE the persisted ingest index, not the snapshot text)
+    val snapFp = snapshotDocs.select(fpCol(col("text")).as("snap_fp"))
+      .distinct().cache()
+    val snapSh = D.shingledOf(snapshotDocs)
+    val snapBands = D.bandLong(snapSh)
+      .join(snapSh.select(col("doc_id"), col("sh").as("sh_s")), "doc_id")
+      .select(col("b_idx"), col("band"), col("sh_s")).cache()
+
+    val withFp = docsStream.select(col("doc_id"), col("text"),
+      fpCol(col("text")).as("fp"))
+    val base = withFp.join(snapFp, col("fp") === col("snap_fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        col("snap_fp").isNotNull.as("corpus"), lit(false).as("near"))
+    val hits = D.bandLong(D.shingledOf(withFp, carry = Seq("fp")),
+        carry = Seq("fp", "sh"))
+      .join(snapBands, Seq("b_idx", "band"))
+      .withColumn("inter", size(array_intersect(col("sh"), col("sh_s"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh")) + size(col("sh_s")) - col("inter")))
+      .filter(col("jac") >= D.JaccardT)
+      .select(col("doc_id"), col("fp"),
+        lit(false).as("corpus"), lit(true).as("near"))
+
+    base.unionByName(hits).as[IngestRow]
+      .groupByKey(_.fp.getOrElse(" null-fp"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[IngestRow], state: GroupState[FpSeen]) =>
+          // OR-reduce the (base ∪ hit) rows per doc, then classify in
+          // doc_id order against the running per-fingerprint counter
+          val byDoc = scala.collection.mutable.Map.empty[Long, (Boolean, Boolean)]
+          rows.foreach { r =>
+            val (c, n) = byDoc.getOrElse(r.doc_id, (false, false))
+            byDoc(r.doc_id) = (c || r.corpus, n || r.near)
+          }
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = byDoc.toSeq.sortBy(_._1).map { case (doc, (corpus, near)) =>
+            n += 1
+            val status =
+              if (corpus) "dup_corpus"
+              else if (n > 1) "dup_batch"
+              else if (near) "neardup_corpus"
+              else "new"
+            IngestStatus(doc, status)
+          }
+          state.update(FpSeen(n))
+          out.iterator
       }
   }
 

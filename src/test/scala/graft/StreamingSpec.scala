@@ -464,6 +464,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming ingest classification equals the batch dd_neardup_ingest") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.ntile
+    // snapshot = even docs (static side); the odd docs ARRIVE as a stream in
+    // doc_id order across 3 micro-batches — dup_batch rank state must carry
+    // across batch boundaries, near/corpus verdicts are stream-static
+    val src = "/tmp/graft-stream-src-ingest"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val docs = Tables.documents(spark, dir)
+    val batchDocs = docs.filter(col("doc_id") % 2 === 1)
+    val chunked = batchDocs.withColumn("chunk", ntile(3).over(W.orderBy("doc_id")))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val got = runToMemory(
+      Streaming.ingestClassifyViaBands(spark, stream,
+        docs.filter(col("doc_id") % 2 === 0)).toDF(),
+      "t_ingest", "append")
+      .orderBy("doc_id").collect().toSeq
+    val want = graft.ops.Dedup.neardupIngestOf(docs)
+      .select("doc_id", "status").orderBy("doc_id").collect().toSeq
+    assert(got === want)
+  }
+
   test("shard assignment flags an out-of-order arrival instead of diverging silently") {
     import spark.implicits._
     // pick two docs from the SAME lane, deliver the larger doc_id first and

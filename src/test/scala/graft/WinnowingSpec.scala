@@ -98,4 +98,30 @@ class WinnowingSpec extends AnyFunSuite {
       1L -> "dup_corpus", 3L -> "new", 5L -> "dup_batch",
       7L -> "new", 9L -> "dup_batch"))
   }
+
+  test("neardup ingest adds the neardup_corpus tier between dup_batch and new") {
+    import spark.implicits._
+    // 40 distinct tokens -> 38 distinct 3-shingles; a single mid-doc token
+    // swap changes exactly 3 of them: jac = 35/41 = 0.8537 >= 0.8
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearSnap = (1 to 40).map(i => if (i == 20) "swapx" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val nearBatch = (1 to 40).map(i => if (i == 20) "swapx" else s"alt$i").mkString(" ")
+    val fixture = docs(
+      0L -> base, //       snapshot
+      1L -> base, //       exact fp in snapshot -> dup_corpus (beats its jac=1 near hit)
+      3L -> nearSnap, //   1-token swap vs snapshot doc 0 -> neardup_corpus
+      5L -> nearSnap, //   same text as batch doc 3 -> dup_batch (exact tier wins)
+      7L -> other, //      unrelated to the snapshot -> new
+      9L -> nearBatch) //  near-dup of BATCH doc 7 only -> new (in-batch near
+    //                      dups are dd_neardup's job, not the ingest tier's)
+    val got = Dedup.neardupIngestOf(fixture)
+      .select("doc_id", "status", "best_jac")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._2) === Array(
+      1L -> "dup_corpus", 3L -> "neardup_corpus", 5L -> "dup_batch",
+      7L -> "new", 9L -> "new"))
+    // best_jac only on the neardup row, and exactly the hand-computed 35/41
+    assert(got.map(_._3) === Array(None, Some(0.8537), None, None, None))
+  }
 }
