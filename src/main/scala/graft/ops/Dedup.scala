@@ -237,7 +237,7 @@ object Dedup extends QueryModule {
       .filter(col("jac") >= JaccardT)
       .groupBy("doc_id").agg(max(col("jac")).as("best_jac"))
 
-    val out = exact.join(near, Seq("doc_id"), "left")
+    val out = exact.join(near.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("status",
         when(col("snap_fp").isNotNull, lit("dup_corpus"))
           .when(col("rnk") > 1, lit("dup_batch"))
