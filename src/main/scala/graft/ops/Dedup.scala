@@ -46,7 +46,26 @@ object Dedup extends QueryModule {
 
   // ------------------------------------------------------------ primitives
 
-  private def toks: Column = TextOps.tokens(col("text"))
+  private[graft] def toks: Column = TextOps.tokens(col("text"))
+
+  /** The null-guarded md5 token-stream fingerprint over a projected `toks`
+    * column — THE exact fingerprint every exact tier shares. Empty docs
+    * fingerprint to NULL (not md5 of ""), so equality joins drop them while
+    * window partitioning groups them — both engines agree on both.
+    */
+  private[graft] def fpExpr: Column =
+    when(size(col("toks")) <= 0, lit(null))
+      .otherwise(md5(concat_ws(" ", col("toks")))).as("fp")
+
+  /** docs(doc_id, text, …) → (doc_id, fp) via [[fpExpr]] — shared by
+    * exactDedup, leakageSplit, incrementalDedup, neardupIngest and (as
+    * [[fpExpr]] directly, to keep `text` for the shingle branch) the
+    * streaming ingest twin.
+    */
+  private[graft] def fingerprinted(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), fpExpr)
 
   /** Distinct 3-token shingles. Callers pre-filter size(toks) >= 3 (short
     * docs are excluded from dedup output by contract); boundedSequence makes
@@ -82,11 +101,7 @@ object Dedup extends QueryModule {
     // null-guard expression would run the split+filter 2× per row (and
     // CollapseProject keeps the two selects apart — the expression is not
     // "cheap", so it is not re-inlined).
-    val fp = Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) <= 0, lit(null))
-          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
+    val fp = fingerprinted(Tables.documents(s, dir))
     val w = Window.partitionBy("fp")
     fp.withColumn("rnk", row_number().over(w.orderBy("doc_id")))
       .withColumn("dup_cnt", count(lit(1)).over(w))
@@ -120,11 +135,7 @@ object Dedup extends QueryModule {
     */
   private[graft] def leakageSplitOf(docs: DataFrame): DataFrame = {
     val bucket = conv(substring(col("fp"), 1, 8), 16, 10).cast("long") % 100
-    docs
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) <= 0, lit(null))
-          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
+    fingerprinted(docs)
       .select(col("doc_id"), col("fp"),
         when(bucket < 80, lit("train"))
           .when(bucket < 90, lit("val"))
@@ -154,11 +165,7 @@ object Dedup extends QueryModule {
     incrementalDedupOf(Tables.documents(s, dir))
 
   private[graft] def incrementalDedupOf(docs: DataFrame): DataFrame = {
-    val fp = docs
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) <= 0, lit(null))
-          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
+    val fp = fingerprinted(docs)
     val snap = fp.filter(col("doc_id") % 2 === 0)
       .select(col("fp").as("snap_fp")).distinct()
     fp.filter(col("doc_id") % 2 === 1)
@@ -202,16 +209,16 @@ object Dedup extends QueryModule {
     neardupIngestOf(Tables.documents(s, dir))
 
   private[graft] def neardupIngestOf(docs: DataFrame): DataFrame = {
-    val fp = docs
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) <= 0, lit(null))
-          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
+    val fp = fingerprinted(docs)
     val snapFp = fp.filter(col("doc_id") % 2 === 0)
       .select(col("fp").as("snap_fp")).distinct()
+    // persisted: the exact-tier frame has two consumers (the shBatch
+    // survivor prune and the final status join) — un-persisted, the
+    // tokenize + md5 + window-shuffle subtree would run twice
     val exact = fp.filter(col("doc_id") % 2 === 1)
       .withColumn("rnk", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
       .join(snapFp, col("fp") === col("snap_fp"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sh = shingledOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -247,7 +254,7 @@ object Dedup extends QueryModule {
         when(col("status") === "neardup_corpus", round(col("best_jac"), 4))
           .as("best_jac"))
       .orderBy("doc_id")
-    materializeThenRelease(out, sh)
+    materializeThenRelease(out, sh, exact)
   }
 
   // ---------------------------------------------------------- dd_neardup

@@ -549,10 +549,13 @@ object Streaming {
     * shingles, MinHash signature and band keys (all column expressions, so
     * legal in a streaming plan), then (a) a stream-static LEFT join against
     * the snapshot's distinct-fingerprint set for the exact-corpus tier and
-    * (b) a stream-static equi-join of the doc's 4 band rows against the
-    * snapshot band table (carrying the snapshot shingles) with the exact
-    * Jaccard ≥ [[graft.ops.Dedup.JaccardT]] verify for the near tier — the
-    * same candidate-only shape as the batch operator, never all-pairs. The
+    * (b) for corpus-fp MISSES only, a stream-static equi-join of the doc's
+    * 4 band rows against the narrow snapshot band table, snapshot shingles
+    * joined back after the band match, then the exact Jaccard ≥
+    * [[graft.ops.Dedup.JaccardT]] verify — candidate-only, never
+    * all-pairs (one divergence from batch: verify runs per band HIT, not
+    * per deduplicated pair — stateless streaming has no dropDuplicates, so
+    * a 4-band agreement re-verifies ≤ 4×, harmlessly). The
     * ONLY state is one [[FpSeen]] counter per DISTINCT arriving
     * fingerprint (the dup_batch tier's row_number restated incrementally —
     * bounded by fingerprint space, not history). Docs must arrive in
@@ -563,27 +566,37 @@ object Streaming {
       snapshotDocs: DataFrame): Dataset[IngestStatus] = {
     import s.implicits._
     val D = graft.ops.Dedup
-    def fpCol(t: org.apache.spark.sql.Column) = {
-      val tk = graft.ops.TextOps.tokens(t)
-      when(size(tk) <= 0, lit(null)).otherwise(md5(concat_ws(" ", tk)))
-    }
-    // snapshot artifacts — static, computed once, cached for the run (at
-    // 100 TB these ARE the persisted ingest index, not the snapshot text)
-    val snapFp = snapshotDocs.select(fpCol(col("text")).as("snap_fp"))
-      .distinct().cache()
+    // snapshot artifacts — static, un-cached here (Spark re-evaluates
+    // static sides per micro-batch; a production deployment reads these
+    // from the PERSISTED ingest index table, which is the real fix, and
+    // an in-session .cache() would outlive the query against the repo's
+    // cache-hygiene contract). The band table stays NARROW (no shingle
+    // payload); snapshot shingles join back only after a band match.
+    val snapFp = D.fingerprinted(snapshotDocs)
+      .select(col("fp").as("snap_fp")).distinct()
     val snapSh = D.shingledOf(snapshotDocs)
     val snapBands = D.bandLong(snapSh)
-      .join(snapSh.select(col("doc_id"), col("sh").as("sh_s")), "doc_id")
-      .select(col("b_idx"), col("band"), col("sh_s")).cache()
+      .select(col("doc_id").as("snap_id"), col("b_idx"), col("band"))
 
-    val withFp = docsStream.select(col("doc_id"), col("text"),
-      fpCol(col("text")).as("fp"))
+    val withFp = docsStream
+      .select(col("doc_id"), col("text"), D.toks.as("toks"))
+      .select(col("doc_id"), col("text"), D.fpExpr)
     val base = withFp.join(snapFp, col("fp") === col("snap_fp"), "left")
       .select(col("doc_id"), col("fp"),
         col("snap_fp").isNotNull.as("corpus"), lit(false).as("near"))
-    val hits = D.bandLong(D.shingledOf(withFp, carry = Seq("fp")),
+    // the near tier: only corpus-fp MISSES pay shingling + the band join
+    // (the batch operator's exact-tier prune, restated statelessly; the
+    // in-batch dup_batch prune needs the rank state, so unlike batch those
+    // docs still reach the verify — their verdict is masked by precedence).
+    // Verify runs per (doc, snap) BAND HIT — without stateful dedup a
+    // 4-band agreement verifies ≤ Bands× redundantly; the Jaccard filter
+    // is deterministic, so redundant rows only repeat `near=true`.
+    val missFp = withFp.join(snapFp, col("fp") === col("snap_fp"), "left_anti")
+    val hits = D.bandLong(D.shingledOf(missFp, carry = Seq("fp")),
         carry = Seq("fp", "sh"))
       .join(snapBands, Seq("b_idx", "band"))
+      .join(snapSh.select(col("doc_id").as("snap_id"), col("sh").as("sh_s")),
+        "snap_id")
       .withColumn("inter", size(array_intersect(col("sh"), col("sh_s"))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sh")) + size(col("sh_s")) - col("inter")))
@@ -592,7 +605,7 @@ object Streaming {
         lit(false).as("corpus"), lit(true).as("near"))
 
     base.unionByName(hits).as[IngestRow]
-      .groupByKey(_.fp.getOrElse(" null-fp"))
+      .groupByKey(_.fp.getOrElse("null-fp"))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[IngestRow], state: GroupState[FpSeen]) =>
           // OR-reduce the (base ∪ hit) rows per doc, then classify in
