@@ -513,6 +513,147 @@ object Multimodal extends QueryModule {
     Dedup.materializeThenRelease(out, wide)
   }
 
+  // --------------------------------------------------------- mm_wav_energy
+
+  private[graft] val WavRate = 16000 // canonical speech sample rate (Hz)
+  private val WavWindow = 160        // samples per energy window (10 ms)
+  private val SilenceAmp = 8000L     // mean |amplitude| below this = silence
+
+  /** The audio branch of the decode tier: per-asset energy profile over
+    * 16-bit PCM — the VAD-style silence screen a speech-corpus pipeline runs
+    * before transcription (mostly-silent clips are the audio analogue of
+    * boilerplate text). Each payload is framed as a CANONICAL mono s16le
+    * RIFF/WAV blob (samples synthesized from the payload bytes,
+    * `(b − 128)·256` — exactly the Short range) and ROUND-TRIPPED through
+    * [[wavSamples]], a real chunk-walking RIFF parser — fmt validation,
+    * unknown-chunk skipping, odd-size padding — so on a corpus whose blobs
+    * already ARE WAV files the synthesis step disappears and the identical
+    * plan runs. Per 160-sample (10 ms) full window, the integer energy sum
+    * decides silent/loud; the per-doc rollup (windows, silent count, peak,
+    * mean |amplitude|) comes straight out of the typed map.
+    *
+    * Scale shape: one pass per payload inside a typed mapPartitions — the
+    * blob bytes never shuffle, the map emits one bounded row per asset, and
+    * the only exchange in the plan is the final presentation sort. All
+    * window/silence arithmetic is integer (exact cross-engine); the two
+    * ratios are derived in Column space so both engines round identically.
+    */
+  def wavEnergy(s: SparkSession, dir: String): DataFrame =
+    wavEnergyOf(assets(s, dir))
+
+  private[graft] def wavEnergyOf(assetFrame: DataFrame): DataFrame = {
+    import assetFrame.sparkSession.implicits._
+    val raw = assetFrame
+      .filter(length(col("payload")) > 0)
+      .as[MediaAsset]
+      .mapPartitions { it =>
+        it.map { a =>
+          val synth = new Array[Short](a.payload.length)
+          var k = 0
+          while (k < synth.length) {
+            synth(k) = (((a.payload(k) & 0xff) - 128) * 256).toShort; k += 1
+          }
+          val (_, smp) = wavSamples(encodeWav(WavRate, synth)).getOrElse(
+            throw new IllegalStateException(s"WAV round-trip failed: doc ${a.doc_id}"))
+          val nWin = smp.length / WavWindow
+          var sumAbs = 0L; var peak = 0L; var nSilent = 0L; var wsum = 0L
+          k = 0
+          while (k < smp.length) {
+            val amp = math.abs(smp(k).toLong)
+            sumAbs += amp
+            if (amp > peak) peak = amp
+            if (k < nWin * WavWindow) {
+              wsum += amp
+              if ((k + 1) % WavWindow == 0) {
+                if (wsum < SilenceAmp * WavWindow) nSilent += 1
+                wsum = 0L
+              }
+            }
+            k += 1
+          }
+          (a.doc_id, smp.length.toLong, nWin.toLong, nSilent, sumAbs, peak)
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_windows", "n_silent", "sum_abs", "peak_amp")
+    raw.select(col("doc_id"), col("n_samples"), col("n_windows"), col("n_silent"),
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(round(col("n_silent").cast("double") / col("n_windows"), 6))
+          .as("silence_ratio"),
+        col("peak_amp"),
+        round(col("sum_abs").cast("double") / col("n_samples"), 6).as("mean_abs"))
+      .orderBy("doc_id")
+  }
+
+  /** Minimal canonical mono 16-bit PCM WAV encoder — RIFF/WAVE with a
+    * 16-byte fmt chunk, a deliberately-present LIST/INFO junk chunk (so the
+    * parser's chunk walk is exercised on every blob, never an offset-44
+    * assumption), then the s16le data chunk.
+    */
+  private[graft] def encodeWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataBytes = 2 * samples.length
+    val out = new Array[Byte](56 + dataBytes) // 12 riff + 24 fmt + 12 list + 8 data
+    var i = 0
+    def ascii(s: String): Unit = { s.foreach { c => out(i) = c.toByte; i += 1 } }
+    def u32(v: Long): Unit = { var b = 0; while (b < 4) { out(i) = ((v >> (8 * b)) & 0xff).toByte; i += 1; b += 1 } }
+    def u16(v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte; i += 2 }
+    ascii("RIFF"); u32(48L + dataBytes); ascii("WAVE")
+    ascii("fmt "); u32(16); u16(1); u16(1); u32(rate.toLong); u32(2L * rate); u16(2); u16(16)
+    ascii("LIST"); u32(4); ascii("INFO")
+    ascii("data"); u32(dataBytes.toLong)
+    var k = 0
+    while (k < samples.length) {
+      out(i) = (samples(k) & 0xff).toByte; out(i + 1) = ((samples(k) >> 8) & 0xff).toByte
+      i += 2; k += 1
+    }
+    out
+  }
+
+  /** Strict RIFF/WAV parse (public container spec, pure-JVM): 'RIFF' +
+    * exact riff size + 'WAVE', then a real chunk walk — 4-byte id, u32le
+    * size, content, one pad byte after odd-size chunks — collecting the fmt
+    * chunk (required: PCM format 1, mono, 16-bit) and the data chunk, and
+    * skipping anything else (LIST, fact, cue…). Returns
+    * Some((sampleRate, s16le samples)) iff the blob is a complete valid
+    * mono-PCM16 WAV; anything else — truncated body, stereo, float PCM, a
+    * size field past the payload — is None, so a blob that merely starts
+    * with 'RIFF' can never be misparsed.
+    */
+  private[graft] def wavSamples(p: Array[Byte]): Option[(Int, Array[Short])] = {
+    def u32(off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    if (u32(4) != p.length - 8L) return None
+    var i = 12
+    var rate = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= p.length) {
+      val id = tag(i); val size = u32(i + 4)
+      if (i + 8 + size > p.length) return None // chunk body must be complete
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val fmt = u16(i + 8); val nch = u16(i + 10); val bits = u16(i + 22)
+        if (fmt != 1 || nch != 1 || bits != 16) return None
+        rate = u32(i + 12).toInt
+      } else if (id == "data") {
+        if (size % 2 != 0) return None
+        dataOff = i + 8; dataLen = size.toInt
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // odd-size chunks carry a pad byte
+    }
+    if (i != p.length) return None // trailing garbage → not a valid container
+    if (rate <= 0 || dataOff < 0) return None
+    val smp = new Array[Short](dataLen / 2)
+    var k = 0
+    while (k < smp.length) {
+      smp(k) = ((p(dataOff + 2 * k) & 0xff) | (p(dataOff + 2 * k + 1) << 8)).toShort
+      k += 1
+    }
+    Some((rate, smp))
+  }
+
   /** Synthetic blob container layout the decoder parses (defined here, not
     * in any external library — the container ships no image/audio codecs):
     *   - bytes [0, 4): magic (emitted as lowercase hex; shorter payloads
@@ -698,7 +839,8 @@ object Multimodal extends QueryModule {
     "mm_shard_manifest" -> (shardManifest(_, _)),
     "mm_phash_neardup" -> (phashNearDup(_, _)),
     "mm_phash_dedup" -> (phashDedup(_, _)),
-    "mm_dct_phash" -> (dctPhash(_, _)))
+    "mm_dct_phash" -> (dctPhash(_, _)),
+    "mm_wav_energy" -> (wavEnergy(_, _)))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -713,6 +855,37 @@ object Multimodal extends QueryModule {
       yield s"($u, $x, ${DctCos(u)(x)})").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "mm_wav_energy" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents
+         |  WHERE length(text) > 0
+         |), s AS (
+         |  SELECT doc_id, n, i,
+         |    abs((ascii(substr(text, (i + 1)::INT, 1)) - 128) * 256)::BIGINT AS a
+         |  FROM (SELECT doc_id, n, text, unnest(range(n)) AS i FROM d)
+         |), agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_samples, sum(a)::BIGINT AS sum_abs,
+         |    max(a)::BIGINT AS peak_amp
+         |  FROM s GROUP BY doc_id
+         |), w AS (
+         |  SELECT doc_id, i // $WavWindow AS win, sum(a) AS wsum
+         |  FROM s WHERE i // $WavWindow < n // $WavWindow
+         |  GROUP BY doc_id, i // $WavWindow
+         |), ws AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_windows,
+         |    sum(CASE WHEN wsum < ${SilenceAmp * WavWindow} THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_silent
+         |  FROM w GROUP BY doc_id
+         |)
+         |SELECT a.doc_id, n_samples,
+         |  coalesce(n_windows, 0)::BIGINT AS n_windows,
+         |  coalesce(n_silent, 0)::BIGINT AS n_silent,
+         |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+         |       ELSE round(n_silent::DOUBLE / n_windows, 6) END AS silence_ratio,
+         |  peak_amp,
+         |  round(sum_abs::DOUBLE / n_samples, 6) AS mean_abs
+         |FROM agg a LEFT JOIN ws ON ws.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
     "mm_dct_phash" ->
       s"""WITH px AS (
          |  SELECT doc_id, (k % $DctN)::INT AS x, (k // $DctN)::INT AS y,

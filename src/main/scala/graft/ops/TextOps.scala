@@ -1476,11 +1476,109 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------- txt_classifier_train
+
+  private[graft] val PerceptronRounds = 5
+
+  /** In-engine training of the fastText-style domain classifier (the
+    * CCNet / DSIR move: learn to separate a target domain from the general
+    * corpus, then use the scores for quality filtering or up-weighting).
+    * Features are the [[hashEmbed]] hashing-trick components; the label is
+    * the domain indicator (+1 for the `src id % 4 == 0` source slice, −1
+    * otherwise — the same deterministic source partitioning the multimodal
+    * tier keys its media types on). The learner is the batch PERCEPTRON —
+    * [[PerceptronRounds]] rounds of score → collect misclassified → add
+    * `Σ y·x` to the weights — chosen over logistic regression deliberately:
+    * every update is INTEGER, so the whole training trajectory is exact and
+    * cross-engine hash-checkable (a sigmoid would hang engine equality on
+    * transcendental rounding). Emits one row per round: mistake count
+    * (scored with the PRE-update weights, sign(0) counted as a mistake),
+    * then the post-update bias, L1 / squared-L2 weight norms, and the
+    * dominant dimension (argmax |w|, smaller dim on ties — the
+    * [[hashEmbed]] packed-key ordering).
+    *
+    * Scale shape: the feature frame is built ONCE (two map-side-partial
+    * hash aggregates) and persisted; each round is one broadcast join
+    * against the ≤ [[EmbedDim]]-row weight vector + one per-doc partial
+    * agg, then a misclassified-set join back to the cached features for the
+    * Δw fold onto [[EmbedDim]] keys. Weights and bias are EAGER
+    * localCheckpoints per round (the [[bpeLoop]] lineage-truncation
+    * discipline); the misclassified frame is checkpointed per round because
+    * two consumers (bias delta, Δw) would otherwise re-run the scoring join.
+    * State is bounded by EmbedDim + 1 regardless of corpus size; nothing is
+    * ever collected to the driver.
+    */
+  def classifierTrain(s: SparkSession, dir: String): DataFrame =
+    classifierTrainOf(Tables.documents(s, dir))
+
+  private[graft] def classifierTrainOf(docs: DataFrame): DataFrame = {
+    def chk(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
+    val spark = docs.sparkSession
+    val h8 = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+    val sgn = when(conv(substring(md5(col("t")), 9, 1), 16, 10)
+      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val comps = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), pmod(h8, lit(EmbedDim.toLong)).as("dim"), sgn.as("s"))
+      .groupBy("doc_id", "dim").agg(sum("s").as("x"))
+      .filter(col("x") =!= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lbl = docs.select(col("doc_id"),
+        when(pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) === 0,
+          lit(1L)).otherwise(lit(-1L)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = chk(spark.range(EmbedDim.toLong)
+      .select(col("id").as("dim"), lit(0L).as("wv")))
+    var st = chk(spark.range(1).select(lit(0L).as("bias"), lit(0L).as("nm")))
+    // trace rows stay LAZY over the checkpointed state frames; everything
+    // they reference is released only after the final union materializes
+    val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val state = scala.collection.mutable.ArrayBuffer[DataFrame](w, st)
+    for (round <- 1 to PerceptronRounds) {
+      val dots = comps.join(broadcast(w), "dim")
+        .groupBy("doc_id").agg(sum(col("wv") * col("x")).as("dot"))
+      val mis = chk(lbl.join(dots, Seq("doc_id"), "left")
+        .crossJoin(broadcast(st.select("bias")))
+        .filter(col("y") * (coalesce(col("dot"), lit(0L)) + col("bias")) <= 0)
+        .select("doc_id", "y"))
+      val stNext = chk(st.select("bias").crossJoin(
+          broadcast(mis.agg(coalesce(sum("y"), lit(0L)).as("dy"),
+            count(lit(1)).as("nm"))))
+        .select((col("bias") + col("dy")).as("bias"), col("nm")))
+      val dw = mis.join(comps, "doc_id")
+        .groupBy("dim").agg(sum(col("y") * col("x")).as("dw"))
+      val wNext = chk(w.join(dw, Seq("dim"), "left")
+        .select(col("dim"), (col("wv") + coalesce(col("dw"), lit(0L))).as("wv")))
+      release(mis)
+      w = wNext; st = stNext
+      state += w; state += st
+      val key = abs(col("wv")) * lit(EmbedDim.toLong) +
+        (lit((EmbedDim - 1).toLong) - col("dim"))
+      trace += w.agg(sum(abs(col("wv"))).as("w_l1"),
+          sum(col("wv") * col("wv")).as("w_l2sq"),
+          max_by(col("dim"), key).as("top_dim"))
+        .crossJoin(broadcast(st))
+        .select(lit(round.toLong).as("round"), col("nm").as("n_mistakes"),
+          col("bias"), col("w_l1"), col("w_l2sq"), col("top_dim"))
+    }
+    val out = trace.reduce(_ union _).orderBy("round")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    comps.unpersist(false); lbl.unpersist(false)
+    state.foreach(release)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_bpe_step" -> (bpeStep(_, _)),
     "txt_bpe_train" -> (bpeTrain(_, _)),
     "txt_bpe_tokenize" -> (bpeTokenize(_, _)),
     "txt_hash_embed" -> (hashEmbed(_, _)),
+    "txt_classifier_train" -> (classifierTrain(_, _)),
     "txt_dsir" -> (dsirWeights(_, _)),
     "txt_weighted_sample" -> (weightedSample(_, _)),
     "txt_shuffle_shard" -> (shuffleShard(_, _)),
@@ -1620,7 +1718,63 @@ object TextOps extends QueryModule {
        |FROM tok JOIN ns USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Unrolled-CTE twin of [[classifierTrainOf]] — one
+    * (score → misclassify → bias/weight update → norms) block per round,
+    * the [[bpeTrainSql]] / PageRank precedent. Feature hashing is the
+    * txt_hash_embed oracle verbatim; every update is integer arithmetic.
+    */
+  private def classifierTrainSql: String = {
+    val D = EmbedDim
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM documents
+         |), comps0 AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(t), 1, 8))::BIGINT % $D AS dim,
+         |    CAST(sum(CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+         |             THEN 1 ELSE -1 END) AS BIGINT) AS x
+         |  FROM tok GROUP BY 1, 2
+         |), c AS (
+         |  SELECT * FROM comps0 WHERE x <> 0
+         |), lbl AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN substr(source, 4)::INT % 4 = 0 THEN 1 ELSE -1 END)::BIGINT AS y
+         |  FROM documents
+         |), w0 AS (
+         |  SELECT unnest(range($D))::BIGINT AS dim, 0::BIGINT AS wv
+         |), s0 AS (SELECT 0::BIGINT AS bias)""".stripMargin
+    val rounds = (1 to PerceptronRounds).map { r =>
+      val (pw, ps, m, st, wn) = (s"w${r - 1}", s"s${r - 1}", s"m$r", s"s$r", s"w$r")
+      s""", $m AS (
+         |  SELECT l.doc_id, l.y FROM lbl l
+         |  LEFT JOIN (SELECT c.doc_id, sum($pw.wv * c.x) AS dot
+         |             FROM c JOIN $pw USING (dim) GROUP BY c.doc_id) s
+         |    ON s.doc_id = l.doc_id, $ps
+         |  WHERE l.y * (coalesce(s.dot, 0) + $ps.bias) <= 0
+         |), $st AS (
+         |  SELECT ((SELECT bias FROM $ps) + coalesce(sum(y), 0))::BIGINT AS bias,
+         |    count(*)::BIGINT AS nm
+         |  FROM $m
+         |), $wn AS (
+         |  SELECT $pw.dim, ($pw.wv + coalesce(d.dw, 0))::BIGINT AS wv
+         |  FROM $pw LEFT JOIN (SELECT c.dim, sum(m.y * c.x) AS dw
+         |                      FROM $m m JOIN c USING (doc_id) GROUP BY c.dim) d
+         |    ON d.dim = $pw.dim
+         |), t$r AS (
+         |  SELECT $r::BIGINT AS round, $st.nm AS n_mistakes, $st.bias AS bias,
+         |    (SELECT sum(abs(wv)) FROM $wn)::BIGINT AS w_l1,
+         |    (SELECT sum(wv * wv) FROM $wn)::BIGINT AS w_l2sq,
+         |    (SELECT dim FROM $wn ORDER BY abs(wv) DESC, dim ASC LIMIT 1) AS top_dim
+         |  FROM $st
+         |)""".stripMargin
+    }.mkString
+    val sel = (1 to PerceptronRounds)
+      .map(r => s"SELECT * FROM t$r").mkString("\n", "\nUNION ALL ", "")
+    base + rounds + sel + "\nORDER BY round"
+  }
+
   val oracles: Map[String, String] = Map(
+    "txt_classifier_train" -> classifierTrainSql,
     "txt_bpe_train" -> bpeTrainSql,
     "txt_bpe_tokenize" -> bpeTokenizeSql,
     "txt_bpe_step" ->

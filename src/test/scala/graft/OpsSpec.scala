@@ -929,6 +929,96 @@ class OpsSpec extends AnyFunSuite {
     assert(!out.exists(p => p._2 == 4L), s"unrelated text must not pair: $out")
   }
 
+  test("mm_wav_energy: RIFF chunk walk, s16le round-trip, hand-computed windows") {
+    import spark.implicits._
+    // -- encode → strict parse round-trip recovers rate and samples exactly,
+    // including negative amplitudes (sign-extended s16le) and the LIST chunk
+    val smp = Array[Short](0, 1, -1, 32512, -32768, 1234, -4321)
+    val (rate, got) = Multimodal.wavSamples(Multimodal.encodeWav(16000, smp)).get
+    assert(rate === 16000 && got.toSeq === smp.toSeq)
+    // -- a real-world extra chunk with an ODD size must be skipped via its
+    // pad byte; splice one in front of the data chunk
+    val blob = Multimodal.encodeWav(8000, Array[Short](7, -7))
+    val junk = "cue ".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 9, 9, 9, 0)
+    val spliced = blob.take(36) ++ junk ++ blob.drop(36)
+    // patch the riff size for the 12 spliced bytes
+    val rs = (spliced.length - 8).toLong
+    for (b <- 0 until 4) spliced(4 + b) = ((rs >> (8 * b)) & 0xff).toByte
+    assert(Multimodal.wavSamples(spliced).get._2.toSeq === Seq(7.toShort, -7.toShort))
+    // -- strict rejections: stereo fmt, truncated body, riff-size mismatch
+    val stereo = Multimodal.encodeWav(16000, smp).clone()
+    stereo(22) = 2 // fmt channels field
+    assert(Multimodal.wavSamples(stereo).isEmpty)
+    assert(Multimodal.wavSamples(blob.dropRight(1)).isEmpty)
+    val badSize = blob.clone(); badSize(4) = (badSize(4) + 1).toByte
+    assert(Multimodal.wavSamples(badSize).isEmpty)
+    // -- hand-computed energy: 'a' (97) → |amp| 7936, window sum 1,269,760 <
+    // 1,280,000 → silent; ' ' (32) → |amp| 24576 → loud; <160 samples → no
+    // full window, ratio pinned 0.0
+    val docs = Seq(
+      (1L, "a" * 320),
+      (2L, " " * 160 + "a" * 160),
+      (3L, "abc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        col("text").cast("binary").as("payload"))
+    val out = Multimodal.wavEnergyOf(docs)
+      .as[(Long, Long, Long, Long, Double, Long, Double)].collect().toSeq
+    val expected = Seq(
+      (1L, 320L, 2L, 2L, 1.0, 7936L, 7936.0),
+      (2L, 320L, 2L, 1L, 0.5, 24576L, 16256.0),
+      (3L, 3L, 0L, 0L, 0.0, 7936L, 7680.0))
+    assert(out === expected)
+  }
+
+  test("txt_classifier_train: trajectory equals an in-memory reference perceptron") {
+    import spark.implicits._
+    // src0/src4 → y=+1 (id%4==0), src1/src2/src3 → −1; doc 7 is empty text
+    // (features ∅ → bias-only scoring must still count it)
+    val raw = Seq(
+      (1L, "src0", "alpha beta gamma"),
+      (2L, "src4", "alpha beta delta delta"),
+      (3L, "src1", "gamma gamma epsilon"),
+      (4L, "src2", "zeta eta theta alpha"),
+      (5L, "src0", "beta beta beta"),
+      (6L, "src3", "iota kappa"),
+      (7L, "src0", ""))
+    // independent reference: string-side md5 feature hashing + a
+    // mutable-array batch perceptron, same tie/sign conventions
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val D = 64
+    def feats(text: String): Map[Int, Long] =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        .map { t =>
+          val h = md5hex(t)
+          val dim = (java.lang.Long.parseLong(h.substring(0, 8), 16) % D).toInt
+          val sgn = if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
+          dim -> sgn
+        }.groupMapReduce(_._1)(_._2)(_ + _).filter(_._2 != 0)
+    val x = raw.map { case (id, _, t) => id -> feats(t) }.toMap
+    val y = raw.map { case (id, src, _) =>
+      id -> (if (src.drop(3).toInt % 4 == 0) 1L else -1L)
+    }.toMap
+    val w = Array.fill(D)(0L); var b = 0L
+    val expected = (1 to graft.ops.TextOps.PerceptronRounds).map { r =>
+      val mis = raw.map(_._1).filter { id =>
+        val dot = x(id).map { case (d, xv) => w(d) * xv }.sum + b
+        y(id) * dot <= 0
+      }
+      for (id <- mis; (d, xv) <- x(id)) w(d) += y(id) * xv
+      b += mis.map(y).sum
+      val top = w.indices.maxBy(d => math.abs(w(d)) * D + (D - 1 - d)).toLong
+      (r.toLong, mis.size.toLong, b, w.map(math.abs).sum, w.map(v => v * v).sum, top)
+    }
+    assert(expected.head._2 === 7L, "round 1 scores with w=0 — every doc is a mistake")
+    val got = graft.ops.TextOps.classifierTrainOf(
+        raw.toDF("doc_id", "source", "text"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("ev_streaks: islands split on gaps, longest ties break to the earliest start") {
     import spark.implicits._
     // user 1: days 1,2,3 then 5,6 -> streaks 3 and 2, longest 3 starting d1
