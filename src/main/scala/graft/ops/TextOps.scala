@@ -1511,7 +1511,16 @@ object TextOps extends QueryModule {
   def classifierTrain(s: SparkSession, dir: String): DataFrame =
     classifierTrainOf(Tables.documents(s, dir))
 
-  private[graft] def classifierTrainOf(docs: DataFrame): DataFrame = {
+  /** Everything the perceptron loop leaves behind: the persisted feature /
+    * label frames, the final checkpointed weight + bias state, the lazy
+    * per-round trace frames, and one hook releasing all of it (called by
+    * the consumer AFTER its own output materializes).
+    */
+  private case class PerceptronState(
+      comps: DataFrame, lbl: DataFrame, w: DataFrame, st: DataFrame,
+      trace: Seq[DataFrame], release: () => Unit)
+
+  private def perceptronLoop(docs: DataFrame): PerceptronState = {
     def chk(df: DataFrame): DataFrame = df.localCheckpoint(true)
     def release(df: DataFrame): Unit =
       df.queryExecution.analyzed.collect {
@@ -1565,11 +1574,57 @@ object TextOps extends QueryModule {
         .select(lit(round.toLong).as("round"), col("nm").as("n_mistakes"),
           col("bias"), col("w_l1"), col("w_l2sq"), col("top_dim"))
     }
-    val out = trace.reduce(_ union _).orderBy("round")
+    PerceptronState(comps, lbl, w, st, trace.toSeq, () => {
+      comps.unpersist(false); lbl.unpersist(false)
+      state.foreach(release)
+    })
+  }
+
+  private[graft] def classifierTrainOf(docs: DataFrame): DataFrame = {
+    val ps = perceptronLoop(docs)
+    val out = ps.trace.reduce(_ union _).orderBy("round")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    comps.unpersist(false); lbl.unpersist(false)
-    state.foreach(release)
+    ps.release()
+    out
+  }
+
+  // ----------------------------------------------------- txt_classifier_score
+
+  /** The production half of the classifier pair — [[classifierTrainOf]]'s
+    * final weights applied back to every document (the CCNet quality-filter
+    * application): per doc the integer margin `Σ w·x + bias`, the predicted
+    * domain (`score > 0` → +1; the zero margin scores −1, mirroring
+    * training's "sign(0) is a mistake" rule), and the correctness flag
+    * against the true source label. Downstream a pipeline thresholds
+    * `score` to filter or up-weight — emitting the margin rather than a
+    * keep bit keeps the operator composable with any threshold.
+    *
+    * Scale shape: training state is bounded (≤ [[EmbedDim]] + 1 rows), so
+    * scoring is ONE broadcast join of the cached feature frame against the
+    * final weight vector + a per-doc partial agg — no corpus re-tokenize
+    * (the loop's persisted `comps` is reused) and no extra shuffle beyond
+    * the per-doc fold; label rows left-join the scores so feature-less
+    * (empty-text) docs score bias-only instead of dropping out.
+    */
+  def classifierScore(s: SparkSession, dir: String): DataFrame =
+    classifierScoreOf(Tables.documents(s, dir))
+
+  private[graft] def classifierScoreOf(docs: DataFrame): DataFrame = {
+    val ps = perceptronLoop(docs)
+    val dots = ps.comps.join(broadcast(ps.w), "dim")
+      .groupBy("doc_id").agg(sum(col("wv") * col("x")).as("dot"))
+    val out = ps.lbl.join(dots, Seq("doc_id"), "left")
+      .crossJoin(broadcast(ps.st.select("bias")))
+      .select(col("doc_id"), col("y"),
+        (coalesce(col("dot"), lit(0L)) + col("bias")).as("score"))
+      .withColumn("pred", when(col("score") > 0, lit(1L)).otherwise(lit(-1L)))
+      .withColumn("correct",
+        when(col("pred") === col("y"), lit(1L)).otherwise(lit(0L)))
+      .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ps.release()
     out
   }
 
@@ -1579,6 +1634,7 @@ object TextOps extends QueryModule {
     "txt_bpe_tokenize" -> (bpeTokenize(_, _)),
     "txt_hash_embed" -> (hashEmbed(_, _)),
     "txt_classifier_train" -> (classifierTrain(_, _)),
+    "txt_classifier_score" -> (classifierScore(_, _)),
     "txt_dsir" -> (dsirWeights(_, _)),
     "txt_weighted_sample" -> (weightedSample(_, _)),
     "txt_shuffle_shard" -> (shuffleShard(_, _)),
@@ -1773,8 +1829,33 @@ object TextOps extends QueryModule {
     base + rounds + sel + "\nORDER BY round"
   }
 
+  /** Scoring twin of [[classifierTrainSql]]: identical unrolled training
+    * CTEs, then one final-weights scoring select — the
+    * [[classifierScoreOf]] plan restated (zero margin predicts −1).
+    */
+  private def classifierScoreSql: String = {
+    val trainSql = classifierTrainSql
+    val ctes = trainSql.substring(0, trainSql.lastIndexOf("\nSELECT * FROM t1"))
+    val (fw, fs) = (s"w$PerceptronRounds", s"s$PerceptronRounds")
+    ctes +
+      s"""
+         |SELECT doc_id, y, score,
+         |  (CASE WHEN score > 0 THEN 1 ELSE -1 END)::BIGINT AS pred,
+         |  (CASE WHEN (CASE WHEN score > 0 THEN 1 ELSE -1 END) = y
+         |        THEN 1 ELSE 0 END)::BIGINT AS correct
+         |FROM (
+         |  SELECT l.doc_id, l.y,
+         |    (coalesce(s.dot, 0) + (SELECT bias FROM $fs))::BIGINT AS score
+         |  FROM lbl l
+         |  LEFT JOIN (SELECT c.doc_id, sum($fw.wv * c.x) AS dot
+         |             FROM c JOIN $fw USING (dim) GROUP BY c.doc_id) s
+         |    ON s.doc_id = l.doc_id)
+         |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "txt_classifier_train" -> classifierTrainSql,
+    "txt_classifier_score" -> classifierScoreSql,
     "txt_bpe_train" -> bpeTrainSql,
     "txt_bpe_tokenize" -> bpeTokenizeSql,
     "txt_bpe_step" ->

@@ -1017,6 +1017,18 @@ class OpsSpec extends AnyFunSuite {
         raw.toDF("doc_id", "source", "text"))
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got === expected)
+    // -- the scoring twin applies the FINAL weights: same reference arrays,
+    // zero margin predicts −1 (the training mistake rule's sign convention)
+    val expScores = raw.map(_._1).sorted.map { id =>
+      val sc = x(id).map { case (d, xv) => w(d) * xv }.sum + b
+      val pred = if (sc > 0) 1L else -1L
+      (id, y(id), sc, pred, if (pred == y(id)) 1L else 0L)
+    }
+    val gotScores = graft.ops.TextOps.classifierScoreOf(
+        raw.toDF("doc_id", "source", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotScores === expScores)
+    assert(gotScores.exists(_._3 != 0L), "degenerate all-zero margins")
   }
 
   test("ev_streaks: islands split on gaps, longest ties break to the earliest start") {
