@@ -1451,13 +1451,10 @@ object TextOps extends QueryModule {
     hashEmbedOf(Tables.documents(s, dir))
 
   private[graft] def hashEmbedOf(docs: DataFrame): DataFrame = {
-    val h8 = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
-    val sgn = when(conv(substring(md5(col("t")), 9, 1), 16, 10)
-      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
     val comps = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), pmod(h8, lit(EmbedDim.toLong)).as("dim"),
-        sgn.as("s"))
+      .select(col("doc_id"), featDim(col("t")).as("dim"),
+        featSign(col("t")).as("s"))
       .groupBy("doc_id", "dim").agg(sum("s").as("w"))
       .filter(col("w") =!= 0)
     val key = abs(col("w")) * lit(EmbedDim.toLong) +
@@ -1511,6 +1508,18 @@ object TextOps extends QueryModule {
   def classifierTrain(s: SparkSession, dir: String): DataFrame =
     classifierTrainOf(Tables.documents(s, dir))
 
+  /** The hashing-trick feature coordinates shared by training, scoring, and
+    * the streaming serving twin: md5-derived dimension and ±1 sign per
+    * token (the [[hashEmbed]] convention).
+    */
+  private[graft] def featDim(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+      lit(EmbedDim.toLong))
+
+  private[graft] def featSign(t: Column): Column =
+    when(conv(substring(md5(t), 9, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+
   /** Everything the perceptron loop leaves behind: the persisted feature /
     * label frames, the final checkpointed weight + bias state, the lazy
     * per-round trace frames, and one hook releasing all of it (called by
@@ -1527,12 +1536,10 @@ object TextOps extends QueryModule {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.foreach(_.unpersist(false))
     val spark = docs.sparkSession
-    val h8 = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
-    val sgn = when(conv(substring(md5(col("t")), 9, 1), 16, 10)
-      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
     val comps = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), pmod(h8, lit(EmbedDim.toLong)).as("dim"), sgn.as("s"))
+      .select(col("doc_id"), featDim(col("t")).as("dim"),
+        featSign(col("t")).as("s"))
       .groupBy("doc_id", "dim").agg(sum("s").as("x"))
       .filter(col("x") =!= 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1622,6 +1629,27 @@ object TextOps extends QueryModule {
       .withColumn("correct",
         when(col("pred") === col("y"), lit(1L)).otherwise(lit(0L)))
       .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ps.release()
+    out
+  }
+
+  /** The deployable classifier artifact: ONE row carrying the final weight
+    * vector as a `map<dim, wv>` plus the bias — what a serving path ships
+    * to every executor. Because the dot product distributes over tokens
+    * (`Σ_dims w·x ≡ Σ_tokens w[dim(t)]·sign(t)`; zero-sum components
+    * contribute zero either way), a scorer holding this row needs NO
+    * feature aggregation at all: scoring is a per-row fold, stateless and
+    * shuffle-free — the shape [[graft.streaming.Streaming.scoredDocsStreaming]]
+    * exploits on the ingest firehose.
+    */
+  private[graft] def trainedScorerOf(docs: DataFrame): DataFrame = {
+    val ps = perceptronLoop(docs)
+    val out = ps.w
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("wv"))))
+        .as("wmap"))
+      .crossJoin(broadcast(ps.st.select("bias")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     ps.release()

@@ -290,6 +290,33 @@ object Streaming {
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cms"))
 
+  /** Streaming twin of `txt_classifier_score` — the quality filter ON the
+    * ingest firehose. The trained artifact arrives as the 1-row
+    * [[graft.ops.TextOps.trainedScorerOf]] table (weight map + bias,
+    * bounded by EmbedDim + 1); scoring exploits the dot product
+    * distributing over tokens (`Σ_dims w·x ≡ Σ_tokens w[dim(t)]·sign(t)`),
+    * so each arriving document is scored by ONE per-row integer fold after
+    * a stream-static broadcast join against the scorer row: ZERO streaming
+    * state, zero shuffle, no per-doc feature aggregation anywhere. This is
+    * the strongest scale shape in the streaming battery — the classifier
+    * serves at raw ingest bandwidth on any number of executors, and the
+    * emitted margin composes with any downstream threshold (the batch
+    * operator's contract). Shared [[graft.ops.TextOps.featDim]] /
+    * [[graft.ops.TextOps.featSign]] / tokens expressions keep stream and
+    * batch from drifting.
+    */
+  def scoredDocsStreaming(docs: DataFrame, scorer: DataFrame): DataFrame = {
+    val T = graft.ops.TextOps
+    docs
+      .withColumn("k", lit(1))
+      .join(broadcast(scorer.withColumn("k", lit(1))), "k")
+      .select(col("doc_id"),
+        (col("bias") + aggregate(T.tokens(col("text")), lit(0L), (acc, t) =>
+          acc + coalesce(element_at(col("wmap"), T.featDim(t)), lit(0L)) *
+            T.featSign(t))).as("score"))
+      .withColumn("pred", when(col("score") > 0, lit(1L)).otherwise(lit(-1L)))
+  }
+
   /** Streaming twin of `ev_session`: Spark's native gap-based
     * `session_window` (30-minute gap), the incremental form of the batch
     * lag+cumsum sessionization — the state store merges/extends open

@@ -430,6 +430,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(assigns.filter(!col("in_order")).count() === 0)
   }
 
+  test("streaming classifier scoring equals the batch txt_classifier_score margins") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.ntile
+    // train once batch-side (the deployable 1-row scorer artifact), then
+    // serve the corpus as 3 micro-batches — the stateless per-row fold must
+    // reproduce the batch margins exactly under ANY chunking, including a
+    // doc whose text contributes no features (bias-only score)
+    val src = "/tmp/graft-stream-src-clf"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val docs = Tables.documents(spark, dir)
+    val scorer = graft.ops.TextOps.trainedScorerOf(docs)
+    val chunked = docs.withColumn("chunk", ntile(3).over(W.orderBy("doc_id")))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val got = runToMemory(
+      Streaming.scoredDocsStreaming(stream, scorer), "t_clf_score", "append")
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.ops.TextOps.classifierScoreOf(docs)
+    val want = batch.select("doc_id", "score", "pred")
+      .orderBy("doc_id").collect().toSeq
+    assert(got === want)
+    scorer.unpersist(); batch.unpersist()
+  }
+
   test("streaming phash keep-list converges to the batch mm_phash_dedup") {
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions.ntile
