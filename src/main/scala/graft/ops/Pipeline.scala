@@ -152,9 +152,52 @@ object Pipeline extends QueryModule {
     out.orderBy("source")
   }
 
+  /** The quality-TIERED split manifest — the CCNet move completed in-engine:
+    * the trained domain classifier's margins ([[TextOps.classifierScoreOf]])
+    * bucket the corpus into head/middle/tail terciles, crossed with the
+    * leakage-safe train/val/test assignment, rolled up to docs + tokens +
+    * exact margin sums per (split, tier). This is the table a curriculum /
+    * quality-mixing schedule reads ("train on head first", "cap tail at
+    * 10%"), published per split so the tiers can't leak across the
+    * boundary dd_leakage_split guarantees.
+    *
+    * Scale shape: the scoring loop's state is bounded (≤ EmbedDim + 1), so
+    * the whole pipeline is the one scored-corpus pass + two 1-row broadcast
+    * scalars (the tercile cutoffs — `percentile` interpolates p·(n−1) on
+    * the same integers in both engines, the pplBucket precedent) + the
+    * bounded split join, folding map-side into ≤ 9 rows. The oracle
+    * composes the classifier-score and leakage-split stage oracles — the
+    * gate proves the COMPOSITION, not just the stages.
+    */
+  def classified(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.classifierScoreOf(Tables.documents(s, dir))
+    val sp = Dedup.leakageSplit(s, dir).select(col("doc_id"), col("split"))
+    val cuts = scored.agg(
+      expr("percentile(score, 0.3333333333333333)").as("q33"),
+      expr("percentile(score, 0.6666666666666666)").as("q66"))
+    // tail = lowest margins (least target-domain-like), head = highest
+    val tiered = scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("score"),
+        when(col("score") <= col("q33"), "tail")
+          .when(col("score") <= col("q66"), "middle")
+          .otherwise("head").as("tier"))
+    val out = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(tiered, "doc_id")
+      .join(sp, "doc_id")
+      .groupBy("split", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("score").as("sum_margin"),
+        min("score").as("min_margin"), max("score").as("max_margin"))
+      .orderBy("split", "tier")
+    Dedup.materializeThenRelease(out, scored)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus" -> (corpus(_, _)),
     "pipe_datacard" -> (datacard(_, _)),
+    "pipe_classified" -> (classified(_, _)),
     "pipe_shards" -> (shards(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -204,6 +247,29 @@ object Pipeline extends QueryModule {
          |    FILTER (WHERE q AND w AND sv AND NOT ct AND NOT bench), 0)::BIGINT
          |    AS n_tokens_final
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_classified" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, score FROM (${TextOps.oracles("txt_classifier_score")})
+         |), cuts AS (
+         |  SELECT quantile_cont(score, 0.3333333333333333) AS q33,
+         |    quantile_cont(score, 0.6666666666666666) AS q66
+         |  FROM scored
+         |), sp AS (
+         |  SELECT doc_id, split FROM (${Dedup.oracles("dd_leakage_split")})
+         |), d AS (
+         |  SELECT m.doc_id,
+         |    len(${graft.OracleSql.toks("lower(m.text)")})::BIGINT AS n_tokens,
+         |    s.score, sp.split,
+         |    CASE WHEN s.score <= (SELECT q33 FROM cuts) THEN 'tail'
+         |         WHEN s.score <= (SELECT q66 FROM cuts) THEN 'middle'
+         |         ELSE 'head' END AS tier
+         |  FROM documents m JOIN scored s USING (doc_id) JOIN sp USING (doc_id)
+         |)
+         |SELECT split, tier, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS n_tokens,
+         |  sum(score)::BIGINT AS sum_margin,
+         |  min(score)::BIGINT AS min_margin, max(score)::BIGINT AS max_margin
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipe_shards" ->
       s"""WITH keepq AS (
          |  SELECT doc_id FROM (${TextOps.oracles("txt_c4_filter")}) WHERE keep

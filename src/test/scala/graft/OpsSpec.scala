@@ -143,6 +143,27 @@ class OpsSpec extends AnyFunSuite {
     assert(nFinal === nCorpus)
   }
 
+  test("pipe_classified: tier rollup audits the classifier margins exactly") {
+    val tiers = graft.ops.Pipeline.classified(spark, dir).collect()
+    assert(tiers.nonEmpty)
+    val scored = graft.ops.TextOps.classifierScore(spark, dir)
+    val nScored = scored.count()
+    val sumMargin = scored.agg(org.apache.spark.sql.functions.sum("score"))
+      .head().getLong(0)
+    scored.unpersist()
+    // every scored doc lands in exactly one (split, tier) cell, and the
+    // cells' exact margin sums reassemble the per-doc total — the manifest
+    // and the classifier are mutually checking artifacts
+    assert(tiers.map(_.getLong(2)).sum === nScored)
+    assert(tiers.map(_.getLong(4)).sum === sumMargin)
+    // tercile bucketing must produce all three tiers somewhere
+    assert(tiers.map(_.getString(1)).toSet === Set("head", "middle", "tail"))
+    tiers.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(6),
+        s"${r.getString(0)}/${r.getString(1)}: min > max margin")
+    }
+  }
+
   test("boundedSequence: empty for inverted bounds and typed by its inputs") {
     val r = spark.range(1).select(
       graft.functions.Exprs.boundedSequence(lit(1), lit(0)).as("e"),

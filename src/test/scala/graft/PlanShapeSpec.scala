@@ -44,7 +44,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_recall_ivfpq", // composes brute + IVF-PQ, both bounded as above
     "dd_lsh_recall", // 1-row n_true × 1-row n_found audit scalars
     "txt_classifier_train", // 1-row bias/mistake scalars crossed per round
-    "txt_classifier_score") // same loop + the 1-row final-bias scalar
+    "txt_classifier_score", // same loop + the 1-row final-bias scalar
+    "pipe_classified") // the score loop + the 1-row tercile-cutoff scalar
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)
