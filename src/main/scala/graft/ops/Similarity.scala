@@ -308,6 +308,22 @@ object Similarity extends QueryModule {
     */
   private def knnGraphWithRelease(
       s: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val (scored, release) = scoredBandPairsWithRelease(s, dir)
+    val out = topKPerGroup(scored, Seq("vec_id"), "nbr_id", GraphK,
+        col("cos").desc, col("nbr_id").asc)
+      .select(col("vec_id"), col("nbr_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_id", "rnk")
+    (out, release)
+  }
+
+  /** Exact-cosine-scored banded candidate pairs `(vec_id, nbr_id, cos)` —
+    * the directed same-band self-join every corpus-wide neighbor consumer
+    * (knn graph, triplet mining) re-ranks — plus the hook releasing the
+    * corpus/banded caches underneath.
+    */
+  private def scoredBandPairsWithRelease(
+      s: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val c = corpus(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = banded(c)
@@ -327,12 +343,49 @@ object Similarity extends QueryModule {
         col("n2").as("nn2")).hint("shuffle_hash"), "nbr_id")
       .select(col("vec_id"), col("nbr_id"),
         cosine(idot(col("vq"), col("nv")), col("n2"), col("nn2")).as("cos"))
-    val out = topKPerGroup(scored, Seq("vec_id"), "nbr_id", GraphK,
-        col("cos").desc, col("nbr_id").asc)
-      .select(col("vec_id"), col("nbr_id"), col("rnk"),
-        round(col("cos"), 6).as("cos_sim"))
-      .orderBy("vec_id", "rnk")
-    (out, () => { c.unpersist(false); b.unpersist(false); () })
+    (scored, () => { c.unpersist(false); b.unpersist(false); () })
+  }
+
+  // --------------------------------------------------------- sim_triplets
+
+  /** Triplet mining for contrastive embedding training — the DPR / SimCSE
+    * data-prep step run at corpus scale: for every anchor with at least one
+    * POSITIVE (its best same-band candidate at cosine ≥ [[SemT]]), the
+    * [[GraphK]] HARDEST negatives — the highest-cosine candidates still
+    * below the positive bar — with the margin `cos_pos − cos_neg` the
+    * triplet loss will see. Anchors without a positive drop out (nothing
+    * to contrast); negatives coming from the same banded candidate
+    * generator is precisely what makes them hard (uniform-random negatives
+    * are trivial at any corpus size, the classic mining failure).
+    *
+    * Scale shape: candidates are the bucket-local band self-join (linear
+    * via the log-scaled band width + bucket cap — the knn_graph argument);
+    * the scored frame persists ONCE and feeds both the positive top-1 and
+    * the negative top-k (each the salted two-phase ranking); the pos↔neg
+    * assembly joins two per-anchor-bounded frames (1 × GraphK rows).
+    */
+  def triplets(s: SparkSession, dir: String): DataFrame = {
+    val (scored0, release) = scoredBandPairsWithRelease(s, dir)
+    val scored = scored0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos1 = topKPerGroup(scored.filter(col("cos") >= SemT),
+        Seq("vec_id"), "nbr_id", 1, col("cos").desc, col("nbr_id").asc)
+      .select(col("vec_id"), col("nbr_id").as("pos_id"),
+        col("cos").as("cos_pos"))
+    val neg = topKPerGroup(scored.filter(col("cos") < SemT),
+        Seq("vec_id"), "nbr_id", GraphK, col("cos").desc, col("nbr_id").asc)
+      .select(col("vec_id"), col("nbr_id").as("neg_id"), col("rnk"),
+        col("cos").as("cos_neg"))
+    val out = pos1.join(neg, "vec_id")
+      .select(col("vec_id").as("anchor_id"), col("pos_id"), col("neg_id"),
+        col("rnk"),
+        round(col("cos_pos"), 6).as("cos_pos"),
+        round(col("cos_neg"), 6).as("cos_neg"),
+        round(col("cos_pos") - col("cos_neg"), 6).as("margin"))
+      .orderBy("anchor_id", "rnk")
+    val fin = Dedup.materializeThenRelease(out, scored)
+    release()
+    fin
   }
 
   // ------------------------------------------------------- sim_recall_at_k
@@ -1251,7 +1304,8 @@ object Similarity extends QueryModule {
     "sim_bfs_reach" -> (bfsReach(_, _)),
     "sim_recall_at_k" -> (recallAtK(_, _)),
     "sim_recall_ivfpq" -> (recallIvfPq(_, _)),
-    "sim_semantic_dedup" -> (semanticDedup(_, _)))
+    "sim_semantic_dedup" -> (semanticDedup(_, _)),
+    "sim_triplets" -> (triplets(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1817,5 +1871,33 @@ object Similarity extends QueryModule {
          |SELECT cluster, CASE WHEN akeeps THEN va ELSE vb END AS keep_id,
          |  CASE WHEN akeeps THEN vb ELSE va END AS drop_id,
          |  round(c, 4) AS cos_sim
-         |FROM pr WHERE c >= $SemT ORDER BY cluster, keep_id, drop_id""".stripMargin)
+         |FROM pr WHERE c >= $SemT ORDER BY cluster, keep_id, drop_id""".stripMargin,
+    "sim_triplets" ->
+      s"""WITH $corpusSql, $bandSql, cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id <> b.vec_id
+         |), pairs AS (
+         |  SELECT cand.vec_id, nbr_id,
+         |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
+         |), sc AS (
+         |  SELECT vec_id, nbr_id,
+         |    $dotSql::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) AS cos
+         |  FROM pairs
+         |), pos AS (
+         |  SELECT vec_id, nbr_id AS pos_id, cos AS cos_pos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS pr
+         |  FROM sc WHERE cos >= $SemT
+         |), neg AS (
+         |  SELECT vec_id, nbr_id AS neg_id, cos AS cos_neg,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC)::INT AS rnk
+         |  FROM sc WHERE cos < $SemT
+         |)
+         |SELECT p.vec_id AS anchor_id, p.pos_id, n.neg_id, n.rnk,
+         |  round(p.cos_pos, 6) AS cos_pos, round(n.cos_neg, 6) AS cos_neg,
+         |  round(p.cos_pos - n.cos_neg, 6) AS margin
+         |FROM pos p JOIN neg n ON n.vec_id = p.vec_id
+         |WHERE p.pr = 1 AND n.rnk <= $GraphK
+         |ORDER BY anchor_id, rnk""".stripMargin)
 }

@@ -143,6 +143,44 @@ class OpsSpec extends AnyFunSuite {
     assert(nFinal === nCorpus)
   }
 
+  test("sim_triplets: positive bar, hard-negative order, exact cosine recompute") {
+    import spark.implicits._
+    val t = graft.ops.Similarity.triplets(spark, dir)
+      .as[(Long, Long, Long, Int, Double, Double, Double)].collect().toSeq
+    assert(t.nonEmpty, "no anchor crossed the positive bar — degenerate fixture")
+    // the triplet invariants: positive at/above the bar, negatives below,
+    // margin strictly positive, one positive per anchor, ranks contiguous
+    // and descending in similarity
+    t.foreach { case (a, _, _, _, cp, cn, m) =>
+      assert(cp >= 0.4 && cn < 0.4 && m > 0, s"anchor $a: $cp / $cn / $m")
+    }
+    t.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._2).distinct.size === 1, s"anchor $a: >1 positive")
+      assert(rows.map(_._4).sorted === (1 to rows.size), s"anchor $a: rank gap")
+      assert(rows.sortBy(_._4).map(_._6).sliding(2).forall(p =>
+        p.size < 2 || p(0) >= p(1)), s"anchor $a: negatives out of order")
+    }
+    // independent recompute of one row's cosines straight from the
+    // embeddings table (same Q.20 quantization, exact integer dot)
+    val (a, p, n, _, cp, cn, _) = t.head
+    val vecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(a, p, n))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, e) => id -> e.map(x => math.floor(x * 1048576L).toLong) }
+      .toMap
+    def cos(x: Seq[Long], y: Seq[Long]): Double = {
+      val dot = x.zip(y).map { case (u, v) => u * v }.sum
+      val r = dot.toDouble /
+        (math.sqrt(x.map(v => v * v).sum.toDouble) *
+          math.sqrt(y.map(v => v * v).sum.toDouble))
+      // Spark round() semantics: HALF_UP on the BigDecimal value
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(cos(vecs(a), vecs(p)) === cp)
+    assert(cos(vecs(a), vecs(n)) === cn)
+  }
+
   test("pipe_classified: tier rollup audits the classifier margins exactly") {
     val tiers = graft.ops.Pipeline.classified(spark, dir).collect()
     assert(tiers.nonEmpty)
