@@ -143,6 +143,54 @@ class OpsSpec extends AnyFunSuite {
     assert(nFinal === nCorpus)
   }
 
+  test("txt_classifier_train: property — trajectory matches the reference on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // independent reference perceptron (string-side md5 hashing, mutable
+    // arrays) re-stated compactly; exercises the edges the fixture can't
+    // enumerate: empty docs, single-class corpora, zero-sum features,
+    // sign(0) ties on both the mistake rule and the argmax packing
+    val D = 64
+    def reference(corpus: Seq[(Long, String, String)]) = {
+      val mdig = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String) = mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val x = corpus.map { case (id, _, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.map { tok =>
+          val h = hex(tok)
+          ((java.lang.Long.parseLong(h.substring(0, 8), 16) % D).toInt,
+            if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L)
+        }.groupMapReduce(_._1)(_._2)(_ + _).filter(_._2 != 0)
+      }.toMap
+      val y = corpus.map { case (id, src, _) =>
+        id -> (if (src.drop(3).toInt % 4 == 0) 1L else -1L)
+      }.toMap
+      val w = Array.fill(D)(0L); var b = 0L
+      (1 to graft.ops.TextOps.PerceptronRounds).map { r =>
+        val mis = corpus.map(_._1).filter { id =>
+          y(id) * (x(id).map { case (d, xv) => w(d) * xv }.sum + b) <= 0
+        }
+        for (id <- mis; (d, xv) <- x(id)) w(d) += y(id) * xv
+        b += mis.map(y).sum
+        val top = w.indices.maxBy(d => math.abs(w(d)) * D + (D - 1 - d)).toLong
+        (r.toLong, mis.size.toLong, b, w.map(math.abs).sum, w.map(v => v * v).sum, top)
+      }
+    }
+    val tokenGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, tokenGen)).map(_.mkString(" "))
+    val srcGen = Gen.choose(0, 5).map(i => s"src$i")
+    val corpusGen = Gen.choose(2, 6)
+      .flatMap(k => Gen.listOfN(k, Gen.zip(srcGen, docGen)))
+      .map(_.zipWithIndex.map { case ((s, t), i) => (i.toLong + 1, s, t) })
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val got = graft.ops.TextOps.classifierTrainOf(
+          corpus.toDF("doc_id", "source", "text"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      got == reference(corpus)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sim_triplets: positive bar, hard-negative order, exact cosine recompute") {
     import spark.implicits._
     val t = graft.ops.Similarity.triplets(spark, dir)
