@@ -453,6 +453,55 @@ object Streamish extends QueryModule {
     */
   private[graft] val PatternRe = ">view(?:>view)+>purchase"
 
+  // ------------------------------------------------------------- ev_abandon
+
+  /** The conversion deadline for [[abandon]] (µs): a `view` not followed by
+    * a `purchase` within this horizon is abandoned.
+    */
+  private[graft] val AbandonUs = 30L * 60 * 1000000
+
+  /** The ABSENCE half of CEP — matching on what does NOT happen: per user,
+    * every `view` with no `purchase` inside the [[AbandonUs]] deadline is
+    * an abandonment (the cart-abandonment / timeout-alert class;
+    * [[patternMatch]] covers presence sequences, this covers negation,
+    * which no funnel or path query can express). Emits the per-user rollup:
+    * views, conversions (deadline inclusive), abandonments, abandonment
+    * rate, and the exact summed conversion lag in µs (mean lag is one
+    * divide away downstream).
+    *
+    * Shape: the "next purchase" is a running `min` over the STRICTLY
+    * FOLLOWING rows of the (ts, event_id)-ordered per-user stream — one
+    * exchange on user_id, one window sort the rollup's groupBy then
+    * reuses; no self-join, no time-bucket blowup. All deadline arithmetic
+    * is integer microseconds, so engine and oracle agree bit-for-bit on
+    * boundary events (a purchase AT exactly +30 min converts).
+    */
+  def abandon(s: SparkSession, dir: String): DataFrame =
+    abandonOf(Tables.events(s, dir))
+
+  private[graft] def abandonOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val conv = col("next_p_us").isNotNull &&
+      col("next_p_us") <= col("ts_us") + AbandonUs
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("next_p_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), conv.as("conv"),
+        when(conv, col("next_p_us") - col("ts_us")).as("lag_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"),
+        sum(when(!col("conv"), 1L).otherwise(0L)).as("n_abandoned"),
+        round(sum(when(!col("conv"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("abandon_rate"),
+        coalesce(sum("lag_us"), lit(0L)).as("sum_conv_lag_us"))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------------- ev_hll_merge
 
   /** Log-size of the datasketches HLL register array for [[hllMerge]]:
@@ -628,6 +677,7 @@ object Streamish extends QueryModule {
     "ev_markov" -> (markov(_, _)),
     "ev_paths" -> (paths(_, _)),
     "ev_pattern" -> (patternMatch(_, _)),
+    "ev_abandon" -> (abandon(_, _)),
     "ev_hll_merge" -> (hllMerge(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
@@ -726,6 +776,29 @@ object Streamish extends QueryModule {
          |FROM seq
          |WHERE len(regexp_extract_all(s, '$PatternRe')) > 0
          |ORDER BY user_id""".stripMargin,
+    "ev_abandon" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(ts::TIMESTAMP) AS ts_us,
+         |    min(CASE WHEN event_type = 'purchase'
+         |             THEN epoch_us(ts::TIMESTAMP) END) OVER (
+         |      PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p_us
+         |  FROM events
+         |), v AS (
+         |  SELECT user_id,
+         |    next_p_us IS NOT NULL AND next_p_us <= ts_us + $AbandonUs AS conv,
+         |    CASE WHEN next_p_us IS NOT NULL AND next_p_us <= ts_us + $AbandonUs
+         |         THEN next_p_us - ts_us END AS lag_us
+         |  FROM o WHERE event_type = 'view'
+         |)
+         |SELECT user_id, count(*)::BIGINT AS n_views,
+         |  count(*) FILTER (WHERE conv)::BIGINT AS n_converted,
+         |  count(*) FILTER (WHERE NOT conv)::BIGINT AS n_abandoned,
+         |  round(count(*) FILTER (WHERE NOT conv)::DOUBLE / count(*), 6)
+         |    AS abandon_rate,
+         |  coalesce(sum(lag_us) FILTER (WHERE conv), 0)::BIGINT AS sum_conv_lag_us
+         |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_hll_merge" ->
       // the sketch side is engine-specific; the oracle checks the exact
       // weekly distinct and a literal within_tol = 1 (the q_approx_distinct

@@ -1138,6 +1138,32 @@ class OpsSpec extends AnyFunSuite {
     assert(gotScores.exists(_._3 != 0L), "degenerate all-zero margins")
   }
 
+  test("ev_abandon: deadline inclusive, strictly-following purchases, no-purchase tail") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: view@0 → purchase@30 (EXACTLY the deadline — converts, lag 30
+    // min); view@40 → purchase@71 (31 min — abandoned). user 2: purchase@0
+    // BEFORE its view@10 and nothing after — the next-purchase frame is
+    // strictly following, so abandoned. user 3: two views share purchase@20
+    // (lags 20 + 15 min). user 4: lone view, no purchase ever.
+    val events = Seq(
+      (1L, 1L, "view", ts(0)), (2L, 1L, "purchase", ts(30)),
+      (3L, 1L, "view", ts(40)), (4L, 1L, "purchase", ts(71)),
+      (5L, 2L, "purchase", ts(0)), (6L, 2L, "view", ts(10)),
+      (7L, 3L, "view", ts(0)), (8L, 3L, "view", ts(5)), (9L, 3L, "purchase", ts(20)),
+      (10L, 4L, "view", ts(0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.Streamish.abandonOf(events)
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSeq
+    val M = 60L * 1000000
+    val expected = Seq(
+      (1L, 2L, 1L, 1L, 0.5, 30 * M),
+      (2L, 1L, 0L, 1L, 1.0, 0L),
+      (3L, 2L, 2L, 0L, 0.0, 35 * M),
+      (4L, 1L, 0L, 1L, 1.0, 0L))
+    assert(out === expected)
+  }
+
   test("ev_streaks: islands split on gaps, longest ties break to the earliest start") {
     import spark.implicits._
     // user 1: days 1,2,3 then 5,6 -> streaks 3 and 2, longest 3 starting d1
