@@ -479,7 +479,12 @@ object Streamish extends QueryModule {
   def abandon(s: SparkSession, dir: String): DataFrame =
     abandonOf(Tables.events(s, dir))
 
-  private[graft] def abandonOf(events: DataFrame): DataFrame = {
+  /** Per-view verdict frame behind [[abandonOf]] — (user_id, event_id,
+    * ts_us, next_p_us, conv, lag_us), one row per `view`. Exposed so the
+    * streaming twin's spec can reconstruct exactly which views the final
+    * watermark leaves pending (next_p_us NULL ∧ deadline not yet passed).
+    */
+  private[graft] def abandonVerdictsOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(1, Window.unboundedFollowing)
     val conv = col("next_p_us").isNotNull &&
@@ -490,8 +495,13 @@ object Streamish extends QueryModule {
       .withColumn("next_p_us",
         min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
       .filter(col("event_type") === "view")
-      .select(col("user_id"), conv.as("conv"),
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("next_p_us"),
+        conv.as("conv"),
         when(conv, col("next_p_us") - col("ts_us")).as("lag_us"))
+  }
+
+  private[graft] def abandonOf(events: DataFrame): DataFrame = {
+    abandonVerdictsOf(events)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_views"),
         sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"),

@@ -57,6 +57,18 @@ final case class BingeState(run: Int, seen: Long)
   */
 final case class BingeMatch(user_id: Long, event_id: Long)
 
+/** One not-yet-resolved `view` awaiting its purchase-or-deadline. */
+final case class PendView(event_id: Long, ts_us: Long)
+
+/** [[Streaming.abandonViaTimers]] state: the user's pending views, oldest
+  * first — bounded by views per user per deadline window, not history.
+  */
+final case class AbandonPend(pending: Seq[PendView])
+
+/** One resolved view: converted (with its exact µs lag) or abandoned. */
+final case class AbandonVerdict(user_id: Long, event_id: Long,
+    converted: Boolean, lag_us: Long)
+
 /** One exactly-once MERGE action from [[Streaming.upsertAuditViaState]]:
   * `prev_price` is the replaced base price for an update, None for an insert.
   */
@@ -489,6 +501,81 @@ object Streaming {
       case "purchase" => (BingeState(0, st.seen + 1), st.run >= 2)
       case _ => (BingeState(0, st.seen + 1), false)
     }
+
+  /** Streaming twin of ev_abandon — ABSENCE detection, where the timeout
+    * itself is the match: a `view` resolves either when a following
+    * `purchase` arrives (converted iff inside the deadline, abandoned
+    * otherwise — the FIRST following purchase decides, exactly the batch
+    * running-min semantics, so a later purchase can never rescue) or when
+    * the event-time TIMER fires because the watermark passed its deadline
+    * with no purchase seen (abandoned). This is the third use of group
+    * state timeouts in the battery and the only one where the timeout is
+    * the ANSWER rather than an eviction policy ([[noveltyViaStateTtl]] /
+    * [[noveltyViaStateEventTtl]] evict): the cart-abandonment alert class
+    * a batch engine can only answer in hindsight.
+    *
+    * State is the user's PENDING views only — every purchase clears it,
+    * every timer expiry shrinks it, so its size is bounded by one user's
+    * views per deadline window, never history. All deadline arithmetic is
+    * integer µs (timers are set at ms granularity, then re-checked against
+    * the exact µs deadline on fire, so ms rounding can't flip a boundary
+    * verdict). Ordering regime as [[transitionsViaState]]: intra-batch
+    * disorder absorbed by the (ts_us, event_id) sort, in-order arrival
+    * across micro-batches. StreamingSpec pins the chunk-replayed verdicts
+    * rolled up per user ≡ batch ev_abandon minus exactly the views the
+    * final watermark leaves unresolved (deadline not yet passed, no
+    * purchase ever — the open-session precedent).
+    */
+  def abandonViaTimers(s: SparkSession, events: DataFrame,
+      watermarkDelay: String = "0 seconds"): Dataset[AbandonVerdict] = {
+    import s.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[AbandonPend]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[AbandonVerdict]
+          var pending = state.getOption.map(_.pending.toVector).getOrElse(Vector.empty)
+          if (state.hasTimedOut) {
+            // exact µs re-check: only views whose deadline the watermark
+            // has STRICTLY passed are dead — a purchase at exactly the
+            // deadline could in principle still arrive for the rest
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (dead, live) = pending.partition(p => p.ts_us + Streamish.AbandonUs < wmUs)
+            dead.foreach(p => out += AbandonVerdict(user, p.event_id, converted = false, 0L))
+            pending = live
+          } else {
+            val evs = rows.map { r =>
+              val us = r._4.getTime * 1000L + (r._4.getNanos % 1000000L) / 1000L
+              (us, r._2, r._3)
+            }.toArray.sortBy(e => (e._1, e._2))
+            evs.foreach {
+              case (us, id, "view") => pending :+= PendView(id, us)
+              case (us, _, _) => // purchase: resolves EVERY pending view
+                pending.foreach { p =>
+                  if (us <= p.ts_us + Streamish.AbandonUs)
+                    out += AbandonVerdict(user, p.event_id, converted = true, us - p.ts_us)
+                  else
+                    out += AbandonVerdict(user, p.event_id, converted = false, 0L)
+                }
+                pending = Vector.empty
+            }
+          }
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(AbandonPend(pending))
+            // earliest pending deadline, in ms, strictly beyond the watermark
+            val nextMs = (pending.map(_.ts_us).min + Streamish.AbandonUs) / 1000L + 1
+            state.setTimeoutTimestamp(
+              math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
 
   /** Streaming twin of ev_hll_merge's INGEST half: the stream maintains
     * the per-(type, week, day) HLL user sketches — SHARED expression with

@@ -220,6 +220,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming absence timers resolve every view the watermark can judge") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{coalesce, lit, ntile, unix_micros, max => smax}
+    import spark.implicits._
+    // Emit-on-timeout CEP: chunk-replay the events and compare the per-view
+    // verdicts against the batch frame. Views the final watermark leaves
+    // unresolved (no purchase ever, deadline not yet passed) stay in state
+    // — the open-session precedent — and are excluded from the truth side
+    // EXACTLY (next_p_us IS NULL ∧ deadline ≥ watermark).
+    val src = "/tmp/graft-stream-src-abandon"
+    new scala.reflect.io.Directory(new java.io.File(src)).deleteRecursively()
+    val batchEvents = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val chunked = batchEvents
+      .withColumn("chunk", ntile(4).over(W.orderBy("ts", "event_id")))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val got = runToMemory(
+      Streaming.abandonViaTimers(spark, stream).toDF(), "t_abandon", "append")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    // final watermark = max event time, ms-truncated (EventTimeStats is ms)
+    val wmUs = batchEvents.agg(smax(unix_micros(col("ts"))))
+      .as[Long].head() / 1000L * 1000L
+    val verdicts = Streamish.abandonVerdictsOf(batchEvents)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("next_p_us"),
+        col("conv"), coalesce(col("lag_us"), lit(0L)).as("lag_us"))
+      .as[(Long, Long, Long, Option[Long], Boolean, Long)].collect()
+    val want = verdicts.filterNot { case (_, _, tsUs, nextP, _, _) =>
+      nextP.isEmpty && tsUs + Streamish.AbandonUs >= wmUs
+    }.map { case (u, id, _, _, c, lag) => (u, id, c, lag) }.toSet
+    assert(want.exists(_._3) && want.exists(!_._3),
+      "fixture must contain both conversions and abandonments")
+    assert(got === want)
+  }
+
   test("streaming daily HLL sketches union to the batch weekly estimates") {
     import spark.implicits._
     // The sketch-store pattern: the stream maintains per-day register
