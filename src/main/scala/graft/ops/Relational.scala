@@ -450,6 +450,46 @@ object Relational extends QueryModule {
       .orderBy("cell")
   }
 
+  // -------------------------------------------------------------- q_histogram
+
+  /** Equi-width buckets for [[histogram]]. */
+  private[graft] val HistBuckets = 32L
+
+  /** Equi-width histogram of l_extendedprice — the distribution profile a
+    * cost-based optimizer keeps beside [[profile]]'s cardinalities and a
+    * data-quality report plots (q_profile answers "how many distinct",
+    * this answers "how are the values SPREAD"). Prices quantize to exact
+    * integer cents (one correctly-rounded double→long per row — identical
+    * in both engines on positive values), the bucket index is pure integer
+    * arithmetic off a 1-row broadcast extremes scalar ((c − cmin)·B div
+    * (span + 1), which lands cmax in bucket B−1 with no clamp), and each
+    * bucket reports its count, OBSERVED min/max cents, and exact sum —
+    * the observed extremes are the file-skipping statistics a z-ordered
+    * layout publishes, not the nominal bucket edges.
+    *
+    * Scale shape: two passes over the column only (the extremes scalar,
+    * then one map-side-partial hash aggregate onto ≤ [[HistBuckets]]
+    * rows); the per-row quantize+bucket projection is codegen'd, zero
+    * data shuffles besides the aggregate's own. At 100 TB this is the
+    * histogram job ANALYZE runs per column.
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    histogramOf(Tables.lineitem(s, dir))
+
+  private[graft] def histogramOf(li: DataFrame): DataFrame = {
+    val c = li
+      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("c"))
+    val ext = broadcast(c.agg(min("c").as("cmin"), max("c").as("cmax")))
+    c.crossJoin(ext)
+      .withColumn("bucket",
+        expr(s"((c - cmin) * ${HistBuckets}L) div (cmax - cmin + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("c").as("lo_cents"), max("c").as("hi_cents"),
+        sum("c").as("sum_cents"))
+      .orderBy("bucket")
+  }
+
   /** Unpivot (melt): the Q1-style wide aggregate turned into long-form
     * (group, metric, value) rows — the reshape every metrics store and
     * plotting layer wants, and the inverse of ev_pivot. `Dataset.unpivot`
@@ -1332,6 +1372,7 @@ object Relational extends QueryModule {
     "q_approx_intersect" -> (approxIntersect(_, _)),
     "q_profile" -> (profile(_, _)),
     "q_zorder" -> (zorderStats(_, _)),
+    "q_histogram" -> (histogram(_, _)),
     "q_unpivot" -> (unpivotPricing(_, _)),
     "q_upsert" -> (upsert(_, _)),
     "q_scd2" -> (scd2(_, _)),
@@ -1445,6 +1486,17 @@ object Relational extends QueryModule {
          |  min(sk) AS s_min, max(sk) AS s_max
          |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q_histogram" ->
+      s"""WITH c AS (
+         |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+         |  FROM lineitem
+         |), ext AS (
+         |  SELECT min(c) AS cmin, max(c) AS cmax FROM c
+         |)
+         |SELECT ((c - cmin) * ${HistBuckets}) // (cmax - cmin + 1) AS bucket,
+         |  count(*) AS n_rows, min(c) AS lo_cents, max(c) AS hi_cents,
+         |  sum(c)::BIGINT AS sum_cents
+         |FROM c, ext GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_approx_intersect" ->
       """WITH d AS (
         |  SELECT DISTINCT year(o_orderdate)::BIGINT AS y, o_custkey AS c

@@ -1982,6 +1982,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_histogram: hand-computed buckets, cmax lands in the last bucket, IEEE cents") {
+    import spark.implicits._
+    import graft.ops.Relational
+    // cents: 100,103,132,199,268,420 — cmin 100, span+1 = 321, B = 32.
+    // 2.675*100 lands EXACTLY on 267.5 in IEEE doubles (the nearest double
+    // to 2.675 times 100 rounds to the representable 267.5), so the
+    // half-up/half-away rules of both engines agree on 268 — the quantize
+    // rule is multiply-then-round in BOTH, and the fixture pins that
+    // choice. cmax (420) must land in bucket 31 with no clamp:
+    // (320*32) div 321 = 31.
+    val li = Seq(1.00, 1.03, 1.32, 1.99, 2.675, 4.20)
+      .toDF("l_extendedprice")
+    val got = Relational.histogramOf(li)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val expected = Seq(
+      (0L, 2L, 100L, 103L, 203L),
+      (3L, 1L, 132L, 132L, 132L),
+      (9L, 1L, 199L, 199L, 199L),
+      (16L, 1L, 268L, 268L, 268L),
+      (31L, 1L, 420L, 420L, 420L))
+    assert(got === expected)
+  }
+
   test("dd_semantic_decontaminate agrees with the bench-crossing embed near-dup pairs") {
     import spark.implicits._
     // same banding, same verify: the per-train-doc rollup of embedNearDup's
