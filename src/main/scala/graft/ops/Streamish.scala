@@ -512,6 +512,57 @@ object Streamish extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ----------------------------------------------------------------- ev_rfm
+
+  /** RFM segmentation — the classic engagement scoring (recency, frequency,
+    * monetary) every growth/CRM stack derives from the event log, done with
+    * exact cross-engine arithmetic: monetary quantizes to integer cents per
+    * row (multiply-then-round, the q_histogram rule) so the per-user sum is
+    * order-independent; recency is whole days behind the corpus's last
+    * active day (integer date arithmetic); the quintile cutoffs are ONE
+    * exact interpolated-percentile aggregate over the per-user frame
+    * broadcast back (the ppl_bucket/pipe_classified precedent — both
+    * engines interpolate p·(n−1) on identical values); scores count strict
+    * cutoff exceedances, with recency inverted (5 = most recent).
+    *
+    * Scale shape: one user-keyed map-side-partial hash aggregate collapses
+    * the corpus to |users| rows; everything after runs on that frame — a
+    * 1-row anchor broadcast, a 1-row cutoff broadcast, and a codegen'd
+    * scoring projection. No windows, no self-joins; the only corpus-scale
+    * shuffle is the per-user aggregate's own.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame =
+    rfmOf(Tables.events(s, dir))
+
+  private[graft] def rfmOf(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy("user_id")
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("monetary_cents"))
+    val anchor = broadcast(perUser.agg(max("last_day").as("corpus_day")))
+    val base = perUser.crossJoin(anchor)
+      .select(col("user_id"),
+        datediff(col("corpus_day"), col("last_day")).cast("long").as("recency_days"),
+        col("n_events"), col("monetary_cents"))
+    val cuts = broadcast(base.agg(
+      expr("percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(n_events, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(monetary_cents, array(0.2, 0.4, 0.6, 0.8))").as("mc")))
+    def above(x: Column, cutsCol: String): Column =
+      (1 to 4).map(i =>
+        when(x > element_at(col(cutsCol), i), 1L).otherwise(0L)).reduce(_ + _)
+    base.crossJoin(cuts)
+      .select(col("user_id"), col("recency_days"), col("n_events"),
+        col("monetary_cents"),
+        (lit(5L) - above(col("recency_days"), "rc")).as("r_score"),
+        (lit(1L) + above(col("n_events"), "fc")).as("f_score"),
+        (lit(1L) + above(col("monetary_cents"), "mc")).as("m_score"))
+      .withColumn("rfm",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("user_id")
+  }
+
   // ----------------------------------------------------------- ev_hll_merge
 
   /** Log-size of the datasketches HLL register array for [[hllMerge]]:
@@ -688,6 +739,7 @@ object Streamish extends QueryModule {
     "ev_paths" -> (paths(_, _)),
     "ev_pattern" -> (patternMatch(_, _)),
     "ev_abandon" -> (abandon(_, _)),
+    "ev_rfm" -> (rfm(_, _)),
     "ev_hll_merge" -> (hllMerge(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
@@ -809,6 +861,40 @@ object Streamish extends QueryModule {
          |    AS abandon_rate,
          |  coalesce(sum(lag_us) FILTER (WHERE conv), 0)::BIGINT AS sum_conv_lag_us
          |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(ts::DATE) AS last_day,
+        |    count(*)::BIGINT AS n_events,
+        |    sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS monetary_cents
+        |  FROM events GROUP BY user_id
+        |), base AS (
+        |  SELECT user_id,
+        |    ((SELECT max(last_day) FROM pu) - last_day)::BIGINT AS recency_days,
+        |    n_events, monetary_cents
+        |  FROM pu
+        |), cuts AS (
+        |  SELECT
+        |    quantile_cont(recency_days, 0.2) AS rc1, quantile_cont(recency_days, 0.4) AS rc2,
+        |    quantile_cont(recency_days, 0.6) AS rc3, quantile_cont(recency_days, 0.8) AS rc4,
+        |    quantile_cont(n_events, 0.2) AS fc1, quantile_cont(n_events, 0.4) AS fc2,
+        |    quantile_cont(n_events, 0.6) AS fc3, quantile_cont(n_events, 0.8) AS fc4,
+        |    quantile_cont(monetary_cents, 0.2) AS mc1, quantile_cont(monetary_cents, 0.4) AS mc2,
+        |    quantile_cont(monetary_cents, 0.6) AS mc3, quantile_cont(monetary_cents, 0.8) AS mc4
+        |  FROM base
+        |), scored AS (
+        |  SELECT user_id, recency_days, n_events, monetary_cents,
+        |    (5 - ((recency_days > rc1)::INT + (recency_days > rc2)::INT +
+        |          (recency_days > rc3)::INT + (recency_days > rc4)::INT))::BIGINT AS r_score,
+        |    (1 + ((n_events > fc1)::INT + (n_events > fc2)::INT +
+        |          (n_events > fc3)::INT + (n_events > fc4)::INT))::BIGINT AS f_score,
+        |    (1 + ((monetary_cents > mc1)::INT + (monetary_cents > mc2)::INT +
+        |          (monetary_cents > mc3)::INT + (monetary_cents > mc4)::INT))::BIGINT AS m_score
+        |  FROM base, cuts
+        |)
+        |SELECT user_id, recency_days, n_events, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm
+        |FROM scored ORDER BY user_id""".stripMargin,
     "ev_hll_merge" ->
       // the sketch side is engine-specific; the oracle checks the exact
       // weekly distinct and a literal within_tol = 1 (the q_approx_distinct

@@ -1164,6 +1164,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("ev_rfm: quintile interpolation and inverted recency on a 5-user ladder") {
+    import spark.implicits._
+    // user u has u events on day u, each worth u dollars → recency 5−u,
+    // frequency u, monetary 100u² cents. With 5 users the p·(n−1) cutoff
+    // positions are {0.8, 1.6, 2.4, 3.2}, so every metric's interpolated
+    // cutoffs are hand-computable and each user lands in its own quintile
+    // (recency inverted: the most recent user scores r=5).
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val events = (1 to 5).flatMap(u => (1 to u).map(_ => (u.toLong, ts(u), u.toDouble)))
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.Streamish.rfmOf(events)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    val expected = (1 to 5).map { u =>
+      (u.toLong, (5 - u).toLong, u.toLong, 100L * u * u,
+        u.toLong, u.toLong, u.toLong, s"$u$u$u")
+    }
+    assert(got === expected)
+  }
+
   test("ev_streaks: islands split on gaps, longest ties break to the earliest start") {
     import spark.implicits._
     // user 1: days 1,2,3 then 5,6 -> streaks 3 and 2, longest 3 starting d1
