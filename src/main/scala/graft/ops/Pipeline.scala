@@ -194,13 +194,99 @@ object Pipeline extends QueryModule {
     Dedup.materializeThenRelease(out, scored)
   }
 
+  /** Tokens drawn per training epoch, apportioned by [[epochPlan]]. */
+  private[graft] val EpochBudget = 1000000L
+
+  /** The epoch sampling plan — the mixing story completed to an executable
+    * artifact: txt_mix_weights says WHAT fraction of each (lang, source)
+    * slice an epoch should carry; this op turns those α-smoothed weights
+    * into an EXACT integer allocation of the [[EpochBudget]]-token epoch
+    * via largest-remainder (Hamilton) apportionment — quota = ⌊B·aᵢ/Σa⌋,
+    * then the B − Σquota leftover tokens go to the largest integer
+    * remainders (B·aᵢ mod Σa, ties to (lang, source) order). Σ alloc ≡ B
+    * by construction — the invariant a trainer's data loader needs, which
+    * no per-cell rounding of B·wᵢ can guarantee. All apportionment
+    * arithmetic is BIGINT (the weight enters as its exact ×10⁸ DECIMAL
+    * unscaling), so both engines agree bit-for-bit including on remainder
+    * ties; `upsample` = alloc/n_tokens is the per-slice repetition factor
+    * the schedule implies.
+    *
+    * Scale shape: the corpus collapses to |lang×source| rows in the one
+    * map-side-partial aggregate inside [[TextOps.smoothedShares]];
+    * everything after — two 1-row broadcast scalars and the
+    * remainder-ranking window — runs on that bounded handful of rows (the
+    * unpartitioned window is legal HERE because its input is the bounded
+    * cell table, never a corpus-scale frame).
+    */
+  def epochPlan(s: SparkSession, dir: String): DataFrame =
+    epochPlanOf(Tables.documents(s, dir))
+
+  private[graft] def epochPlanOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = TextOps.smoothedShares(docs)
+      .select(col("lang"), col("source"), col("n_tokens"),
+        (col("w8") * lit(100000000L)).cast("long").as("a"))
+    val ta = broadcast(a.agg(sum("a").as("ta")))
+    val q = a.crossJoin(ta)
+      .withColumn("quota", expr(s"(${EpochBudget}L * a) div ta"))
+      .withColumn("rem", expr(s"(${EpochBudget}L * a) % ta"))
+    val spare = broadcast(q.agg((lit(EpochBudget) - sum("quota")).as("spare")))
+    val rk = Window.orderBy(col("rem").desc, col("lang").asc, col("source").asc)
+    q.crossJoin(spare)
+      .withColumn("rnk", row_number().over(rk).cast("long"))
+      .withColumn("alloc_tokens",
+        col("quota") + when(col("rnk") <= col("spare"), 1L).otherwise(0L))
+      .select(col("lang"), col("source"), col("n_tokens"), col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / lit(EpochBudget.toDouble), 6)
+          .as("alloc_share"),
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 4)
+          .as("upsample"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_corpus" -> (corpus(_, _)),
+    "pipe_epoch_plan" -> (epochPlan(_, _)),
     "pipe_datacard" -> (datacard(_, _)),
     "pipe_classified" -> (classified(_, _)),
     "pipe_shards" -> (shards(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "pipe_epoch_plan" ->
+      s"""WITH d AS (
+         |  SELECT lang, source,
+         |    len(${graft.OracleSql.toks("lower(text)")})::BIGINT AS n
+         |  FROM documents
+         |), g AS (
+         |  SELECT lang, source, sum(n)::BIGINT AS n_tokens
+         |  FROM d GROUP BY lang, source
+         |), t AS (
+         |  SELECT sum(n_tokens)::BIGINT AS tot FROM g
+         |), sh AS (
+         |  SELECT lang, source, n_tokens,
+         |    CAST(round(pow(round(n_tokens::DOUBLE / tot, 6),
+         |      ${TextOps.MixAlpha}), 8)::DECIMAL(18,8) * 100000000 AS BIGINT) AS a
+         |  FROM g, t
+         |), ta AS (
+         |  SELECT sum(a)::BIGINT AS ta FROM sh
+         |), q AS (
+         |  SELECT lang, source, n_tokens, a,
+         |    ($EpochBudget * a) // ta AS quota,
+         |    ($EpochBudget * a) % ta AS rem
+         |  FROM sh, ta
+         |), sp AS (
+         |  SELECT ($EpochBudget - sum(quota))::BIGINT AS spare FROM q
+         |), r AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rnk
+         |  FROM q
+         |)
+         |SELECT lang, source, n_tokens,
+         |  (quota + CASE WHEN rnk <= spare THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens,
+         |  round((quota + CASE WHEN rnk <= spare THEN 1 ELSE 0 END)::DOUBLE
+         |    / $EpochBudget, 6) AS alloc_share,
+         |  round((quota + CASE WHEN rnk <= spare THEN 1 ELSE 0 END)::DOUBLE
+         |    / n_tokens, 4) AS upsample
+         |FROM r, sp ORDER BY lang, source""".stripMargin,
     "pipe_corpus" ->
       s"""WITH keepq AS (
          |  SELECT doc_id FROM (${TextOps.oracles("txt_c4_filter")}) WHERE keep

@@ -1087,7 +1087,7 @@ object TextOps extends QueryModule {
 
   // ------------------------------------------------------- txt_mix_weights
 
-  private val MixAlpha = 0.3 // temperature exponent (Pile/mT5-style mixing)
+  private[graft] val MixAlpha = 0.3 // temperature exponent (Pile/mT5-style mixing)
 
   /** Temperature-scaled corpus mixing weights — the sampling-mix op that
     * turns per-(lang, source) token shares into training sampling weights
@@ -1102,21 +1102,7 @@ object TextOps extends QueryModule {
     * normalizer is order-independent in both engines.
     */
   def mixWeights(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val g = Tables.documents(s, dir)
-      .select(col("lang"), col("source"), size(tokens(col("text"))).as("n"))
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-    val tot = g.agg(sum("n_tokens").as("tot"))
-    // share is rounded to its display precision BEFORE pow, so both
-    // engines raise the same decimal to MixAlpha — the only residual
-    // cross-engine risk is a 1-ulp libm pow divergence on identical
-    // inputs, down from pow-of-an-unrounded-quotient.
-    val shared = g.crossJoin(broadcast(tot))
-      .withColumn("share",
-        round(col("n_tokens").cast("double") / col("tot"), 6))
-      .withColumn("w8",
-        round(pow(col("share"), lit(MixAlpha)), 8).cast(DecimalType(18, 8)))
+    val shared = smoothedShares(Tables.documents(s, dir))
     val z = shared.agg(sum("w8").as("z"))
     val weight = col("w8").cast("double") / col("z").cast("double")
     shared.crossJoin(broadcast(z))
@@ -1125,6 +1111,28 @@ object TextOps extends QueryModule {
         round(weight, 6).as("weight"),
         round(weight / col("share"), 4).as("epochs"))
       .orderBy("lang", "source")
+  }
+
+  /** The per-(lang, source) α-smoothed weight frame shared by
+    * [[mixWeights]] and the pipe_epoch_plan apportionment: token counts,
+    * share rounded to display precision BEFORE pow — so both engines raise
+    * the same decimal to [[MixAlpha]]; the only residual cross-engine risk
+    * is a 1-ulp libm pow divergence on identical inputs — and the share^α
+    * term pre-rounded to an exact DECIMAL(18,8) so downstream sums and
+    * integer scalings are order-independent in both engines.
+    */
+  private[graft] def smoothedShares(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = docs
+      .select(col("lang"), col("source"), size(tokens(col("text"))).as("n"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    val tot = g.agg(sum("n_tokens").as("tot"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("share",
+        round(col("n_tokens").cast("double") / col("tot"), 6))
+      .withColumn("w8",
+        round(pow(col("share"), lit(MixAlpha)), 8).cast(DecimalType(18, 8)))
   }
 
   // --------------------------------------------------- txt_weighted_sample

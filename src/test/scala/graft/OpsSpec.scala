@@ -2001,6 +2001,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_epoch_plan: Hamilton apportionment equals a JVM reference; Σ alloc ≡ budget") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // cells (en,s1)=10, (en,s2)=25, (de,s3)=65 tokens — shares .1/.25/.65
+    val docs = Seq(
+      (1L, words(10), "en", "s1"),
+      (2L, words(12), "en", "s2"),
+      (3L, words(13), "en", "s2"),
+      (4L, words(65), "de", "s3")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.ops.Pipeline.epochPlanOf(docs)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    val B = graft.ops.Pipeline.EpochBudget
+    def rd(x: Double, s: Int) = JBD.valueOf(x).setScale(s, RM.HALF_UP).doubleValue
+    val cells = Seq(("en", "s1", 10L), ("en", "s2", 25L), ("de", "s3", 65L))
+    val tot = cells.map(_._3).sum.toDouble
+    val withA = cells.map { case (l, src, n) =>
+      val w8 = rd(math.pow(rd(n / tot, 6), graft.ops.TextOps.MixAlpha), 8)
+      (l, src, n,
+        JBD.valueOf(w8).setScale(8, RM.HALF_UP).unscaledValue().longValueExact())
+    }
+    val ta = withA.map(_._4).sum
+    val quotas = withA.map { case (l, src, n, a) =>
+      (l, src, n, B * a / ta, B * a % ta)
+    }
+    val spare = B - quotas.map(_._4).sum
+    assert(spare > 0, "fixture must exercise the remainder round")
+    val winners = quotas.sortBy { case (l, src, _, _, rem) => (-rem, l, src) }
+      .take(spare.toInt).map(t => (t._1, t._2)).toSet
+    val expected = quotas.map { case (l, src, n, qta, _) =>
+      val alloc = qta + (if (winners((l, src))) 1L else 0L)
+      (l, src, n, alloc, rd(alloc.toDouble / B, 6), rd(alloc.toDouble / n, 4))
+    }.sortBy(t => (t._1, t._2))
+    assert(got === expected)
+    assert(got.map(_._4).sum === B)
+  }
+
   test("q_histogram: hand-computed buckets, cmax lands in the last bucket, IEEE cents") {
     import spark.implicits._
     import graft.ops.Relational
