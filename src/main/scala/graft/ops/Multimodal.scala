@@ -380,6 +380,75 @@ object Multimodal extends QueryModule {
     winners.unionByName(singles).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- mm_scene_cut
+
+  /** Scene-cut frame size — smaller than the sampling [[FrameBytes]] so
+    * short clips still carry several frames (at 64 bytes the aHash sampler
+    * reads EVERY byte: pos_i = i·63/63 = i).
+    */
+  private[graft] val SceneFrameBytes = 64
+
+  /** Consecutive-frame hamming distance above this ⇒ a new scene (median
+    * consecutive-frame hamming on the synthetic corpus is ~19; 20 splits
+    * the population rather than degenerating to all-cuts or no-cuts).
+    */
+  private[graft] val SceneCutThr = 20L
+
+  /** Scene-boundary detection over the video class — the shot-segmentation
+    * pass a video corpus runs before per-scene sampling/dedup (a frame
+    * sampler that ignores scene structure over-samples long static shots
+    * and misses short ones). Per full [[SceneFrameBytes]]-byte frame the native
+    * codegen'd `ahash_sig` packs 64 aHash bits into one BIGINT; a cut is a
+    * consecutive-frame signature hamming (codegen'd xor+bit_count, the
+    * phash verify) above [[SceneCutThr]]; scenes are the running cut-count
+    * (the ev_streaks island trick); the rollup reports per-video frames,
+    * scenes, longest scene, and mean scene length.
+    *
+    * Scale shape: the frame fan-out is a generator INSIDE the scan stage;
+    * ONE doc_id Exchange feeds both the lag and the running-sum window
+    * (same partition + sort), then two stacked map-side-partial hash
+    * aggregates collapse to one row per video — no self-join, frame BYTES
+    * never shuffle (only the packed BIGINT signature crosses). Trailing
+    * partial frames are dropped (sub-frame tails carry no comparable
+    * signature), sub-frame videos with them. Regression indicator: a
+    * second doc_id exchange between the windows, or the payload column
+    * surviving past the signature projection.
+    */
+  def sceneCut(s: SparkSession, dir: String): DataFrame =
+    sceneCutOf(assets(s, dir))
+
+  private[graft] def sceneCutOf(assetFrame: DataFrame): DataFrame = {
+    graft.functions.AhashSig.register(assetFrame.sparkSession)
+    val fr = assetFrame
+      .filter(col("media_type") === "video" &&
+        length(col("payload")) >= SceneFrameBytes)
+      .select(col("doc_id"), col("payload"),
+        posexplode(graft.functions.Exprs.boundedSequence(lit(0),
+          expr(s"cast(length(payload) div $SceneFrameBytes as int) - 1")))
+          .as(Seq("pos", "frame_idx")))
+      .select(col("doc_id"), col("frame_idx"),
+        call_function("ahash_sig",
+          expr(s"substring(payload, frame_idx * $SceneFrameBytes + 1, $SceneFrameBytes)"))
+          .as("sig"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val cuts = fr
+      .withColumn("prev", lag("sig", 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          expr("bit_count(sig ^ prev)") > SceneCutThr, 1L).otherwise(0L))
+      .withColumn("scene", sum("cut").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cuts.groupBy("doc_id", "scene")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("doc_id")
+      .agg(sum("len").as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        max("len").as("longest_scene"))
+      .withColumn("avg_scene_len",
+        round(col("n_frames").cast("double") / col("n_scenes"), 4))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- mm_dct_phash
 
   private[graft] val DctN = 16   // synthesized gray image side (N×N)
@@ -839,6 +908,7 @@ object Multimodal extends QueryModule {
     "mm_shard_manifest" -> (shardManifest(_, _)),
     "mm_phash_neardup" -> (phashNearDup(_, _)),
     "mm_phash_dedup" -> (phashDedup(_, _)),
+    "mm_scene_cut" -> (sceneCut(_, _)),
     "mm_dct_phash" -> (dctPhash(_, _)),
     "mm_wav_energy" -> (wavEnergy(_, _)))
 
@@ -1032,6 +1102,47 @@ object Multimodal extends QueryModule {
          |SELECT doc_id, 1::BIGINT AS n_merged FROM documents
          |WHERE octet_length(text::BLOB) < $PhashMinBytes
          |ORDER BY doc_id""".stripMargin,
+    "mm_scene_cut" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE $mtSql = 'video' AND length(text) >= $SceneFrameBytes
+         |), fidx AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(length(text) // $SceneFrameBytes)) AS f
+         |  FROM a
+         |), sm AS (
+         |  SELECT doc_id, f, i,
+         |    ascii(substr(text,
+         |      (f * $SceneFrameBytes +
+         |       (i * ${SceneFrameBytes - 1}) // ${PhashBits - 1} + 1)::INT, 1))::BIGINT
+         |      AS sample
+         |  FROM (SELECT doc_id, text, f, unnest(range($PhashBits)) AS i FROM fidx)
+         |), bits AS (
+         |  SELECT doc_id, f, i,
+         |    CASE WHEN sample * $PhashBits >
+         |      sum(sample) OVER (PARTITION BY doc_id, f) THEN 1 ELSE 0 END AS bit
+         |  FROM sm
+         |), ham AS (
+         |  SELECT doc_id, f, bit,
+         |    lag(bit) OVER (PARTITION BY doc_id, i ORDER BY f) AS pbit
+         |  FROM bits
+         |), cuts AS (
+         |  SELECT doc_id, f,
+         |    CASE WHEN f > 0 AND sum(abs(bit - pbit)) > $SceneCutThr
+         |      THEN 1 ELSE 0 END AS cut
+         |  FROM ham GROUP BY doc_id, f
+         |), sc AS (
+         |  SELECT doc_id, f,
+         |    sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS scene
+         |  FROM cuts
+         |), sl AS (
+         |  SELECT doc_id, scene, count(*)::BIGINT AS len
+         |  FROM sc GROUP BY doc_id, scene
+         |)
+         |SELECT doc_id, sum(len)::BIGINT AS n_frames, count(*)::BIGINT AS n_scenes,
+         |  max(len)::BIGINT AS longest_scene,
+         |  round(sum(len)::DOUBLE / count(*), 4) AS avg_scene_len
+         |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_meta_stats" ->
       s"""SELECT media_type, count(*) AS n,
          |  sum(octet_length(payload))::BIGINT AS total_bytes,

@@ -2001,6 +2001,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_scene_cut: crafted frame masks cut exactly where hamming crosses the bar") {
+    import spark.implicits._
+    // A 64-byte frame whose aHash bits are exactly `mask`: at frame length
+    // 64 the sampler reads EVERY byte (pos_i = i·63/63 = i); setting byte
+    // 255 on the mask with k = |mask| < 64 set bits makes
+    // bit_i = (255·64 > 255·k) = true exactly on the set positions.
+    def frame(mask: Set[Int]): Array[Byte] = {
+      val b = Array.fill[Byte](64)(0)
+      mask.foreach(i => b(i) = 255.toByte)
+      b
+    }
+    val f0 = frame((0 to 9).toSet)       // 10 bits
+    val f2 = frame((20 to 54).toSet)     // 35 bits — hamming vs f0 = 45 > 20
+    val v1 = f0 ++ f0 ++ f2 ++ f2        // scenes [2, 2]
+    val v2 = f0 ++ Array.fill[Byte](30)(7) // one full frame + dropped tail
+    val assetsDf = Seq(
+      (1L, "video", v1), (2L, "video", v2),
+      (3L, "image", v1),                      // wrong class: excluded
+      (4L, "video", Array.fill[Byte](50)(1))  // sub-frame video: excluded
+    ).toDF("doc_id", "media_type", "payload")
+    val got = graft.ops.Multimodal.sceneCutOf(assetsDf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val expected = Seq(
+      (1L, 4L, 2L, 2L, 2.0),
+      (2L, 1L, 1L, 1L, 1.0))
+    assert(got === expected)
+  }
+
   test("pipe_epoch_plan: Hamilton apportionment equals a JVM reference; Σ alloc ≡ budget") {
     import spark.implicits._
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
