@@ -45,7 +45,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "dd_lsh_recall", // 1-row n_true × 1-row n_found audit scalars
     "txt_classifier_train", // 1-row bias/mistake scalars crossed per round
     "txt_classifier_score", // same loop + the 1-row final-bias scalar
-    "pipe_classified") // the score loop + the 1-row tercile-cutoff scalar
+    "pipe_classified", // the score loop + the 1-row tercile-cutoff scalar
+    "q_histogram", // 1-row cents-extremes scalar broadcast (bucket index)
+    "ev_rfm", // 1-row date-anchor + 1-row quintile-cutoff scalar broadcasts
+    "pipe_epoch_plan") // 1-row Σa + spare-seat scalars over the bounded cell table
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)
