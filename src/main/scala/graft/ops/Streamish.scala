@@ -512,6 +512,60 @@ object Streamish extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------------------ ev_dau_stickiness
+
+  /** Trailing WAU window span in days, anchor-inclusive. */
+  private[graft] val WauWindow = 7
+
+  /** DAU / WAU stickiness — the engagement ratio every product-metrics
+    * store publishes daily, and the SLIDING-window complement of
+    * [[hllMerge]]'s tumbling weekly roll-up: per observed day, the
+    * distinct actives that day, the distinct actives over the trailing
+    * [[WauWindow]] days, and their ratio. The sliding union is built
+    * WITHOUT a range self-join (the q_approx_intersect move): each
+    * (day, user) row explodes to the ≤ 7 anchors it serves, so WAU is a
+    * plain anchor-keyed distinct aggregate; the HLL side unions ≤ 7
+    * FIXED-SIZE daily sketches per anchor — at 100 TB event rates the
+    * sketch path answers every trailing window from the persisted daily
+    * sketch store without ever re-touching raw ids, and `within_tol`
+    * certifies it daily against the exact side (5 % ≈ 3× the lgK=12 rsd).
+    *
+    * Scale shape: ONE distinct shuffle on (day, user) feeds dau, the ×7
+    * exploded wau aggregate, and the daily sketches; anchors restrict to
+    * observed days via a broadcast |days|-row join. No window functions,
+    * no self-join, fan-out bounded at ×[[WauWindow]].
+    */
+  def dauStickiness(s: SparkSession, dir: String): DataFrame =
+    dauStickinessOf(Tables.events(s, dir))
+
+  private[graft] def dauStickinessOf(events: DataFrame): DataFrame = {
+    val pairs = events
+      .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+      .distinct()
+    val days = pairs.select("day").distinct()
+    def anchored(df: DataFrame): DataFrame = df
+      .withColumn("i", explode(graft.functions.Exprs.boundedSequence(
+        lit(0), lit(WauWindow - 1))))
+      .withColumn("anchor", date_add(col("day"), col("i")))
+      .join(broadcast(days.withColumnRenamed("day", "anchor")), "anchor")
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = anchored(pairs)
+      .groupBy("anchor").agg(countDistinct("user_id").as("wau"))
+    val approx = anchored(
+        pairs.groupBy("day").agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk")))
+      .groupBy("anchor")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("n_approx"))
+    dau
+      .join(wau.withColumnRenamed("anchor", "day"), "day")
+      .join(approx.withColumnRenamed("anchor", "day"), "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"),
+        when(abs(col("n_approx") - col("wau")).cast("double")
+            <= lit(0.05) * col("wau").cast("double"), lit(1L))
+          .otherwise(lit(0L)).as("within_tol"))
+      .orderBy("day")
+  }
+
   // ----------------------------------------------------------------- ev_rfm
 
   /** RFM segmentation — the classic engagement scoring (recency, frequency,
@@ -740,6 +794,7 @@ object Streamish extends QueryModule {
     "ev_pattern" -> (patternMatch(_, _)),
     "ev_abandon" -> (abandon(_, _)),
     "ev_rfm" -> (rfm(_, _)),
+    "ev_dau_stickiness" -> (dauStickiness(_, _)),
     "ev_hll_merge" -> (hllMerge(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
     "ev_retention" -> (retention(_, _)),
@@ -895,6 +950,26 @@ object Streamish extends QueryModule {
         |  r_score, f_score, m_score,
         |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm
         |FROM scored ORDER BY user_id""".stripMargin,
+    "ev_dau_stickiness" ->
+      // the sketch side is engine-specific; the oracle checks the exact
+      // dau/wau/stickiness and a literal within_tol = 1 (the ev_hll_merge
+      // precedent — the engine must EARN the 1 via its own gate column)
+      s"""WITH p AS (
+         |  SELECT DISTINCT ts::DATE AS day, user_id FROM events
+         |), days AS (
+         |  SELECT DISTINCT day FROM p
+         |), c AS (
+         |  SELECT p.user_id, p.day + i::INT AS anchor FROM p, range($WauWindow) r(i)
+         |), w AS (
+         |  SELECT anchor, count(DISTINCT c.user_id)::BIGINT AS wau
+         |  FROM c JOIN days ON c.anchor = days.day GROUP BY anchor
+         |), d AS (
+         |  SELECT day, count(*)::BIGINT AS dau FROM p GROUP BY day
+         |)
+         |SELECT d.day, d.dau, w.wau,
+         |  round(d.dau::DOUBLE / w.wau, 6) AS stickiness,
+         |  1::BIGINT AS within_tol
+         |FROM d JOIN w ON w.anchor = d.day ORDER BY d.day""".stripMargin,
     "ev_hll_merge" ->
       // the sketch side is engine-specific; the oracle checks the exact
       // weekly distinct and a literal within_tol = 1 (the q_approx_distinct

@@ -1164,6 +1164,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("ev_dau_stickiness: hand-computed trailing-7-day WAU over sparse active days") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // actives: d1 {u1,u2}, d2 {u2}, d5 {u3}, d9 {u1} (u2 twice on d1 —
+    // the distinct pair dedup must absorb it). WAU anchors only at
+    // observed days; d5's trailing window still reaches d1/d2, d9's only d5.
+    val events = Seq(
+      (ts(1), 1L), (ts(1), 2L), (ts(1), 2L), (ts(2), 2L),
+      (ts(5), 3L), (ts(9), 1L)
+    ).toDF("ts", "user_id")
+    val got = graft.ops.Streamish.dauStickinessOf(events)
+      .as[(java.sql.Date, Long, Long, Double, Long)].collect().toSeq
+      .map { case (d, dau, wau, st, tol) => (d.toString, dau, wau, st, tol) }
+    val expected = Seq(
+      ("1970-01-02", 2L, 2L, 1.0, 1L),
+      ("1970-01-03", 1L, 2L, 0.5, 1L),
+      ("1970-01-06", 1L, 3L, 0.333333, 1L),
+      ("1970-01-10", 1L, 2L, 0.5, 1L))
+    assert(got === expected)
+  }
+
   test("ev_rfm: quintile interpolation and inverted recency on a 5-user ladder") {
     import spark.implicits._
     // user u has u events on day u, each worth u dollars → recency 5−u,
