@@ -608,6 +608,54 @@ object TextOps extends QueryModule {
     * decision is recomputed from the same flag expressions in the oracle so
     * the two engines cannot disagree on the boundary.
     */
+  // ----------------------------------------------------------- txt_blocklist
+
+  /** Flagged-term lexicon for [[blocklist]] — the C4 "badwords" move: a
+    * fixed external wordlist whose occurrence density gates documents.
+    * Here the list is the synthetic corpus's own pejoratives (a stand-in
+    * artifact — a production run broadcasts its real wordlist the same
+    * way; the plumbing, not the lexicon, is the operator).
+    */
+  private[graft] val BlockList = Seq("slow", "big", "dup")
+
+  /** Keep documents whose flagged-token density is ≤ this (the corpus
+    * median is ≈ 0.064, so the gate splits rather than degenerates).
+    */
+  private[graft] val BlockThr = 0.06
+
+  /** Wordlist safety filter — the blocklist-density gate every public
+    * corpus pipeline runs beside the structural quality filter
+    * ([[c4Filter]] scores SHAPE; this scores CONTENT against a fixed
+    * lexicon). Emits per doc the token count, flagged-occurrence count,
+    * density, and the keep verdict at [[BlockThr]] (boundary density
+    * keeps — both engines compare the same 6-decimal rounding).
+    *
+    * Scale shape: the per-doc token count is a row-local projection (no
+    * shuffle); only FLAGGED occurrences enter the one doc-keyed count
+    * aggregate (map-side partials; the explode filters before any
+    * exchange, so the shuffle carries ≈ corpus·density rows), joined back
+    * LEFT so zero-hit docs keep with density 0. At 100 TB the lexicon
+    * broadcasts; nothing else changes.
+    */
+  def blocklist(s: SparkSession, dir: String): DataFrame =
+    blocklistOf(Tables.documents(s, dir))
+
+  private[graft] def blocklistOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .filter(col("t").isin(BlockList: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .withColumn("flag_density",
+        when(col("n_tokens") <= 0, lit(0.0)).otherwise(
+          round(col("n_flagged").cast("double") / col("n_tokens"), 6)))
+      .withColumn("keep", col("flag_density") <= BlockThr)
+      .orderBy("doc_id")
+  }
+
   def c4Filter(s: SparkSession, dir: String): DataFrame =
     c4FilterOf(Tables.documents(s, dir))
 
@@ -1701,7 +1749,8 @@ object TextOps extends QueryModule {
     "txt_repetition" -> (repetition(_, _)),
     "txt_ngram_novelty" -> (ngramNovelty(_, _)),
     "txt_pii_redact" -> (piiRedact(_, _)),
-    "txt_c4_filter" -> (c4Filter(_, _)))
+    "txt_c4_filter" -> (c4Filter(_, _)),
+    "txt_blocklist" -> (blocklist(_, _)))
 
   private val toksSql = graft.OracleSql.toks("lower(text)")
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -2374,6 +2423,27 @@ object TextOps extends QueryModule {
          |  (NOT (n_tokens < 50) AND NOT (mean_token_len < 3.0 OR mean_token_len > 10.0)
          |    AND NOT has_brace AND NOT has_js AND NOT has_lorem) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "txt_blocklist" -> {
+      val bl = BlockList.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM documents
+         |), f AS (
+         |  SELECT doc_id, count(*) FILTER (WHERE t IN ($bl))::BIGINT AS n_flagged
+         |  FROM tok GROUP BY doc_id
+         |), base AS (
+         |  SELECT doc_id, len($toksSql)::INT AS n_tokens FROM documents
+         |), d AS (
+         |  SELECT base.doc_id, n_tokens,
+         |    coalesce(f.n_flagged, 0)::BIGINT AS n_flagged
+         |  FROM base LEFT JOIN f USING (doc_id)
+         |)
+         |SELECT doc_id, n_tokens, n_flagged,
+         |  CASE WHEN n_tokens <= 0 THEN 0.0
+         |    ELSE round(n_flagged::DOUBLE / n_tokens, 6) END AS flag_density,
+         |  (CASE WHEN n_tokens <= 0 THEN 0.0
+         |    ELSE round(n_flagged::DOUBLE / n_tokens, 6) END) <= $BlockThr AS keep
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "txt_rolling_fp" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -1164,6 +1164,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("txt_blocklist: density gate keeps the boundary, zero-hit and empty docs") {
+    import spark.implicits._
+    // doc 1: all flagged → drop. doc 2: 1/20 = 0.05 → keep. doc 3:
+    // 3/50 = exactly the 0.06 threshold (the IEEE double of 3/50 IS the
+    // literal 0.06) → boundary keeps. doc 4: empty → density 0, keep.
+    // doc 5: zero hits (exercises the LEFT join's coalesce).
+    val clean = (1 to 16).map(_ => "fast").mkString(" ")
+    val fifty = ("slow big dup " + (1 to 47).map(_ => "scan").mkString(" "))
+    val docs = Seq(
+      (1L, "slow big dup slow"),
+      (2L, s"slow $clean fast merge scan"),
+      (3L, fifty),
+      (4L, ""),
+      (5L, "fast scan")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.blocklistOf(docs)
+      .as[(Long, Int, Long, Double, Boolean)].collect().toSeq
+    val expected = Seq(
+      (1L, 4, 4L, 1.0, false),
+      (2L, 20, 1L, 0.05, true),
+      (3L, 50, 3L, 0.06, true),
+      (4L, 0, 0L, 0.0, true),
+      (5L, 2, 0L, 0.0, true))
+    assert(got === expected)
+  }
+
   test("ev_dau_stickiness: hand-computed trailing-7-day WAU over sparse active days") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
