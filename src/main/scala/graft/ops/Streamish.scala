@@ -538,7 +538,28 @@ object Streamish extends QueryModule {
   def dauStickiness(s: SparkSession, dir: String): DataFrame =
     dauStickinessOf(Tables.events(s, dir))
 
-  private[graft] def dauStickinessOf(events: DataFrame): DataFrame = {
+  /** Per-day user HLL sketches — the op's INGEST half, shared verbatim
+    * with the streaming sketch store (a plain aggregation, so it is
+    * streaming-legal with one fixed-size register state row per open
+    * day; HLL is duplicate-insensitive, so raw events need no distinct).
+    * StreamingSpec pins that a streamed sink of these answers
+    * [[dauStickinessFrom]] identically to the batch build.
+    */
+  private[graft] def dailyUserSketchesOf(events: DataFrame): DataFrame =
+    events
+      .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
+
+  private[graft] def dauStickinessOf(events: DataFrame): DataFrame =
+    dauStickinessFrom(events, dailyUserSketchesOf(events))
+
+  /** The read-time half: exact dau/wau from the event log, the sliding
+    * union from whatever (day, sk) frame the caller holds — the batch
+    * build or a streamed sketch store.
+    */
+  private[graft] def dauStickinessFrom(
+      events: DataFrame, dailySk: DataFrame): DataFrame = {
     val pairs = events
       .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
       .distinct()
@@ -551,8 +572,7 @@ object Streamish extends QueryModule {
     val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = anchored(pairs)
       .groupBy("anchor").agg(countDistinct("user_id").as("wau"))
-    val approx = anchored(
-        pairs.groupBy("day").agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk")))
+    val approx = anchored(dailySk)
       .groupBy("anchor")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("n_approx"))
     dau

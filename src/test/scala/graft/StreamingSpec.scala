@@ -280,6 +280,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("streamed daily user sketches answer the sliding-WAU stickiness at read time") {
+    import spark.implicits._
+    // The sketch-store pattern extended to SLIDING windows: the stream
+    // maintains one fixed-size register row per day; the trailing-7-day
+    // union — and therefore the whole ev_dau_stickiness output, tolerance
+    // gate included — is computed at read time over the sink and must
+    // EQUAL the batch build (register maxima are arrival-order-independent
+    // and the union is exact).
+    val sink = runToMemory(
+      Streamish.dailyUserSketchesOf(Streaming.eventsStream(spark, dir)),
+      "t_dau_daily", "complete")
+    val got = Streamish.dauStickinessFrom(Tables.events(spark, dir), sink)
+      .select(col("day").cast("string"), col("dau"), col("wau"),
+        col("stickiness"), col("within_tol"))
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    val want = Streamish.dauStickiness(spark, dir)
+      .select(col("day").cast("string"), col("dau"), col("wau"),
+        col("stickiness"), col("within_tol"))
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
   test("CEP machine step == greedy regex scan on random sequences (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.Prop.forAll
