@@ -450,6 +450,43 @@ object Relational extends QueryModule {
       .orderBy("cell")
   }
 
+  // ------------------------------------------------------------- q_skew_audit
+
+  /** Join-key columns audited by [[skewAudit]]. */
+  private[graft] val SkewCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  /** Hot-key / skew diagnostic — the pre-join audit a 100 TB deployment
+    * runs before picking a join strategy (AQE's skew split and manual
+    * salting both key off exactly these numbers): per candidate join key,
+    * the row count, distinct-key count, hottest key's frequency, WHICH key
+    * is hottest, and the skew factor max/mean. One scan stacks the k key
+    * columns into (ci, key) pairs (the q_profile move), one hash aggregate
+    * counts per key (shuffle bounded by Σ per-column cardinality, map-side
+    * partials), and the per-column rollup picks the hot key via a
+    * packed-BIGINT `max_by` — cnt·2³³ − key, so ties break to the SMALLER
+    * key without a struct comparator (the sim_ivf_assign SortAggregate
+    * lesson; keys must fit 33 bits — at wider id domains widen the shift).
+    */
+  def skewAudit(s: SparkSession, dir: String): DataFrame =
+    skewAuditOf(Tables.lineitem(s, dir))
+
+  private[graft] def skewAuditOf(li: DataFrame): DataFrame = {
+    val names = array(SkewCols.map(lit): _*)
+    li
+      .select(posexplode(array(SkewCols.map(col): _*)).as(Seq("ci", "v")))
+      .groupBy("ci", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("ci").agg(
+        sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("cnt").as("max_cnt"),
+        max_by(col("v"), col("cnt") * lit(8589934592L) - col("v")).as("hot_key"))
+      .select(element_at(names, col("ci") + 1).as("key_col"),
+        col("n_rows"), col("n_keys"), col("max_cnt"), col("hot_key"),
+        round(col("max_cnt") * col("n_keys").cast("double") / col("n_rows"), 4)
+          .as("skew"))
+      .orderBy("key_col")
+  }
+
   // -------------------------------------------------------------- q_histogram
 
   /** Equi-width buckets for [[histogram]]. */
@@ -1373,6 +1410,7 @@ object Relational extends QueryModule {
     "q_profile" -> (profile(_, _)),
     "q_zorder" -> (zorderStats(_, _)),
     "q_histogram" -> (histogram(_, _)),
+    "q_skew_audit" -> (skewAudit(_, _)),
     "q_unpivot" -> (unpivotPricing(_, _)),
     "q_upsert" -> (upsert(_, _)),
     "q_scd2" -> (scd2(_, _)),
@@ -1485,6 +1523,21 @@ object Relational extends QueryModule {
          |  min(pk) AS p_min, max(pk) AS p_max,
          |  min(sk) AS s_min, max(sk) AS s_max
          |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_skew_audit" -> {
+      val branches = SkewCols
+        .map(c => s"SELECT '$c' AS key_col, $c AS v FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      s"""WITH k AS (
+         |  $branches
+         |), c AS (
+         |  SELECT key_col, v, count(*)::BIGINT AS cnt FROM k GROUP BY 1, 2
+         |)
+         |SELECT key_col, sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+         |  max(cnt)::BIGINT AS max_cnt,
+         |  arg_max(v, cnt * 8589934592 - v)::BIGINT AS hot_key,
+         |  round(max(cnt) * count(*)::DOUBLE / sum(cnt), 4) AS skew
+         |FROM c GROUP BY key_col ORDER BY key_col""".stripMargin
     },
     "q_histogram" ->
       s"""WITH c AS (

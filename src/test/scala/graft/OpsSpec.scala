@@ -2114,6 +2114,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._4).sum === B)
   }
 
+  test("q_skew_audit: hot keys, tie to the smaller key, skew = max/mean") {
+    import spark.implicits._
+    // orderkey {1:2, 2:2} — a MAX TIE, must resolve to key 1 via the
+    // packed cnt·2³³ − v ordering; partkey/suppkey {x:3, y:1} → skew 1.5.
+    val li = Seq(
+      (1L, 10L, 100L), (1L, 11L, 100L), (2L, 10L, 100L), (2L, 10L, 101L)
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val got = graft.ops.Relational.skewAuditOf(li)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    val expected = Seq(
+      ("l_orderkey", 4L, 2L, 2L, 1L, 1.0),
+      ("l_partkey", 4L, 2L, 3L, 10L, 1.5),
+      ("l_suppkey", 4L, 2L, 3L, 100L, 1.5))
+    assert(got === expected)
+  }
+
   test("q_histogram: hand-computed buckets, cmax lands in the last bucket, IEEE cents") {
     import spark.implicits._
     import graft.ops.Relational
