@@ -1165,6 +1165,49 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("m"),
         col("best.c_label").as("code"), col("best.dist").as("dist"))
 
+  // ---------------------------------------------------------- sim_pq_train
+
+  /** One PQ codebook REFIT step — the per-subspace Lloyd iteration that
+    * turns [[pqEncode]]'s label-seeded sub-codebooks into TRAINED ones
+    * (Jégou et al. train each subspace's K codewords by independent
+    * k-means; this is one link of that loop, the [[kmeansStep]] regime
+    * applied inside every subspace): assign each subvector to its nearest
+    * current sub-codeword, then emit the exact-integer sufficient
+    * statistics (Σ component, member count) per (subspace, code,
+    * component) — the new codeword is one divide away, and keeping the
+    * output in integer sums keeps it hash-checkable (a mean would hang
+    * cross-engine equality on division rounding).
+    *
+    * Scale shape: the sub-codebook broadcasts; the corpus expands ×M
+    * inside the scan stage; the argmin is a min_by hash aggregate whose
+    * map-side partial collapses the K scored rows per subvector BEFORE
+    * the one (vec, m)-keyed exchange (the subvector rides the partial via
+    * `first`, so no join back); the refit fold lands on M·K·[[PqSubDim]]
+    * bounded rows. One corpus pass, no persisted frame.
+    */
+  def pqTrainStep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayDot.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("vq"))
+    val sub = e
+      .select(col("vec_id"), posexplode(subSlices(col("vq"))).as(Seq("m", "sv")))
+      .withColumn("svd", col("sv").cast("array<double>"))
+      .withColumn("sn2", call_function("array_dot", col("svd"), col("svd")))
+    val dist = col("sn2") -
+      lit(2.0) * call_function("array_dot", col("svd"), col("cs")) + col("cn2")
+    sub.join(broadcast(pqCsub(s, dir)), "m")
+      .select(col("vec_id"), col("m"), col("sv"), col("c_label"), dist.as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("c_label"), col("dist")),
+          struct(col("dist"), col("c_label"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("m"), col("best.c_label").as("code"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("m", "code", "pos")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n_members"))
+      .orderBy("m", "code", "pos")
+  }
+
   // ---------------------------------------------------------- sim_pq_topk
 
   /** PQ asymmetric-distance (ADC) search — the QUERY half of the PQ index
@@ -1294,6 +1337,7 @@ object Similarity extends QueryModule {
     "sim_kmeans_step" -> (kmeansStep(_, _)),
     "sim_kmeans_train" -> (kmeansTrain(_, _)),
     "sim_pq_encode" -> (pqEncode(_, _)),
+    "sim_pq_train" -> (pqTrainStep(_, _)),
     "sim_pq_topk" -> (pqTopK(_, _)),
     "sim_ivfpq_topk" -> (ivfPqTopK(_, _)),
     "sim_pq_rerank" -> (pqRerank(_, _)),
@@ -1762,6 +1806,17 @@ object Similarity extends QueryModule {
          |SELECT vec_id, m::INT AS m, c_label AS code,
          |  round(dist / ${Scale.toDouble * Scale}, 6) AS dist
          |FROM ranked WHERE rnk = 1 ORDER BY vec_id, m""".stripMargin,
+    "sim_pq_train" ->
+      s"""WITH $pqChainSql, codes AS (
+         |  SELECT vec_id, m, c_label AS code FROM ranked WHERE rnk = 1
+         |), j AS (
+         |  SELECT codes.m AS m, codes.code AS code, sub.sv AS sv
+         |  FROM codes JOIN sub ON sub.vec_id = codes.vec_id AND sub.m = codes.m
+         |)
+         |SELECT m::INT AS m, code, i::INT AS pos,
+         |  sum(sv[(i + 1)::INT])::BIGINT AS sum_v, count(*)::BIGINT AS n_members
+         |FROM j, range($PqSubDim) r(i)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "sim_pq_topk" ->
       s"""WITH $pqChainSql, codes AS (
          |  SELECT vec_id, m, c_label AS code FROM ranked WHERE rnk = 1

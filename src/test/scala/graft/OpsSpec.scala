@@ -2114,6 +2114,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._4).sum === B)
   }
 
+  test("sim_pq_train: refit statistics reconcile with the encoded code histogram") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // The refit step's membership must be EXACTLY pqEncode's code
+    // assignment (same codebook, same argmin): per (m, code) the member
+    // count is constant across all PqSubDim component positions and equals
+    // the encoder's histogram; per (m, pos) the members total the corpus.
+    val stats = Similarity.pqTrainStep(spark, dir)
+      .as[(Int, Long, Int, Long, Long)].collect().toSeq
+    val hist = Similarity.pqEncode(spark, dir)
+      .select(col("m"), col("code")).as[(Int, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = Tables.embeddings(spark, dir).count()
+    val byCell = stats.groupBy(t => (t._1, t._2))
+    byCell.foreach { case ((m, code), rows) =>
+      assert(rows.map(_._3).sorted === (0 until rows.size).toSeq, s"($m,$code) pos set")
+      assert(rows.map(_._5).distinct.size === 1, s"($m,$code) uneven members")
+      assert(rows.head._5 === hist((m, code)), s"($m,$code) vs encoder histogram")
+    }
+    assert(byCell.keySet === hist.keySet)
+    stats.groupBy(t => (t._1, t._3)).foreach { case ((m, pos), rows) =>
+      assert(rows.map(_._5).sum === n, s"($m,$pos) members must total the corpus")
+    }
+  }
+
   test("q_skew_audit: hot keys, tie to the smaller key, skew = max/mean") {
     import spark.implicits._
     // orderkey {1:2, 2:2} — a MAX TIE, must resolve to key 1 via the
