@@ -653,6 +653,70 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ mm_wav_downsample
+
+  /** Decimation factor — the 48 kHz → 16 kHz resample every ASR pipeline
+    * runs before transcription.
+    */
+  private[graft] val WavDecim = 3
+
+  /** Audio downsample screen — each output sample is the TRUNCATING
+    * integer mean of [[WavDecim]] consecutive input samples (Σ/3 toward
+    * zero: Java `/` here, DuckDB `//` in the oracle — both truncate; a
+    * floor divide would diverge on negative odd sums, which the fixture
+    * pins), trailing partial groups dropped.
+    * Emits per asset the in/out sample counts, output peak, and mean
+    * |amplitude| on both sides — the "did the resample clip or smear"
+    * audit a speech pipeline logs. Same strict RIFF round-trip as
+    * [[wavEnergy]]: payloads frame as canonical mono s16le blobs through
+    * `encodeWav`/`wavSamples`, so on a corpus of real WAV files the
+    * synthesis disappears and the identical plan runs.
+    *
+    * Scale shape: one typed mapPartitions pass, blob bytes never shuffle,
+    * one bounded row per asset; the only exchange is the presentation
+    * sort.
+    */
+  def wavDownsample(s: SparkSession, dir: String): DataFrame =
+    wavDownsampleOf(assets(s, dir))
+
+  private[graft] def wavDownsampleOf(assetFrame: DataFrame): DataFrame = {
+    import assetFrame.sparkSession.implicits._
+    val raw = assetFrame
+      .filter(length(col("payload")) > 0)
+      .as[MediaAsset]
+      .mapPartitions { it =>
+        it.map { a =>
+          val synth = new Array[Short](a.payload.length)
+          var k = 0
+          while (k < synth.length) {
+            synth(k) = (((a.payload(k) & 0xff) - 128) * 256).toShort; k += 1
+          }
+          val (_, smp) = wavSamples(encodeWav(WavRate, synth)).getOrElse(
+            throw new IllegalStateException(s"WAV round-trip failed: doc ${a.doc_id}"))
+          val nOut = smp.length / WavDecim
+          var sumIn = 0L; var sumOut = 0L; var peakOut = 0L
+          k = 0
+          while (k < smp.length) { sumIn += math.abs(smp(k).toLong); k += 1 }
+          var j = 0
+          while (j < nOut) {
+            val s3 = smp(WavDecim * j) + smp(WavDecim * j + 1) + smp(WavDecim * j + 2)
+            val ad = math.abs((s3 / WavDecim).toLong)
+            sumOut += ad
+            if (ad > peakOut) peakOut = ad
+            j += 1
+          }
+          (a.doc_id, smp.length.toLong, nOut.toLong, sumOut, peakOut, sumIn)
+        }
+      }
+      .toDF("doc_id", "n_in", "n_out", "sum_abs_out", "peak_out", "sum_abs_in")
+    raw.select(col("doc_id"), col("n_in"), col("n_out"), col("peak_out"),
+        round(col("sum_abs_in").cast("double") / col("n_in"), 6).as("mean_abs_in"),
+        when(col("n_out") === 0, lit(0.0)).otherwise(
+          round(col("sum_abs_out").cast("double") / col("n_out"), 6))
+          .as("mean_abs_out"))
+      .orderBy("doc_id")
+  }
+
   /** Minimal canonical mono 16-bit PCM WAV encoder — RIFF/WAVE with a
     * 16-byte fmt chunk, a deliberately-present LIST/INFO junk chunk (so the
     * parser's chunk walk is exercised on every blob, never an offset-44
@@ -910,7 +974,8 @@ object Multimodal extends QueryModule {
     "mm_phash_dedup" -> (phashDedup(_, _)),
     "mm_scene_cut" -> (sceneCut(_, _)),
     "mm_dct_phash" -> (dctPhash(_, _)),
-    "mm_wav_energy" -> (wavEnergy(_, _)))
+    "mm_wav_energy" -> (wavEnergy(_, _)),
+    "mm_wav_downsample" -> (wavDownsample(_, _)))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1102,6 +1167,34 @@ object Multimodal extends QueryModule {
          |SELECT doc_id, 1::BIGINT AS n_merged FROM documents
          |WHERE octet_length(text::BLOB) < $PhashMinBytes
          |ORDER BY doc_id""".stripMargin,
+    "mm_wav_downsample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents
+         |  WHERE length(text) > 0
+         |), s AS (
+         |  SELECT doc_id, n, i,
+         |    ((ascii(substr(text, (i + 1)::INT, 1)) - 128) * 256)::BIGINT AS a
+         |  FROM (SELECT doc_id, n, text, unnest(range(n)) AS i FROM d)
+         |), o AS (
+         |  SELECT doc_id, i // $WavDecim AS j, sum(a) AS ts
+         |  FROM s WHERE i // $WavDecim < n // $WavDecim
+         |  GROUP BY doc_id, i // $WavDecim
+         |), oo AS (
+         |  SELECT doc_id, abs(ts // $WavDecim) AS ad FROM o
+         |), ain AS (
+         |  SELECT doc_id, n AS n_in, sum(abs(a))::BIGINT AS sin
+         |  FROM s GROUP BY doc_id, n
+         |), aout AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_out, sum(ad)::BIGINT AS sout,
+         |    max(ad)::BIGINT AS pk
+         |  FROM oo GROUP BY doc_id
+         |)
+         |SELECT ain.doc_id, n_in, coalesce(n_out, 0)::BIGINT AS n_out,
+         |  coalesce(pk, 0)::BIGINT AS peak_out,
+         |  round(sin::DOUBLE / n_in, 6) AS mean_abs_in,
+         |  CASE WHEN coalesce(n_out, 0) = 0 THEN 0.0
+         |    ELSE round(sout::DOUBLE / n_out, 6) END AS mean_abs_out
+         |FROM ain LEFT JOIN aout USING (doc_id) ORDER BY ain.doc_id""".stripMargin,
     "mm_scene_cut" ->
       s"""WITH a AS (
          |  SELECT doc_id, text FROM documents

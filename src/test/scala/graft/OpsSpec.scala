@@ -2048,6 +2048,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_wav_downsample: truncating means on negative odd sums, dropped tail") {
+    import spark.implicits._
+    // bytes → samples (×256): [-32768, 32512, 0, 256, -256, 512, 4096].
+    // triple 1 sums to −256: −256/3 truncates to −85 (floor would say −86
+    // — the fixture pins TRUNCATION, which is what both Java `/` and
+    // DuckDB `//` do); triple 2 sums to 512 → 170; the 7th sample is a
+    // dropped partial tail. Second asset is shorter than one triple →
+    // n_out 0, mean 0.0 (the LEFT-join path).
+    val payload = Array(0x00, 0xFF, 0x80, 0x81, 0x7F, 0x82, 0x90).map(_.toByte)
+    val assetsDf = Seq(
+      (1L, "audio", payload),
+      (2L, "audio", Array[Byte](0x00, 0x10.toByte))
+    ).toDF("doc_id", "media_type", "payload")
+    val got = graft.ops.Multimodal.wavDownsampleOf(assetsDf)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val expected = Seq(
+      (1L, 7L, 2L, 170L, math.rint(70400.0 / 7 * 1e6) / 1e6, 127.5),
+      (2L, 2L, 0L, 0L, math.rint((32768.0 + 28672) / 2 * 1e6) / 1e6, 0.0))
+    assert(got === expected)
+  }
+
   test("mm_scene_cut: crafted frame masks cut exactly where hamming crosses the bar") {
     import spark.implicits._
     // A 64-byte frame whose aHash bits are exactly `mask`: at frame length
