@@ -239,7 +239,10 @@ object Pipeline extends QueryModule {
       .select(col("lang"), col("source"), col("n_tokens"), col("alloc_tokens"),
         round(col("alloc_tokens").cast("double") / lit(EpochBudget.toDouble), 6)
           .as("alloc_share"),
-        round(col("alloc_tokens").cast("double") / col("n_tokens"), 4)
+        // a zero-token cell (all-empty docs) gets weight 0 but must not
+        // divide by zero: Spark yields NULL where DuckDB yields inf
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(col("alloc_tokens").cast("double") / col("n_tokens"), 4))
           .as("upsample"))
       .orderBy("lang", "source")
   }
@@ -284,8 +287,9 @@ object Pipeline extends QueryModule {
          |  (quota + CASE WHEN rnk <= spare THEN 1 ELSE 0 END)::BIGINT AS alloc_tokens,
          |  round((quota + CASE WHEN rnk <= spare THEN 1 ELSE 0 END)::DOUBLE
          |    / $EpochBudget, 6) AS alloc_share,
-         |  round((quota + CASE WHEN rnk <= spare THEN 1 ELSE 0 END)::DOUBLE
-         |    / n_tokens, 4) AS upsample
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |    round((quota + CASE WHEN rnk <= spare THEN 1 ELSE 0 END)::DOUBLE
+         |      / n_tokens, 4) END AS upsample
          |FROM r, sp ORDER BY lang, source""".stripMargin,
     "pipe_corpus" ->
       s"""WITH keepq AS (

@@ -2106,13 +2106,15 @@ class OpsSpec extends AnyFunSuite {
       (1L, words(10), "en", "s1"),
       (2L, words(12), "en", "s2"),
       (3L, words(13), "en", "s2"),
-      (4L, words(65), "de", "s3")
+      (4L, words(65), "de", "s3"),
+      (5L, "", "fr", "s4") // zero-token cell: weight 0, upsample guard
     ).toDF("doc_id", "text", "lang", "source")
     val got = graft.ops.Pipeline.epochPlanOf(docs)
       .as[(String, String, Long, Long, Double, Double)].collect().toSeq
     val B = graft.ops.Pipeline.EpochBudget
     def rd(x: Double, s: Int) = JBD.valueOf(x).setScale(s, RM.HALF_UP).doubleValue
-    val cells = Seq(("en", "s1", 10L), ("en", "s2", 25L), ("de", "s3", 65L))
+    val cells = Seq(
+      ("en", "s1", 10L), ("en", "s2", 25L), ("de", "s3", 65L), ("fr", "s4", 0L))
     val tot = cells.map(_._3).sum.toDouble
     val withA = cells.map { case (l, src, n) =>
       val w8 = rd(math.pow(rd(n / tot, 6), graft.ops.TextOps.MixAlpha), 8)
@@ -2129,7 +2131,8 @@ class OpsSpec extends AnyFunSuite {
       .take(spare.toInt).map(t => (t._1, t._2)).toSet
     val expected = quotas.map { case (l, src, n, qta, _) =>
       val alloc = qta + (if (winners((l, src))) 1L else 0L)
-      (l, src, n, alloc, rd(alloc.toDouble / B, 6), rd(alloc.toDouble / n, 4))
+      val up = if (n == 0) 0.0 else rd(alloc.toDouble / n, 4)
+      (l, src, n, alloc, rd(alloc.toDouble / B, 6), up)
     }.sortBy(t => (t._1, t._2))
     assert(got === expected)
     assert(got.map(_._4).sum === B)
