@@ -646,15 +646,22 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .filter(col("t").isin(BlockList: _*))
       .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
-    base.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
-      .withColumn("flag_density",
+    withBlockVerdict(
+      base.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged")))
+      .orderBy("doc_id")
+  }
+
+  /** The density + keep verdict over a (doc_id, n_tokens, n_flagged)
+    * frame — shared with the stateless streaming twin so batch and
+    * serving can't drift on the rounding or the boundary comparison.
+    */
+  private[graft] def withBlockVerdict(df: DataFrame): DataFrame =
+    df.withColumn("flag_density",
         when(col("n_tokens") <= 0, lit(0.0)).otherwise(
           round(col("n_flagged").cast("double") / col("n_tokens"), 6)))
       .withColumn("keep", col("flag_density") <= BlockThr)
-      .orderBy("doc_id")
-  }
 
   def c4Filter(s: SparkSession, dir: String): DataFrame =
     c4FilterOf(Tables.documents(s, dir))

@@ -196,6 +196,55 @@ object Streaming {
       .parquet(dir)
   }
 
+  /** Unbounded view of the lineitem table (same file-stream shape as
+    * [[eventsStream]]) — the fact-feed half of a streaming metrics store.
+    */
+  def lineitemStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming twin of q_histogram: the distribution profile maintained
+    * AGAINST A FIXED BUCKET LAYOUT as facts arrive — exactly how a
+    * production histogram store works (boundaries come from the previous
+    * ANALYZE snapshot; only the per-bucket accumulators update). State is
+    * ≤ [[graft.ops.Relational.HistBuckets]] rows of (count, min, max,
+    * sum) — fixed memory at any ingest volume, the CMS/HLL argument
+    * applied to the histogram. Same quantize + bucket arithmetic as the
+    * batch op, so with the same (cmin, cmax) snapshot the streamed
+    * accumulators are bit-identical to a batch build (StreamingSpec pins
+    * it).
+    */
+  def histogramStreaming(li: DataFrame, cmin: Long, cmax: Long): DataFrame =
+    li.select(expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("c"))
+      .withColumn("bucket", expr(
+        s"((c - ${cmin}L) * ${graft.ops.Relational.HistBuckets}L)" +
+          s" div (${cmax}L - ${cmin}L + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("c").as("lo_cents"), max("c").as("hi_cents"),
+        sum("c").as("sum_cents"))
+
+  /** Streaming twin of txt_blocklist: the wordlist gate served STATELESS
+    * at ingest — the flagged count is a per-row higher-order filter over
+    * the token array (streaming-legal, zero state, zero shuffle; the
+    * batch plan's explode+join formulation is the codegen-friendly bulk
+    * shape, the per-row fold is the serving shape — the classifier-scorer
+    * precedent), and the density/keep verdict is the SHARED
+    * [[graft.ops.TextOps.withBlockVerdict]] expression set, so batch and
+    * serving cannot drift on rounding or the boundary compare.
+    */
+  def blocklistStreaming(docs: DataFrame): DataFrame = {
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    graft.ops.TextOps.withBlockVerdict(
+      docs.select(col("doc_id"), size(toks).as("n_tokens"),
+        size(filter(toks, t => t.isin(graft.ops.TextOps.BlockList: _*)))
+          .cast("long").as("n_flagged")))
+  }
+
   /** Streaming twin of the batch `dd_exact` family: incremental exact dedup
     * on the md5 token-stream fingerprint via
     * `dropDuplicatesWithinWatermark` — the first document seen per

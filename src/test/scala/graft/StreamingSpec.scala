@@ -302,6 +302,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("streaming histogram against the batch bucket layout is bit-identical") {
+    import spark.implicits._
+    // Fixed-layout maintenance: bounds come from a batch ANALYZE snapshot,
+    // the stream updates ≤ HistBuckets accumulator rows. With the same
+    // (cmin, cmax) the streamed accumulators must EQUAL the batch build —
+    // counts, observed extremes, and exact sums.
+    val li = Tables.lineitem(spark, dir)
+    val (cmin, cmax) = li
+      .select(org.apache.spark.sql.functions.expr(
+        "cast(round(l_extendedprice * 100, 0) as bigint)").as("c"))
+      .agg(org.apache.spark.sql.functions.min("c"),
+        org.apache.spark.sql.functions.max("c"))
+      .as[(Long, Long)].head()
+    val got = runToMemory(
+      Streaming.histogramStreaming(Streaming.lineitemStream(spark, dir), cmin, cmax),
+      "t_hist", "complete")
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val want = graft.ops.Relational.histogramOf(li)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("stateless blocklist serving equals the batch gate") {
+    import spark.implicits._
+    val got = runToMemory(
+      Streaming.blocklistStreaming(Streaming.documentsStream(spark, dir)),
+      "t_blocklist", "append")
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Double, Boolean)].collect().toSeq
+    val want = graft.ops.TextOps.blocklist(spark, dir)
+      .as[(Long, Int, Long, Double, Boolean)].collect().toSeq
+    assert(want.nonEmpty && got === want)
+    assert(want.exists(_._5) && want.exists(!_._5), "gate must split the corpus")
+  }
+
   test("CEP machine step == greedy regex scan on random sequences (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.Prop.forAll
