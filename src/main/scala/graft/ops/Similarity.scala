@@ -173,6 +173,42 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rnk")
   }
 
+  // ------------------------------------------------------ sim_filtered_topk
+
+  /** Metadata-FILTERED exact search — the "filtered vector search" every
+    * production vector store exposes (pgvector WHERE clauses, Milvus/
+    * Qdrant payload filters): per query vector, the top-[[TopK]] cosine
+    * neighbors restricted to vectors sharing the query's label. The
+    * filter changes the PLAN, not just the answer: the predicate becomes
+    * the join key, so candidates come from a label equi-join (pair space
+    * = Σ |query's label group| instead of query × corpus) — push the
+    * filter into candidate generation, never score-then-discard. With a
+    * selective predicate this beats the unfiltered index probe + post-
+    * filter that loses recall (the classic filtered-ANN failure).
+    *
+    * Scale shape: the [[NumQueries]]-row query side broadcasts; the
+    * corpus streams through the label hash join once; ranking is the
+    * salted two-phase top-k (no task sorts a whole label group).
+    */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayDot.register(s)
+    val c = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("vq"))
+      .withColumn("vn2", inorm2(col("vq")))
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("vq").as("qv"), col("vn2").as("qn2"))
+    val scored = c.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(idot(col("vq"), col("qv")), col("vn2"), col("qn2")).as("cos"))
+    topKPerGroup(scored, Seq("q_id"), "vec_id", TopK,
+        col("cos").desc, col("vec_id").asc)
+      .select(col("q_id"), col("vec_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   // ----------------------------------------------------------- LSH banding
 
   /** (vec_id, b_idx, band): [[BandCount]] bands of `bandBits(corpus size)`
@@ -1329,6 +1365,7 @@ object Similarity extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> (bruteTopK(_, _)),
+    "sim_filtered_topk" -> (filteredTopK(_, _)),
     "sim_lsh_topk" -> (lshTopK(_, _)),
     "sim_knn_graph" -> (knnGraph(_, _)),
     "sim_ivf_assign" -> (ivfAssign(_, _)),
@@ -1749,6 +1786,16 @@ object Similarity extends QueryModule {
          |FROM bt LEFT JOIN it ON bt.q_id = it.q_id AND bt.vec_id = it.vec_id
          |GROUP BY bt.q_id ORDER BY bt.q_id""".stripMargin,
     "sim_brute_topk" -> bruteTopkSql,
+    "sim_filtered_topk" ->
+      s"""WITH el AS (
+         |  SELECT vec_id, label, $vqSql AS vq, ${n2.format(vqSql)} AS nn
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    q.vq AS va, c.vq AS vb, q.nn AS na, c.nn AS nb
+         |  FROM el q JOIN el c ON c.label = q.label AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ${rankSql("pairs", "q_id", "vec_id", TopK)}""".stripMargin,
     "sim_lsh_topk" ->
       s"""WITH $corpusSql, $bandSql, cand AS (
          |  SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS vec_id

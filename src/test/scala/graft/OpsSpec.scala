@@ -2138,6 +2138,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._4).sum === B)
   }
 
+  test("sim_filtered_topk: label-scoped, complete, ordered, dominated by brute") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val labelOf = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val got = Similarity.filteredTopK(spark, dir)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === (0L until 8L).toSet)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3) === (1 to 5), s"q=$q ranks")
+      // every neighbor shares the query's label — the filter is a
+      // candidate-generation constraint, not a post-hoc discard
+      sorted.foreach { case (_, v, _, _) =>
+        assert(labelOf(v) === labelOf(q), s"q=$q neighbor $v label") }
+      assert(sorted.map(_._4) === sorted.map(_._4).sorted.reverse, s"q=$q order")
+    }
+    // the restricted top-1 can never beat the unrestricted top-1
+    val bruteTop = Similarity.bruteTopK(spark, dir)
+      .filter(col("rnk") === 1).select(col("q_id"), col("cos_sim"))
+      .as[(Long, Double)].collect().toMap
+    byQ.foreach { case (q, rows) =>
+      assert(rows.minBy(_._3)._4 <= bruteTop(q) + 1e-9, s"q=$q dominance") }
+  }
+
   test("sim_pq_train: refit statistics reconcile with the encoded code histogram") {
     import spark.implicits._
     import graft.ops.Similarity
