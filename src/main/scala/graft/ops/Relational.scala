@@ -450,6 +450,57 @@ object Relational extends QueryModule {
       .orderBy("cell")
   }
 
+  // --------------------------------------------------------- q_cascade_delete
+
+  /** The right-to-be-forgotten audit — given a deletion list of customers
+    * (here the deterministic `c_custkey % 97 = 0` slice standing in for
+    * the uploaded erasure requests), report the FK CASCADE a compliant
+    * delete must cover: the customers themselves, their orders, and those
+    * orders' lineitems — per table the total, deleted, kept, and deletion
+    * fraction. The cascade is expressed as semi joins down the FK chain
+    * (deletion lists are arbitrary uploads in production, so the chain
+    * must be JOINS — lineitem has no customer key, it cascades only
+    * through orders), which is exactly the audit a lakehouse DELETE plans
+    * before rewriting files.
+    *
+    * Scale shape: the deletion list and the order-key list are key-only
+    * frames (AQE broadcasts them while small, sort-merge beyond); each
+    * fact table is scanned once with the membership flag folded map-side
+    * into one row per table — no row ever leaves its scan except the
+    * bounded key lists.
+    */
+  def cascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    val delC = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val cust = Tables.customer(s, dir)
+      .join(delC.withColumnRenamed("c_custkey", "k"),
+        col("c_custkey") === col("k"), "left")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_deleted"))
+      .select(lit("customer").as("tbl"), col("n_total"), col("n_deleted"))
+    val delO = Tables.orders(s, dir)
+      .join(delC, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    val ords = Tables.orders(s, dir)
+      .join(delO.withColumnRenamed("o_orderkey", "k"),
+        col("o_orderkey") === col("k"), "left")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_deleted"))
+      .select(lit("orders").as("tbl"), col("n_total"), col("n_deleted"))
+    val li = Tables.lineitem(s, dir)
+      .join(delO.withColumnRenamed("o_orderkey", "k"),
+        col("l_orderkey") === col("k"), "left")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_deleted"))
+      .select(lit("lineitem").as("tbl"), col("n_total"), col("n_deleted"))
+    cust.unionByName(ords).unionByName(li)
+      .select(col("tbl"), col("n_total"), col("n_deleted"),
+        (col("n_total") - col("n_deleted")).as("n_kept"),
+        round(col("n_deleted").cast("double") / col("n_total"), 6)
+          .as("pct_deleted"))
+      .orderBy("tbl")
+  }
+
   // ------------------------------------------------------------- q_skew_audit
 
   /** Join-key columns audited by [[skewAudit]]. */
@@ -1411,6 +1462,7 @@ object Relational extends QueryModule {
     "q_zorder" -> (zorderStats(_, _)),
     "q_histogram" -> (histogram(_, _)),
     "q_skew_audit" -> (skewAudit(_, _)),
+    "q_cascade_delete" -> (cascadeDelete(_, _)),
     "q_unpivot" -> (unpivotPricing(_, _)),
     "q_upsert" -> (upsert(_, _)),
     "q_scd2" -> (scd2(_, _)),
@@ -1524,6 +1576,29 @@ object Relational extends QueryModule {
          |  min(sk) AS s_min, max(sk) AS s_max
          |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q_cascade_delete" ->
+      """WITH delc AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        |), delo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM delc)
+        |), t AS (
+        |  SELECT 'customer' AS tbl, count(*)::BIGINT AS n_total,
+        |    count(*) FILTER (WHERE c_custkey IN (SELECT c_custkey FROM delc))::BIGINT
+        |      AS n_deleted
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', count(*)::BIGINT,
+        |    count(*) FILTER (WHERE o_orderkey IN (SELECT o_orderkey FROM delo))::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', count(*)::BIGINT,
+        |    count(*) FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM delo))::BIGINT
+        |  FROM lineitem
+        |)
+        |SELECT tbl, n_total, n_deleted, n_total - n_deleted AS n_kept,
+        |  round(n_deleted::DOUBLE / n_total, 6) AS pct_deleted
+        |FROM t ORDER BY tbl""".stripMargin,
     "q_skew_audit" -> {
       val branches = SkewCols
         .map(c => s"SELECT '$c' AS key_col, $c AS v FROM lineitem")

@@ -2189,6 +2189,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cascade_delete: join-path counts equal direct predicate recomputes") {
+    import spark.implicits._
+    import graft.ops.Relational
+    val got = Relational.cascadeDelete(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val cust = Tables.customer(spark, dir)
+    val ords = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    // independent path: plain filters and an inner-join count (the op uses
+    // left joins + flag sums — different plan, same answer)
+    val delCust = cust.filter(col("c_custkey") % 97 === 0).count()
+    val delOrds = ords.filter(col("o_custkey") % 97 === 0).count()
+    val delLi = li.join(
+      ords.filter(col("o_custkey") % 97 === 0).select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(got("customer")._2 === cust.count() && got("customer")._3 === delCust)
+    assert(got("orders")._2 === ords.count() && got("orders")._3 === delOrds)
+    assert(got("lineitem")._2 === li.count() && got("lineitem")._3 === delLi)
+    got.values.foreach { case (t, tot, del, kept, _) =>
+      assert(kept === tot - del, s"$t kept") }
+    assert(delLi > 0, "cascade must actually reach lineitem")
+  }
+
   test("q_skew_audit: hot keys, tie to the smaller key, skew = max/mean") {
     import spark.implicits._
     // orderkey {1:2, 2:2} — a MAX TIE, must resolve to key 1 via the
