@@ -608,12 +608,27 @@ object Streamish extends QueryModule {
   def rfm(s: SparkSession, dir: String): DataFrame =
     rfmOf(Tables.events(s, dir))
 
-  private[graft] def rfmOf(events: DataFrame): DataFrame = {
-    val perUser = events
+  private[graft] def rfmOf(events: DataFrame): DataFrame =
+    rfmFromBase(rfmBaseOf(events))
+
+  /** The per-user RFM base profile — one plain aggregation, so it is also
+    * the streaming INGEST half (update-mode state = one bounded row per
+    * user: last active day, event count, integer-cents monetary sum — the
+    * engagement-profile store every CRM stream maintains). StreamingSpec
+    * pins read-time scoring over a streamed sink ≡ the batch build.
+    */
+  private[graft] def rfmBaseOf(events: DataFrame): DataFrame =
+    events
       .groupBy("user_id")
       .agg(max(col("ts").cast("date")).as("last_day"),
         count(lit(1)).as("n_events"),
         sum(expr("cast(round(value * 100, 0) as bigint)")).as("monetary_cents"))
+
+  /** The read-time half: quintile cutoffs + scoring over whatever
+    * (user_id, last_day, n_events, monetary_cents) frame the caller holds
+    * — the batch aggregate or a streamed profile store.
+    */
+  private[graft] def rfmFromBase(perUser: DataFrame): DataFrame = {
     val anchor = broadcast(perUser.agg(max("last_day").as("corpus_day")))
     val base = perUser.crossJoin(anchor)
       .select(col("user_id"),

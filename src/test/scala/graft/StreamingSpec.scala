@@ -302,6 +302,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("streamed per-user RFM profiles score to the batch segmentation at read time") {
+    import spark.implicits._
+    // Update-mode profile store: one bounded state row per user (last day,
+    // count, integer-cents sum — all arrival-order-independent), quintile
+    // cutoffs and scores computed at read time over the sink. Must EQUAL
+    // the batch ev_rfm output exactly.
+    val sink = runToMemory(
+      Streamish.rfmBaseOf(Streaming.eventsStream(spark, dir)),
+      "t_rfm_base", "complete")
+    val got = Streamish.rfmFromBase(sink)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    val want = Streamish.rfm(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
   test("streaming histogram against the batch bucket layout is bit-identical") {
     import spark.implicits._
     // Fixed-layout maintenance: bounds come from a batch ANALYZE snapshot,
