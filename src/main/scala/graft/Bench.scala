@@ -239,9 +239,20 @@ object Bench {
     val qsRatio = ok.map { case (k, _, _) => s"${jstr(k)}:${r4(calMin(k)._2)}" }
       .mkString("{", ",", "}")
     val core =
-      s""""value":${r4(total)},"value_calibrated":${r4(totalCal)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size},"errors":$errs,"sentinel":$sentJson,"sentinel_spread":${r4(sentSpread)},"sentinel_floor":${r4(floor)}"""
-    val compact = s"""{"metric":"total",$core}"""
-    val full = s"""{"metric":"total",$core,"samples":$samplesJson,"queries_calibrated":$qsCal,"query_sentinel_ratio":$qsRatio}"""
+      s""""value":${r4(total)},"value_calibrated":${r4(totalCal)},"unit":"sec","reps":$reps,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size},"sentinel_spread":${r4(sentSpread)},"sentinel_floor":${r4(floor)}"""
+    // The stdout line must survive the driver's ~2 KB tail-capture window
+    // INTACT (r15's 176-query map pushed it to 4.5 KB and BENCH_r15.json
+    // came back parsed:null with only a truncated tail). Headline numbers
+    // go FIRST, the per-query map is capped to the slowest queries, and
+    // errors are capped to the first few — the complete run always lives
+    // in the file copy, which the compact line names.
+    val slowest = ok.sortBy { case (_, v, _) => -v.min }.take(10)
+      .map { case (k, v, _) => s"${jstr(k)}:${r4(v.min)}" }.mkString("{", ",", "}")
+    val errsCompact = results.collect { case (k, _, Some(m)) => (k, m) }.take(3)
+      .map { case (k, m) => s"${jstr(k)}:${jstr(m.take(80))}" }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total",$core,"errors":$errsCompact,"queries":$slowest,"queries_truncated":true,"full_out":${jstr(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))}}"""
+    val full = s"""{"metric":"total",$core,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"samples":$samplesJson,"queries_calibrated":$qsCal,"query_sentinel_ratio":$qsRatio}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), full + "\n")
     println(compact)

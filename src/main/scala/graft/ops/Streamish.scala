@@ -557,6 +557,19 @@ object Streamish extends QueryModule {
   /** The read-time half: exact dau/wau from the event log, the sliding
     * union from whatever (day, sk) frame the caller holds — the batch
     * build or a streamed sketch store.
+    *
+    * Exact WAU is an interval SWEEP, not a ×7 explode + countDistinct
+    * (the r15 shape, and the steepest non-diagnostic exponent in the
+    * factor-100 probe at 0.44 — the distinct re-shuffled 7× the pair
+    * volume): a user active on day d covers anchors [d, d+6], so per
+    * user the sorted active-day set collapses into merged coverage
+    * chains (a new chain starts when the gap exceeds the window), each
+    * chain emits +1 at its start and −1 one day past its end, and
+    * WAU(anchor) is the running sum of deltas. The only corpus-scale
+    * work is ONE user-keyed aggregate whose collect_set dedups
+    * map-side; the delta explode is ≤ 2 rows per chain, the running
+    * sum a window over the bounded calendar-anchor frame. Same exact
+    * semantics — the DuckDB oracle still computes the ×7 distinct.
     */
   private[graft] def dauStickinessFrom(
       events: DataFrame, dailySk: DataFrame): DataFrame = {
@@ -570,8 +583,34 @@ object Streamish extends QueryModule {
       .withColumn("anchor", date_add(col("day"), col("i")))
       .join(broadcast(days.withColumnRenamed("day", "anchor")), "anchor")
     val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
-    val wau = anchored(pairs)
-      .groupBy("anchor").agg(countDistinct("user_id").as("wau"))
+    // per-user merged coverage chains → (anchor, ±1) deltas; CASE arms are
+    // evaluated in order, so element_at never sees an out-of-range index
+    // under ANSI (i = 0 / i = size-1 guard first)
+    val g = WauWindow - 1
+    val deltas = events
+      .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("day"))).as("ds"))
+      .select(explode(expr(
+        s"""filter(flatten(transform(ds, (d, i) -> array(
+           |  CASE WHEN i = 0 THEN named_struct('anchor', d, 'delta', CAST(1 AS BIGINT))
+           |       WHEN datediff(d, element_at(ds, i)) > $g
+           |         THEN named_struct('anchor', d, 'delta', CAST(1 AS BIGINT)) END,
+           |  CASE WHEN i = size(ds) - 1
+           |         THEN named_struct('anchor', date_add(d, $WauWindow), 'delta', CAST(-1 AS BIGINT))
+           |       WHEN datediff(element_at(ds, i + 2), d) > $g
+           |         THEN named_struct('anchor', date_add(d, $WauWindow), 'delta', CAST(-1 AS BIGINT)) END))),
+           |  x -> x IS NOT NULL)""".stripMargin)).as("dl"))
+      .select(col("dl.anchor").as("anchor"), col("dl.delta").as("delta"))
+    val wau = deltas
+      // observed days join as zero-deltas so every output anchor has a row
+      // to carry the running sum, even when no chain starts or ends on it
+      .unionByName(days.select(col("day").as("anchor"), lit(0L).as("delta")))
+      .groupBy("anchor").agg(sum("delta").as("dlt"))
+      .withColumn("wau", sum(col("dlt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("anchor")))
+      .join(broadcast(days.withColumnRenamed("day", "anchor")), "anchor")
+      .select(col("anchor"), col("wau"))
     val approx = anchored(dailySk)
       .groupBy("anchor")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("n_approx"))

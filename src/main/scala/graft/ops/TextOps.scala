@@ -1823,9 +1823,10 @@ object TextOps extends QueryModule {
          |  SELECT lhs, rhs, sum(f)::BIGINT AS pair_count
          |  FROM p$r GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 1
          |), v$r AS (
-         |  SELECT ${w}replace(ws, '{' || lhs || '}{' || rhs || '}',
-         |                 '{' || lhs || rhs || '}') AS ws, f
-         |  FROM v${r - 1}, t$r
+         |  SELECT ${w}CASE WHEN t.lhs IS NULL THEN ws ELSE
+         |    replace(ws, '{' || t.lhs || '}{' || t.rhs || '}',
+         |            '{' || t.lhs || t.rhs || '}') END AS ws, f
+         |  FROM v${r - 1} LEFT JOIN t$r t ON true
          |)""".stripMargin
     }.mkString(", ")
     s"""v0 AS (

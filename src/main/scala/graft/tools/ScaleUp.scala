@@ -72,7 +72,11 @@ object ScaleUp {
     // deterministic winner election (min doc_id) behaves as in the base
     val docStride = docs.agg(max("doc_id")).head.getLong(0) + 1
     // per-copy affine char maps; (a, b) pairs distinct for all c < 156 and
-    // any two distinct maps agree on at most one letter
+    // any two distinct maps agree on at most TWO letters: a1−a2 is even
+    // (all multipliers odd), so gcd(a1−a2, 26) ∈ {2, 26\…} and the fixed-
+    // point congruence can have two solutions — only windows repeating a
+    // single letter can collide across copies, so gram disjointness holds
+    // for every realistic shingle
     val As = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25) // coprime to 26
     def alphaMap(c: Int): (String, String) = {
       val a = As((c * 7 + 3) % As.size)
