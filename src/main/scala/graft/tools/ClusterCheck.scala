@@ -1,0 +1,273 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd}
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+
+/** Multi-executor execution evidence — the Spark-native analogue of the
+  * reference's distributed mode (`master_distributed.go:13-30`, worker
+  * registration `worker.go:105-112`, fault-injection
+  * `distributed_test.go:39-73`). Everything else in this repo runs
+  * `local[n]`: one JVM, no serialized network shuffle, no real executor
+  * death. This main stands the same code up on Spark's
+  * `local-cluster[workers,cores,memMB]` master — an in-process standalone
+  * Master/Worker pair that launches REAL executor JVMs — and records three
+  * kinds of evidence no `local[n]` run can produce:
+  *
+  *  - `kill`: run dd_cluster (pointer-jumping label propagation) under
+  *    `spark.graft.checkpointDir` (reliable per-round checkpoints), destroy
+  *    one executor JVM mid-convergence, and require the surviving run to
+  *    produce labels IDENTICAL to a quiet single-JVM reference — the
+  *    engine-side durability half of the reference's infinite-retry story
+  *    (`common_rpc.go:84-136`), now exercised by an actual executor loss
+  *    instead of a simulated one.
+  *  - `aqe`: a deliberately hot-keyed join under real network shuffle, with
+  *    AQE skew-split thresholds low enough to trigger; the skew-handled
+  *    result must equal the same join computed with skew handling off.
+  *  - `bench`: the heavy-query subset timed on the cluster master and then
+  *    on `local[n]` with the same core count — the serialized-shuffle tax,
+  *    measured (`bench_cluster_r16.json`).
+  *
+  * Run via ClusterSpec (spec mode at sf0.001) and standalone for the bench
+  * artifact. `spark.testing` is set so LocalSparkCluster puts worker dirs
+  * in java.io.tmpdir (never $SPARK_HOME/work) and ships this JVM's
+  * classpath to the executor JVMs.
+  */
+object ClusterCheck {
+
+  private def session(master: String, shufflePartitions: Int,
+      extra: Map[String, String] = Map.empty): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master(master)
+      .appName("graft-cluster-check")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // executors are separate JVMs: they need this build's classes (the
+      // spark.testing classpath propagation covers sbt runs too, but an
+      // explicit entry keeps plain `java -cp` invocations working).
+      // ABSOLUTIZED: executors run from their own work dir, so a relative
+      // `target/scala-2.13/classes` silently resolves to nothing there —
+      // and the failure mode is not a clean ClassNotFound but serialization
+      // ClassCastExceptions (SerializedLambda / DefaultSerializationProxy
+      // left unresolved) on exactly the tasks that ship graft lambdas or
+      // custom expressions, while pure-builtin plans sail through.
+      .config("spark.executor.extraClassPath",
+        sys.props("java.class.path").split(java.io.File.pathSeparator)
+          .filter(_.nonEmpty)
+          .map(e => new java.io.File(e).getAbsolutePath)
+          .mkString(java.io.File.pathSeparator))
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Order-independent digest of a query result (the check.py idiom:
+    * stringified rows, sorted, hashed).
+    */
+  private def digest(df: DataFrame): (Long, String) = {
+    val rows = df.collect().map(_.toString).sorted
+    val md = MessageDigest.getInstance("SHA-256")
+    rows.foreach(r => md.update((r + "").getBytes("UTF-8")))
+    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Kill one executor JVM of this app, forcibly. Executor backends carry
+    * `--app-id <appId>` on their command line, so only OUR executors match
+    * — never another session's, never the driver.
+    */
+  private def killOneExecutor(appId: String): Option[Long] = {
+    def cmdOf(p: ProcessHandle): String = {
+      // executor cmdlines run to tens of KB (every jar listed) —
+      // ProcessHandle.info truncates/omits those, so read /proc directly
+      val viaProc =
+        try new String(Files.readAllBytes(Paths.get(s"/proc/${p.pid()}/cmdline")))
+          .replace('\u0000', ' ')
+        catch { case _: Exception => "" }
+      if (viaProc.nonEmpty) viaProc else p.info().commandLine().orElse("")
+    }
+    val victim = ProcessHandle.allProcesses().iterator().asScala.find { p =>
+      val cmd = cmdOf(p)
+      cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(appId)
+    }
+    victim.foreach(_.destroyForcibly())
+    victim.map(_.pid())
+  }
+
+  /** Durability under REAL executor loss: reliable-checkpoint label
+    * propagation must converge to the exact single-JVM labels even when an
+    * executor JVM is destroyed after convergence work has started.
+    */
+  private def killPhase(sfDir: String): String = {
+    // quiet single-JVM reference first (one SparkContext per JVM — strictly
+    // sequential sessions)
+    val ref = session("local[4]", 8)
+    val (refRows, refHash) = digest(graft.SparkEntry.queries("dd_cluster")(ref, sfDir))
+    ref.stop()
+
+    val ckDir = Files.createTempDirectory("graft_ck_").toString
+    val spark = session("local-cluster[2,2,2048]", 8,
+      Map("spark.graft.checkpointDir" -> ckDir))
+    val sc = spark.sparkContext
+    // wait for both executors before starting work, so the kill removes a
+    // host that genuinely holds state
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (sc.getExecutorMemoryStatus.size < 3 && System.nanoTime() < deadline)
+      Thread.sleep(200)
+    require(sc.getExecutorMemoryStatus.size >= 3, "executors never registered")
+
+    @volatile var jobsEnded = 0
+    @volatile var executorsLost = 0
+    sc.addSparkListener(new SparkListener {
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobsEnded += 1
+      override def onExecutorRemoved(
+          e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+        executorsLost += 1
+    })
+    @volatile var killedPid: Option[Long] = None
+    @volatile var killedAtJob = -1
+    val killer = new Thread(() => {
+      // let propagation get underway (edge persist + initial labels + at
+      // least one round land as completed jobs), THEN pull the plug
+      val dl = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (jobsEnded < 3 && System.nanoTime() < dl) Thread.sleep(50)
+      killedAtJob = jobsEnded
+      killedPid = killOneExecutor(sc.applicationId)
+    })
+    killer.setDaemon(true)
+    killer.start()
+    val t0 = System.nanoTime()
+    val (gotRows, gotHash) = digest(graft.SparkEntry.queries("dd_cluster")(spark, sfDir))
+    val sec = (System.nanoTime() - t0) / 1e9
+    killer.join(10000)
+    // give the scheduler a beat to surface the removal event before we read it
+    val lostDl = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (executorsLost < 1 && System.nanoTime() < lostDl) Thread.sleep(100)
+    val killedDuring = killedPid.isDefined && killedAtJob >= 3 && executorsLost >= 1
+    spark.stop()
+    s""""kill":{"ok":${gotHash == refHash && killedDuring},"rows":$gotRows,""" +
+      s""""rows_ref":$refRows,"hash_match":${gotHash == refHash},""" +
+      s""""killed_pid":${killedPid.getOrElse(-1L)},"killed_after_jobs":$killedAtJob,""" +
+      s""""executors_lost":$executorsLost,""" +
+      s""""seconds":${math.rint(sec * 100) / 100},"checkpoint_dir":${jstr(ckDir)}}"""
+  }
+
+  /** AQE skew-split under real network shuffle: one hot key carrying ~25 %
+    * of a 4M-row build side, thresholds set so the split must fire; the
+    * skew-handled sum must equal the unhandled one.
+    */
+  private def aqePhase(): String = {
+    val spark = session("local-cluster[2,2,2048]", 8, Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+    def skewedSum(): (Long, String) = {
+      val left = spark.range(0, 4L << 20, 1, 16)
+        .select(when(col("id") % 4 === 0, 0L).otherwise(pmod(col("id"), lit(50000L)))
+          .as("k"), col("id").as("v"))
+      val right = spark.range(50000).select(col("id").as("k"), (col("id") * 7).as("w"))
+      val agg = left.join(right, "k").agg(sum(col("v") + col("w")).as("s"))
+      val out = agg.collect()(0).getLong(0)
+      (out, agg.queryExecution.executedPlan.toString)
+    }
+    val (withSkew, plan) = skewedSum()
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val (without, _) = skewedSum()
+    spark.stop()
+    val skewFired = plan.contains("skewed")
+    s""""aqe":{"ok":${withSkew == without && skewFired},"sum":$withSkew,""" +
+      s""""sum_baseline":$without,"skew_split_fired":$skewFired}"""
+  }
+
+  /** Heavy-query subset on the cluster master, then on local[n] with the
+    * same core count — per-query min across reps, noop-forced.
+    */
+  private def benchPhase(sfDir: String): String = {
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    val names = sys.env.get("SPARK_GRAFT_CLUSTER_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("sim_graph_rank_full", "sim_bfs_reach", "sim_triangles",
+        "dd_cluster", "dd_ngram_jaccard", "dd_neardup", "pipe_corpus",
+        "q_tpch_q18", "q_tpch_q9", "ev_session", "txt_tfidf", "mm_phash_neardup"))
+    def timeAll(spark: SparkSession): Map[String, Double] = {
+      def sweep(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+      // untimed warmup (session JIT / codegen)
+      spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name")
+        .count().write.format("noop").mode("overwrite").save()
+      val acc = scala.collection.mutable.Map.empty[String, Double]
+      for (pass <- 1 to reps; name <- if (pass % 2 == 1) names else names.reverse) {
+        sweep()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        acc(name) = math.min(acc.getOrElse(name, Double.MaxValue), s)
+      }
+      acc.toMap
+    }
+    val cluster = session("local-cluster[2,4,8192]", 16)
+    val cSec = timeAll(cluster)
+    cluster.stop()
+    val local = session("local[8]", 16)
+    val lSec = timeAll(local)
+    local.stop()
+    def r2(d: Double) = math.rint(d * 100) / 100
+    def m(sec: Map[String, Double]) =
+      names.map(n => s"${jstr(n)}:${r2(sec(n))}").mkString("{", ",", "}")
+    val (ct, lt) = (cSec.values.sum, lSec.values.sum)
+    s""""bench":{"master":"local-cluster[2,4,8192]","reps":$reps,""" +
+      s""""total_cluster":${r2(ct)},"total_local8":${r2(lt)},""" +
+      s""""network_shuffle_tax":${r2(ct / lt)},""" +
+      s""""cluster":${m(cSec)},"local8":${m(lSec)}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    // temp worker dirs + executor classpath propagation (see scaladoc);
+    // spark.testing makes the Worker resolve its home from spark.test.home.
+    // That home must NOT be the real (read-only) distribution — worker dirs
+    // and executor logs land under it — so build a stub: a symlinked jars/
+    // dir (the executor launcher resolves its classpath there) and an empty
+    // launcher/target/scala-2.13 marker (how the launcher detects the Scala
+    // version when the SPARK_SCALA_VERSION env var is absent).
+    val testHome = Files.createTempDirectory("graft_spark_home_")
+    Files.createDirectories(testHome.resolve("launcher/target/scala-2.13"))
+    Files.createSymbolicLink(testHome.resolve("jars"),
+      Paths.get(sys.env.getOrElse("SPARK_HOME", "/opt/spark")).resolve("jars"))
+    System.setProperty("spark.testing", "true")
+    System.setProperty("spark.test.home", testHome.toString)
+    val phases = args.headOption.getOrElse("kill,aqe").split(",").map(_.trim).toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val outFile = if (args.length > 2) Some(args(2)) else None
+    val parts = phases.map {
+      case "kill" => killPhase(sfDir)
+      case "aqe" => aqePhase()
+      case "bench" => benchPhase(sfDir)
+      case p => throw new IllegalArgumentException(s"unknown phase $p")
+    }
+    val json = parts.mkString(s"""{"sf":${jstr(sfDir)},""", ",", "}")
+    outFile.foreach(f => Files.writeString(Paths.get(f), json + "\n"))
+    println(json)
+    val ok = !json.contains("\"ok\":false")
+    if (!ok) sys.exit(1)
+  }
+}

@@ -1078,6 +1078,76 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("mm_png_decode: real PNG round-trip (CRC, inflate, all five filters), strict rejects") {
+    import spark.implicits._
+    val inf = new java.util.zip.Inflater()
+    // -- byte-exact encode → decode round-trip for every supported color
+    // type and for shapes that force edge behavior: w=1 (no left
+    // neighbor), h=1 (no up neighbor, only filter 0 row), h=16 (every
+    // filter type 0-4 appears by construction)
+    val rnd = new scala.util.Random(42)
+    for (ct <- Seq(0, 2, 6); (w, h) <- Seq((1, 7), (5, 1), (16, 16), (3, 5))) {
+      val ch = ct match { case 0 => 1; case 2 => 3; case 6 => 4 }
+      val raw = Array.fill[Byte](w * h * ch)(rnd.nextInt(256).toByte)
+      val png = Multimodal.encodePng(w, h, ct, raw)
+      val (gw, gh, gct, got) = Multimodal.decodePng(png, inf).get
+      assert((gw, gh, gct) === (w, h, ct))
+      assert(got.toSeq === raw.toSeq, s"round-trip ct=$ct w=$w h=$h")
+    }
+    // -- a valid ancillary chunk between IHDR and IDAT is skipped (its CRC
+    // still checked); build one with a genuine CRC32
+    val base = Multimodal.encodePng(4, 4, 0, Array.tabulate[Byte](16)(_.toByte))
+    val anc = {
+      val data = "graft".getBytes("US-ASCII")
+      val typ = "tEXt".getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(typ); crc.update(data)
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit =
+        out.write(Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+      be32(data.length); out.write(typ); out.write(data); be32(crc.getValue)
+      out.toByteArray
+    }
+    // IHDR ends at byte 8 (sig) + 25 (len+type+13+crc) = 33
+    val spliced = base.take(33) ++ anc ++ base.drop(33)
+    assert(Multimodal.decodePng(spliced, inf).get._4.toSeq ===
+      Array.tabulate[Byte](16)(_.toByte).toSeq)
+    // -- strict rejections, each a distinct failure mode:
+    val flipIdat = base.clone(); flipIdat(40) = (flipIdat(40) ^ 1).toByte
+    assert(Multimodal.decodePng(flipIdat, inf).isEmpty, "chunk CRC mismatch")
+    assert(Multimodal.decodePng(base.dropRight(1), inf).isEmpty, "truncated file")
+    assert(Multimodal.decodePng(base ++ Array[Byte](0), inf).isEmpty,
+      "trailing garbage after IEND")
+    val badDepth = base.clone(); badDepth(24) = 16 // IHDR bit-depth field
+    assert(Multimodal.decodePng(badDepth, inf).isEmpty, "16-bit depth (CRC also breaks)")
+    val interlaced = base.clone(); interlaced(28) = 1 // IHDR interlace field
+    assert(Multimodal.decodePng(interlaced, inf).isEmpty, "Adam7 not accepted")
+    assert(Multimodal.decodePng("P5 2 2 255\n1234".getBytes, inf).isEmpty, "not a PNG")
+    // -- query fixture: payload "abc" cycles so channel c of RGB reads
+    // exactly 97+c; gray reads (86·97 + 85·98 + 85·99)/256; RGBA means
+    // come from an independent JVM loop over the same synthesis rule
+    val docs = Seq(
+      (1L, "image", "abc"), (2L, "audio", "abc"), (3L, "video", "abc"))
+      .toDF("doc_id", "media_type", "text")
+      .select(col("doc_id"), col("media_type"),
+        col("text").cast("binary").as("payload"))
+    val out = Multimodal.pngDecodeOf(docs)
+      .as[(Long, String, Int, Int, Int, Int, Double, Double, Double, Double)]
+      .collect().toSeq
+    def mean(ch: Int, c: Int): Double = {
+      val n = 16 * 16
+      val s = (0 until n * ch).filter(_ % ch == c)
+        .map(j => 97 + (j % 3)).sum
+      math.rint(s.toDouble / n * 1e6) / 1e6
+    }
+    val expectedPng = Seq(
+      (1L, "image", 16, 16, 2, 3, 97.0, 98.0, 99.0, 0.0),
+      (2L, "audio", 16, 16, 0, 1, 97.996094, 0.0, 0.0, 0.0),
+      (3L, "video", 16, 16, 6, 4, mean(4, 0), mean(4, 1), mean(4, 2), mean(4, 3)))
+    assert(out === expectedPng)
+    assert(mean(1, 0) === 97.996094) // the hand-computed gray mean agrees
+  }
+
   test("txt_classifier_train: trajectory equals an in-memory reference perceptron") {
     import spark.implicits._
     // src0/src4 → y=+1 (id%4==0), src1/src2/src3 → −1; doc 7 is empty text
