@@ -53,6 +53,41 @@ object Bench {
     // bench_remeasure_r12.json).
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    // FOOTPRINT TELEMETRY — the r15 lesson: the factor-100 failure mode was
+    // disk exhaustion (dd_ngram_jaccard filled 80 GB of shuffle spill), not
+    // wall-time, and exponents can't see it. Every stage's aggregated task
+    // metrics accumulate here; per query the delta across its timed window
+    // (max across passes) lands in the full JSON as query_shuffle_mb /
+    // query_spill_mb, so a footprint regression is a diffable artifact.
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    // stage-completed events arrive on the async listener bus; drain it
+    // before reading the counters (reflection: waitUntilEmpty is
+    // private[spark] — bytecode-public — and the fallback sleep only fires
+    // if the API moves)
+    def drainBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .map(_.invoke(bus))
+          .getOrElse(Thread.sleep(200))
+      } catch { case _: Exception => Thread.sleep(200) }
+    val shuffleMb = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    val spillMb = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
     // Optional comma-separated subset (hotspot iteration); default = all.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -126,6 +161,8 @@ object Bench {
       for ((name, i) <- order.zipWithIndex) {
         if (order.size >= 2 && i == order.size / 2) sent += sentinelOnce()
         sweep()
+        drainBus()
+        val (sh0, sp0) = (shuffleAcc.get(), spillAcc.get())
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -133,6 +170,11 @@ object Bench {
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        drainBus()
+        shuffleMb(name) = math.max(shuffleMb(name),
+          (shuffleAcc.get() - sh0) / 1048576.0)
+        spillMb(name) = math.max(spillMb(name),
+          (spillAcc.get() - sp0) / 1048576.0)
         winIdx(name) = winIdx(name) :+
           (if (order.size >= 2 && i >= order.size / 2) 1 else 0)
       }
@@ -252,7 +294,11 @@ object Bench {
       .map { case (k, m) => s"${jstr(k)}:${jstr(m.take(80))}" }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total",$core,"errors":$errsCompact,"queries":$slowest,"queries_truncated":true,"full_out":${jstr(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))}}"""
-    val full = s"""{"metric":"total",$core,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"samples":$samplesJson,"queries_calibrated":$qsCal,"query_sentinel_ratio":$qsRatio}"""
+    val qsShuffle = ok.map { case (k, _, _) => s"${jstr(k)}:${r4(shuffleMb(k))}" }
+      .mkString("{", ",", "}")
+    val qsSpill = ok.map { case (k, _, _) => s"${jstr(k)}:${r4(spillMb(k))}" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total",$core,"queries":$qs,"errors":$errs,"sentinel":$sentJson,"samples":$samplesJson,"queries_calibrated":$qsCal,"query_sentinel_ratio":$qsRatio,"query_shuffle_mb":$qsShuffle,"query_spill_mb":$qsSpill}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), full + "\n")
     println(compact)

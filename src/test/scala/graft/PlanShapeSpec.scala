@@ -111,6 +111,60 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges === 0, plan.toString.take(2000))
   }
 
+  /** q_* queries with NO pushable base-table predicate — full-table
+    * aggregates/diagnostics (rollup/cube/histogram/profile/skew audit/
+    * sketches/windows/layout audit), pure projections, or filters that are
+    * expressions over derived values (date_trunc buckets, post-agg HAVING)
+    * which parquet cannot evaluate. Every query NOT on this list must show
+    * a non-empty pushed-filter set; a new q_* lands here only with a
+    * reviewed reason, so "forgot the filter before the shuffle" fails CI.
+    */
+  private val noPushableFilter = Set(
+    "q_approx_intersect", // year buckets via date_trunc — expression, not a column predicate
+    "q_approx_topk", // count-min over every row by design
+    "q_cube", "q_rollup", "q_grouping_sets", // full-table multi-level aggregates
+    "q_distinct_having", // HAVING is post-aggregate, nothing reaches the scan
+    "q_histogram", "q_percentiles", "q_profile", // full-column distribution/profile diagnostics
+    "q_scalar_datemath", "q_scalar_string", // pure per-row projections
+    "q_setops", // branch predicates are derived-expression splits, not column literals
+    "q_skew_audit", // the pre-join diagnostic must see every row
+    "q_topk", "q_window", "q_window_range", // full-partition windows/aggregates
+    "q_zorder") // layout audit interleaves every row's keys
+
+  test("every q_* query pushes a filter to its scan unless it provably has none") {
+    val names = SparkEntry.queries.keys.filter(_.startsWith("q_")).toSeq.sorted
+    val offenders = names.filterNot(noPushableFilter).flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // non-empty set only: "PushedFilters: []" prints on every scan
+      if ("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined) None
+      else Some(name)
+    }
+    assert(offenders.isEmpty,
+      s"q_* plans with no pushed filter and no allowlist reason: ${offenders.mkString(", ")}")
+  }
+
+  test("no q_* fact scan reads the full row — column pruning reaches every lineitem/orders scan") {
+    // widen the metadata budget so ReadSchema never truncates mid-struct
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val fullWidth = Map("lineitem" -> 16, "orders" -> 9)
+    val names = SparkEntry.queries.keys.filter(_.startsWith("q_")).toSeq.sorted
+    val offenders = names.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.flatMap { l =>
+        fullWidth.collectFirst {
+          case (table, width)
+              if l.contains("FileScan parquet") && l.contains(s"$table.parquet") &&
+                "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(l)
+                  .exists(_.group(1).split(",").length >= width) =>
+            s"$name reads all $width columns of $table"
+        }
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("no cartesian products anywhere; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val plan = q(spark, dir).queryExecution.executedPlan.toString
