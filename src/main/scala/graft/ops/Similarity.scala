@@ -748,6 +748,84 @@ object Similarity extends QueryModule {
     out
   }
 
+  // ------------------------------------------------------- sim_graph_search
+
+  private[graft] val BeamW = 8    // beam width (candidates kept per round)
+  private[graft] val BeamHops = 3 // fixed greedy-expansion rounds
+
+  /** Graph-based ANN serving — greedy beam search over the [[knnGraph]],
+    * the HNSW/DiskANN layer-0 pattern and the third ANN serving family
+    * beside the IVF probes and the LSH buckets: no clustering or banding
+    * at query time, just the neighbor graph the corpus already maintains.
+    * Every query enters at one fixed entry node (the min-id non-query
+    * vector — deterministic, the single-entry-point design HNSW uses);
+    * each of [[BeamHops]] fixed rounds expands the beam to its graph
+    * neighbors, rescores every candidate by exact fixed-point cosine
+    * against the query, and keeps the best [[BeamW]] (ties to the smaller
+    * id). The final beam's top [[TopK]] is the answer.
+    *
+    * Scale shape: the symmetric edge list builds once from the knn graph
+    * and persists across rounds; after that NOTHING is corpus-scale — the
+    * frontier is bounded by |queries|·BeamW·(GraphK+1), so each round is
+    * one bounded equi-join against edges, one join to attach candidate
+    * vectors, one broadcast of the 8-row query side, and a salted top-B.
+    * A FIXED hop count keeps plan lineage bounded (the bfsReach
+    * precedent). Recall is graph-dependent by design — that trade is the
+    * operator; [[recallAtK]] is the family's measuring stick.
+    */
+  def graphSearch(s: SparkSession, dir: String): DataFrame = {
+    val (g, releaseKnn) = knnGraphWithRelease(s, dir)
+    val c = corpus(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = graphSearchOf(g.select(col("vec_id"), col("nbr_id")), c)
+    c.unpersist(false)
+    releaseKnn()
+    out
+  }
+
+  /** The beam-search core over an explicit directed edge frame
+    * (vec_id, nbr_id) and a quantized corpus (vec_id, vq, n2) — factored
+    * for fixture tests with hand-computable beams.
+    */
+  private[graft] def graphSearchOf(edges: DataFrame, vecs: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .distinct()
+    val sym = und
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vq").as("qv"), col("n2").as("qn2"))
+    val entry = broadcast(vecs.filter(col("vec_id") >= NumQueries)
+      .agg(min(col("vec_id")).as("node")))
+    // (q_id, node, cos, rnk); round 0 = every query parked at the entry node
+    var beam = q.select(col("q_id")).crossJoin(entry)
+    for (_ <- 1 to BeamHops) {
+      val cand = beam.select(col("q_id"), col("node"))
+        .join(sym, col("node") === col("src"))
+        .select(col("q_id"), col("dst").as("node"))
+        .unionByName(beam.select(col("q_id"), col("node")))
+        .distinct()
+        .filter(col("node") =!= col("q_id")) // a query never reports itself
+      val scored = cand
+        .join(vecs.select(col("vec_id").as("node"), col("vq"), col("n2")), "node")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("node"),
+          cosine(idot(col("vq"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      beam = topKPerGroup(scored, Seq("q_id"), "node", BeamW,
+        col("cos").desc, col("node").asc)
+    }
+    val out = beam.filter(col("rnk") <= TopK)
+      .select(col("q_id"), col("node").as("vec_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+    Dedup.materializeThenRelease(out, sym)
+  }
+
   // --------------------------------------------------------- sim_sq_encode
 
   /** Scalar quantization (SQ8) — the third leg of the compression family
@@ -1383,6 +1461,7 @@ object Similarity extends QueryModule {
     "sim_triangles" -> (triangleStats(_, _)),
     "sim_sq_encode" -> (sqEncode(_, _)),
     "sim_bfs_reach" -> (bfsReach(_, _)),
+    "sim_graph_search" -> (graphSearch(_, _)),
     "sim_recall_at_k" -> (recallAtK(_, _)),
     "sim_recall_ivfpq" -> (recallIvfPq(_, _)),
     "sim_semantic_dedup" -> (semanticDedup(_, _)),
@@ -1549,6 +1628,32 @@ object Similarity extends QueryModule {
        |    ((150000000000 // n) + coalesce(infl12, 0)
        |      + (dmass12 * 85) // (100 * n))::BIGINT AS r12
        |  FROM e CROSS JOIN nnn CROSS JOIN d$i LEFT JOIN c$i ON c$i.dst = e.vec_id
+       |)""".stripMargin
+  }
+
+  /** One unrolled beam-search round — the SQL twin of the
+    * [[graphSearchOf]] loop body: candidates = previous beam ∪ its graph
+    * neighbors (self excluded), rescored by exact cosine, top-[[BeamW]]
+    * kept per query with ties to the smaller id.
+    */
+  private def beamIterSql(r: Int): String = {
+    val prev = s"b${r - 1}"
+    s"""c$r AS (
+       |  SELECT DISTINCT q_id, node FROM (
+       |    SELECT q_id, node FROM $prev
+       |    UNION ALL
+       |    SELECT $prev.q_id, sym.dst AS node FROM $prev JOIN sym ON sym.src = $prev.node)
+       |  WHERE node <> q_id
+       |), s$r AS (
+       |  SELECT q_id, node,
+       |    list_sum(list_apply(range($Dim), i -> eq.vq[(i + 1)::INT] * ev.vq[(i + 1)::INT]))::DOUBLE
+       |      / (sqrt(eq.nn::DOUBLE) * sqrt(ev.nn::DOUBLE)) AS cos
+       |  FROM c$r JOIN e eq ON eq.vec_id = c$r.q_id JOIN e ev ON ev.vec_id = c$r.node
+       |), b$r AS (
+       |  SELECT q_id, node, cos, rk FROM (
+       |    SELECT q_id, node, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, node ASC) AS rk
+       |    FROM s$r) WHERE rk <= $BeamW
        |)""".stripMargin
   }
 
@@ -1817,6 +1922,32 @@ object Similarity extends QueryModule {
          |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
          |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
          |), ${rankSql("pairs", "vec_id", "nbr_id", GraphK)}""".stripMargin,
+    "sim_graph_search" ->
+      // beam search over the SAME knn-graph CTE chain as sim_graph_rank;
+      // entry node, per-round candidate/score/top-B, and the final top-k
+      // all mirror graphSearchOf exactly (ties to the smaller id)
+      s"""WITH $corpusSql, $bandSql, cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+         |  FROM lng a JOIN lng b
+         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id <> b.vec_id
+         |), pairs AS (
+         |  SELECT cand.vec_id, nbr_id,
+         |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
+         |), ${rankCtesSql("pairs", "vec_id", "nbr_id")}, edges AS (
+         |  SELECT vec_id AS src, nbr_id AS dst FROM ranked WHERE rnk <= $GraphK
+         |), und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+         |), sym AS (
+         |  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und
+         |), entry AS (
+         |  SELECT min(vec_id) AS node FROM e WHERE vec_id >= $NumQueries
+         |), b0 AS (
+         |  SELECT e.vec_id AS q_id, entry.node AS node FROM e, entry
+         |  WHERE e.vec_id < $NumQueries
+         |), ${(1 to BeamHops).map(beamIterSql).mkString(", ")}
+         |SELECT q_id, node AS vec_id, rk::INT AS rnk, round(cos, 6) AS cos_sim
+         |FROM b$BeamHops WHERE rk <= $TopK ORDER BY q_id, rnk""".stripMargin,
     "sim_ivf_assign" ->
       s"""WITH $assignSql
          |SELECT vec_id, label, c_label AS assigned, label = c_label AS hit,

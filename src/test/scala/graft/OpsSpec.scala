@@ -1148,6 +1148,44 @@ class OpsSpec extends AnyFunSuite {
     assert(mean(1, 0) === 97.996094) // the hand-computed gray mean agrees
   }
 
+  test("sim_graph_search: beam follows the graph — hop-bounded, cosine-ordered, tie to smaller id") {
+    import spark.implicits._
+    graft.functions.ArrayDot.register(spark)
+    // entry = min non-query id (8); path 8-9-10-11-12-13 plus a 9-14 spur.
+    // Nodes 12 and 13 carry the HIGHEST cosines but sit 4 and 5 hops from
+    // the entry — a beam that ignores the graph (or over-expands) would
+    // return them; the 3-hop beam must not. 14 duplicates 10's vector, so
+    // the tie must break to the smaller id.
+    val vecs = Seq(
+      (0L, Seq(1000L, 0L)), // the one query (vec_id < NumQueries)
+      (8L, Seq(0L, 1000L)),
+      (9L, Seq(500L, 500L)),
+      (10L, Seq(800L, 200L)),
+      (11L, Seq(1000L, 100L)),
+      (12L, Seq(1000L, 10L)),
+      (13L, Seq(1000L, 1L)),
+      (14L, Seq(800L, 200L)))
+      .toDF("vec_id", "vq")
+      .withColumn("n2",
+        expr("aggregate(vq, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+    val edges = Seq((8L, 9L), (9L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (9L, 14L))
+      .toDF("vec_id", "nbr_id")
+    val out = graft.ops.Similarity.graphSearchOf(edges, vecs)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    def cs(x: Long, y: Long): Double =
+      BigDecimal(1000.0 * x /
+          (1000.0 * math.sqrt((x * x + y * y).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      (0L, 11L, 1, cs(1000, 100)),
+      (0L, 10L, 2, cs(800, 200)),
+      (0L, 14L, 3, cs(800, 200)), // tie with 10 → larger id ranks after
+      (0L, 9L, 4, cs(500, 500)),
+      (0L, 8L, 5, 0.0))) // orthogonal entry node still in the beam
+    assert(!out.exists(r => r._2 == 12L || r._2 == 13L),
+      "nodes beyond BeamHops hops must be unreachable")
+  }
+
   test("txt_classifier_train: trajectory equals an in-memory reference perceptron") {
     import spark.implicits._
     // src0/src4 → y=+1 (id%4==0), src1/src2/src3 → −1; doc 7 is empty text
