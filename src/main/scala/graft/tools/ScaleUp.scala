@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *    lengths and n_chars (so length-bucket blocking is identical),
   *    whitespace structure (tokens map injectively), within-copy equality
   *    of tokens, shingles, and CHARACTER n-grams — while two distinct
-  *    affine maps agree on at most one letter, so cross-copy grams are
-  *    disjoint up to single-repeated-letter windows. The r14 form tagged
+  *    affine maps agree on at most TWO letters (a1−a2 is always even, so
+  *    gcd(a1−a2, 26) can be 2 and the fixed-point congruence can have two
+  *    solutions), so cross-copy grams are disjoint up to
+  *    single-repeated-letter windows. The r14 form tagged
   *    each token with a copy suffix, which makes token vocabularies
   *    disjoint but leaves word-INTERIOR character 4-grams shared across
   *    every copy — measured at factor 100: prefix-gram df grew with the
