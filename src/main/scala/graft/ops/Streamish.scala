@@ -512,6 +512,58 @@ object Streamish extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------- ev_lateness_audit
+
+  /** Events per ingest batch for the lateness audit — event_id is the
+    * log's monotone ingest sequence, so `event_id / LatenessBatch` is the
+    * arrival micro-batch a streaming reader would have seen.
+    */
+  private[graft] val LatenessBatch = 500L
+
+  /** Event-time lateness audit — the diagnostic that SETS the watermark
+    * delay: for every event, how far its event time lags the stream's
+    * high-water mark (max event time over all STRICTLY EARLIER ingest
+    * batches), then per event_type the lateness distribution (count, late
+    * count, max, p95/p99) a `withWatermark` delay is chosen from. The
+    * batch-boundary semantics is deliberate: Structured Streaming advances
+    * the watermark only BETWEEN micro-batches, so "late" here means late
+    * exactly when the engine's watermark would have judged it late — a
+    * per-row running max would overstate lateness within a batch the
+    * engine never drops.
+    *
+    * Scale shape: ONE batch-keyed partial aggregate collapses the log to
+    * |events|/[[LatenessBatch]] rows; the exclusive prefix max runs as an
+    * unpartitioned window over that bounded batch frame only (the
+    * Pipeline cell-table precedent — never over events); events then join
+    * the broadcast high-water frame on the batch key, and the per-type
+    * rollup is a hash aggregate onto |event_type| rows. All lateness
+    * arithmetic integer µs; the percentiles interpolate on BIGINTs
+    * identically in both engines (the q_percentiles rule).
+    */
+  def latenessAudit(s: SparkSession, dir: String): DataFrame =
+    latenessAuditOf(Tables.events(s, dir))
+
+  private[graft] def latenessAuditOf(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        (col("event_id") / lit(LatenessBatch)).cast("long").as("b"))
+    val batchMax = e.groupBy("b").agg(max("ts_us").as("mx"))
+    val hwm = batchMax
+      .withColumn("hwm", max("mx").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("b"), col("hwm"))
+    e.join(broadcast(hwm), "b")
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(col("hwm") - col("ts_us"), lit(0L))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max("late_us").as("max_late_us"),
+        round(expr("percentile(late_us, 0.95)"), 4).as("p95_late_us"),
+        round(expr("percentile(late_us, 0.99)"), 4).as("p99_late_us"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------ ev_dau_stickiness
 
   /** Trailing WAU window span in days, anchor-inclusive. */
@@ -867,6 +919,7 @@ object Streamish extends QueryModule {
     "ev_paths" -> (paths(_, _)),
     "ev_pattern" -> (patternMatch(_, _)),
     "ev_abandon" -> (abandon(_, _)),
+    "ev_lateness_audit" -> (latenessAudit(_, _)),
     "ev_rfm" -> (rfm(_, _)),
     "ev_dau_stickiness" -> (dauStickiness(_, _)),
     "ev_hll_merge" -> (hllMerge(_, _)),
@@ -990,6 +1043,28 @@ object Streamish extends QueryModule {
          |    AS abandon_rate,
          |  coalesce(sum(lag_us) FILTER (WHERE conv), 0)::BIGINT AS sum_conv_lag_us
          |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_lateness_audit" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+         |    event_id // $LatenessBatch AS b
+         |  FROM events
+         |), bm AS (
+         |  SELECT b, max(ts_us) AS mx FROM e GROUP BY b
+         |), hw AS (
+         |  SELECT b, max(mx) OVER (ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+         |  FROM bm
+         |), l AS (
+         |  SELECT event_type,
+         |    greatest(0, coalesce(hwm - ts_us, 0)) AS late_us
+         |  FROM e JOIN hw USING (b)
+         |)
+         |SELECT event_type, count(*)::BIGINT AS n_events,
+         |  count(*) FILTER (WHERE late_us > 0)::BIGINT AS n_late,
+         |  max(late_us)::BIGINT AS max_late_us,
+         |  round(quantile_cont(late_us, 0.95), 4) AS p95_late_us,
+         |  round(quantile_cont(late_us, 0.99), 4) AS p99_late_us
+         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_rfm" ->
       """WITH pu AS (
         |  SELECT user_id, max(ts::DATE) AS last_day,

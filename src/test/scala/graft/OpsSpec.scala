@@ -1272,6 +1272,84 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("ev_lateness_audit: batch-boundary high-water mark, first batch never late, interpolated tails") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // LatenessBatch = 500, so ids 0/1 are ingest batch 0, 500/501 batch 1,
+    // 1000 batch 2. Batch 0 has NO high-water mark → its within-batch
+    // out-of-order event (id 1 at 50 s, after id 0 at 100 s) is NOT late —
+    // exactly Structured Streaming's semantics (the watermark only advances
+    // between micro-batches). id 500 at 90 s is 10 s behind batch 0's max
+    // (100 s); id 1000 at 150 s is 50 s behind the running max (200 s from
+    // batch 1) even though batch 0 alone would read it on time.
+    val events = Seq(
+      (0L, "a", ts(100)), (1L, "a", ts(50)),
+      (500L, "a", ts(90)), (501L, "b", ts(200)),
+      (1000L, "b", ts(150))
+    ).toDF("event_id", "event_type", "ts")
+    val got = graft.ops.Streamish.latenessAuditOf(events)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // type a lateness [0, 0, 10 s]: p95 interpolates 0.95·(3−1)=1.9 between
+    // 0 and 10^7 → 9 000 000; type b [0, 50 s]: 0.95·1 → 47 500 000.
+    val expected = Seq(
+      ("a", 3L, 1L, 10000000L, 9000000.0, 9800000.0),
+      ("b", 2L, 1L, 50000000L, 47500000.0, 49500000.0))
+    assert(got === expected)
+  }
+
+  test("q_mv_refresh: mid-month delta merges onto existing snapshot groups; merge ≡ recompute") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val nation = Seq((0L, "ALPHA"), (1L, "BETA")).toDF("n_nationkey", "n_name")
+    val customer = Seq((10L, 0L), (11L, 0L), (12L, 1L))
+      .toDF("c_custkey", "c_nationkey")
+    // cutoff is 2001-06-15: orders 1/4 are snapshot, 2 is a DELTA row
+    // landing on the June group the snapshot already holds (partial-row
+    // merge), 3 opens a brand-new July group from the delta alone.
+    val orders = Seq(
+      (1L, 10L, 100.50, d("2001-06-01")),
+      (2L, 11L, 10.25, d("2001-06-20")),
+      (3L, 10L, 99.99, d("2001-07-01")),
+      (4L, 12L, 5.00, d("2001-06-10"))
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val got = graft.ops.Relational.mvRefreshOf(orders, customer, nation)
+      .as[(String, java.sql.Date, Long, Long, Long, Long, Long)].collect().toSeq
+    val jun = java.sql.Date.valueOf("2001-06-01")
+    val jul = java.sql.Date.valueOf("2001-07-01")
+    val expected = Seq(
+      ("ALPHA", jun, 2L, 11075L, 10050L, 2L, 1L),
+      ("ALPHA", jul, 1L, 9999L, 9999L, 1L, 1L),
+      ("BETA", jun, 1L, 500L, 500L, 1L, 1L))
+    assert(got === expected)
+  }
+
+  test("q_mv_refresh at sf: merged view ≡ single-pass recompute, tolerance gate green") {
+    import spark.implicits._
+    // the real gate is the DuckDB oracle; this pins the same invariant
+    // in-engine on the fixture dir — the snapshot∪delta merge reproduces a
+    // direct full aggregate bit-for-bit, and every HLL estimate passes tol
+    val got = graft.ops.Relational.mvRefresh(spark, dir)
+    val direct = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir).select("n_nationkey", "n_name"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"),
+        col("o_custkey"))
+      .groupBy("n_name", "month")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"),
+        max("cents").as("max_cents"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+    val g = got.as[(String, java.sql.Date, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(g.nonEmpty && g.forall(_._7 == 1L), "within_tol must hold at sf")
+    val d = direct.as[(String, java.sql.Date, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(g.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet === d)
+  }
+
   test("txt_blocklist: density gate keeps the boundary, zero-hit and empty docs") {
     import spark.implicits._
     // doc 1: all flagged → drop. doc 2: 1/20 = 0.05 → keep. doc 3:
