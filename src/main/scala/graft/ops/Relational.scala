@@ -714,9 +714,13 @@ object Relational extends QueryModule {
     mvRefreshOf(Tables.orders(s, dir), Tables.customer(s, dir),
       Tables.nation(s, dir))
 
-  private[graft] def mvRefreshOf(orders: DataFrame, customer: DataFrame,
-      nation: DataFrame): DataFrame = {
-    val enriched = orders
+  /** The dim-enriched fact feed behind the view — shared verbatim with the
+    * streaming twin ([[graft.streaming.Streaming.mvViewStreaming]]) so the
+    * two maintenance paths cannot drift on keys or quantization.
+    */
+  private[graft] def mvEnrichedOf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    orders
       .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name")),
@@ -725,21 +729,48 @@ object Relational extends QueryModule {
         date_trunc("month", col("o_orderdate")).cast("date").as("month"),
         col("o_orderdate"), col("o_custkey"),
         expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
-    def partial(df: DataFrame): DataFrame = df
-      .groupBy("n_name", "month")
-      .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"),
-        max("cents").as("max_cents"),
-        hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
-    val snapshot = partial(enriched.filter(col("o_orderdate") < MvCutoff))
-    val delta = partial(enriched.filter(col("o_orderdate") >= MvCutoff))
-    val merged = snapshot.unionByName(delta)
+
+  /** One partition's mergeable view state — a plain aggregation, so it is
+    * ALSO the streaming twin's update-mode state shape (one bounded row
+    * per (nation, month); the HLL register array is the only
+    * non-scalar).
+    */
+  private[graft] def mvPartialOf(enriched: DataFrame): DataFrame = enriched
+    .groupBy("n_name", "month")
+    .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"),
+      max("cents").as("max_cents"),
+      hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+
+  /** Estimate projection over a (merged or one-pass) sketch-state frame —
+    * the read-time columns a serving layer publishes.
+    */
+  private[graft] def mvServe(state: DataFrame): DataFrame = state
+    .select(col("n_name"), col("month"), col("n_orders"),
+      col("revenue_cents"), col("max_cents"),
+      hll_sketch_estimate(col("sk")).as("n_cust_approx"))
+
+  /** The snapshot∪delta union-merge, served — the refresh path proper;
+    * factored out so StreamingSpec can pin the one-pass streamed state
+    * equal to it, estimate included.
+    */
+  private[graft] def mvMergedOf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val enriched = mvEnrichedOf(orders, customer, nation)
+    val snapshot = mvPartialOf(enriched.filter(col("o_orderdate") < MvCutoff))
+    val delta = mvPartialOf(enriched.filter(col("o_orderdate") >= MvCutoff))
+    mvServe(snapshot.unionByName(delta)
       .groupBy("n_name", "month")
       .agg(sum("n_orders").as("n_orders"),
         sum("revenue_cents").as("revenue_cents"),
         max("max_cents").as("max_cents"),
-        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-          .as("n_cust_approx"))
-    val exact = enriched.groupBy("n_name", "month")
+        hll_union_agg(col("sk"), lit(false)).as("sk")))
+  }
+
+  private[graft] def mvRefreshOf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val merged = mvMergedOf(orders, customer, nation)
+    val exact = mvEnrichedOf(orders, customer, nation)
+      .groupBy("n_name", "month")
       .agg(countDistinct(col("o_custkey")).as("n_cust"))
     merged.join(exact, Seq("n_name", "month"))
       .select(col("n_name"), col("month"), col("n_orders"),

@@ -933,6 +933,70 @@ object Similarity extends QueryModule {
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_id")
 
+  // ------------------------------------------------------------- sim_drift
+
+  /** Per-dimension |z| above which a dimension counts as drifted (≈ 3σ —
+    * the conventional two-sample alarm level).
+    */
+  private val DriftZ = 3.0
+
+  /** Embedding distribution drift monitor — the check every production
+    * vector pipeline runs when a new encoder build or corpus batch lands:
+    * split the corpus into a reference and an arriving population (vec_id
+    * parity — deterministic, and parity-stable under the scaling replica's
+    * even id strides) and, per label, run a per-DIMENSION two-sample
+    * Welch z-test on the component distributions. Emits per label both
+    * population sizes, how many of the [[Dim]] dimensions drifted
+    * (|z| > [[DriftZ]]) and the worst |z| — on an i.i.d. split these sit
+    * at the 3σ false-positive floor, and a real encoder/ingest shift
+    * lights up specific dimensions long before top-k overlap metrics
+    * move.
+    *
+    * Determinism: all sufficient statistics are exact BIGINTs over the
+    * Q.20 quantized components (Σv, Σv², n — order-independent; |v| ≤ 2²⁰
+    * so Σv² stays far under 2⁶³ at any realistic volume); means, Welch
+    * variances, and z are then IDENTICAL double expressions in both
+    * engines (the ev_anomaly rule), with the zero-variance guard emitting
+    * z = 0 deterministically.
+    *
+    * Scale shape: one posexplode fans each vector into [[Dim]] component
+    * rows whose (label, par, pos) aggregate partial-combines map-side onto
+    * a ≤ |labels|·2·[[Dim]] frame; everything after runs on that bounded
+    * frame. No joins touch the corpus; the final rollup is |labels| rows.
+    */
+  def drift(s: SparkSession, dir: String): DataFrame =
+    driftOf(Tables.embeddings(s, dir))
+
+  private[graft] def driftOf(emb: DataFrame): DataFrame = {
+    val stats = emb
+      .select(col("label"), (col("vec_id") % 2).cast("long").as("par"),
+        posexplode(quantize(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy("label", "par", "pos")
+      .agg(sum("v").as("sv"), sum(col("v") * col("v")).as("sq"),
+        count(lit(1)).as("n"))
+    val ref = stats.filter(col("par") === 0)
+      .select(col("label"), col("pos"), col("sv").as("sv0"),
+        col("sq").as("sq0"), col("n").as("n0"))
+    val arriving = stats.filter(col("par") === 1)
+      .select(col("label"), col("pos"), col("sv").as("sv1"),
+        col("sq").as("sq1"), col("n").as("n1"))
+    def m(sv: String, n: String) = col(sv).cast("double") / col(n)
+    def variance(sq: String, n: String, mean: Column) =
+      col(sq).cast("double") / col(n) - mean * mean
+    val m0 = m("sv0", "n0")
+    val m1 = m("sv1", "n1")
+    val se2 = variance("sq0", "n0", m0) / col("n0") +
+      variance("sq1", "n1", m1) / col("n1")
+    ref.join(arriving, Seq("label", "pos"))
+      .withColumn("z",
+        when(se2 > 0, abs(m0 - m1) / sqrt(se2)).otherwise(lit(0.0)))
+      .groupBy("label")
+      .agg(max("n0").as("n_ref"), max("n1").as("n_new"),
+        sum(when(col("z") > DriftZ, 1L).otherwise(0L)).as("n_drifted_dims"),
+        round(max("z"), 6).as("max_abs_z"))
+      .orderBy("label")
+  }
+
   // ----------------------------------------------------- sim_cluster_purity
 
   /** External clustering evaluation — per-centroid PURITY of the IVF coarse
@@ -1448,6 +1512,7 @@ object Similarity extends QueryModule {
     "sim_knn_graph" -> (knnGraph(_, _)),
     "sim_ivf_assign" -> (ivfAssign(_, _)),
     "sim_cluster_purity" -> (clusterPurity(_, _)),
+    "sim_drift" -> (drift(_, _)),
     "sim_ivf_topk" -> (ivfTopK(_, _)),
     "sim_kmeans_step" -> (kmeansStep(_, _)),
     "sim_kmeans_train" -> (kmeansTrain(_, _)),
@@ -1968,6 +2033,32 @@ object Similarity extends QueryModule {
          |  label AS majority_label, n::BIGINT AS majority_n,
          |  round(n::DOUBLE / cluster_size, 6) AS purity
          |FROM r WHERE rk = 1 ORDER BY assigned""".stripMargin,
+    "sim_drift" ->
+      s"""WITH ex AS (
+         |  SELECT label, vec_id % 2 AS par, i AS pos,
+         |    floor(embedding[(i + 1)::INT]::DOUBLE * $Scale)::BIGINT AS v
+         |  FROM embeddings, range($Dim) t(i)
+         |), st AS (
+         |  SELECT label, par, pos, sum(v)::BIGINT AS sv,
+         |    sum(v * v)::BIGINT AS sq, count(*)::BIGINT AS n
+         |  FROM ex GROUP BY label, par, pos
+         |), j AS (
+         |  SELECT r.label, r.pos, r.n AS n0, a.n AS n1,
+         |    r.sv::DOUBLE / r.n AS m0, a.sv::DOUBLE / a.n AS m1,
+         |    (r.sq::DOUBLE / r.n - (r.sv::DOUBLE / r.n) * (r.sv::DOUBLE / r.n)) / r.n
+         |      + (a.sq::DOUBLE / a.n - (a.sv::DOUBLE / a.n) * (a.sv::DOUBLE / a.n)) / a.n
+         |      AS se2
+         |  FROM (SELECT * FROM st WHERE par = 0) r
+         |  JOIN (SELECT * FROM st WHERE par = 1) a USING (label, pos)
+         |), z AS (
+         |  SELECT label, n0, n1,
+         |    CASE WHEN se2 > 0 THEN abs(m0 - m1) / sqrt(se2) ELSE 0.0 END AS z
+         |  FROM j
+         |)
+         |SELECT label, max(n0)::BIGINT AS n_ref, max(n1)::BIGINT AS n_new,
+         |  count(*) FILTER (WHERE z > $DriftZ)::BIGINT AS n_drifted_dims,
+         |  round(max(z), 6) AS max_abs_z
+         |FROM z GROUP BY label ORDER BY label""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH $assignSql, asg AS (
          |  SELECT vec_id, c_label AS cl, vq FROM ranked WHERE rnk = 1

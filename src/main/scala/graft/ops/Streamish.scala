@@ -564,6 +564,43 @@ object Streamish extends QueryModule {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------------------ ev_gap_audit
+
+  /** Inter-event gap audit — the diagnostic that SETS the session-gap
+    * threshold, the way [[latenessAudit]] sets the watermark delay: per
+    * user the stream's consecutive inter-arrival gaps (ordered by
+    * (ts, event_id), the [[sessions]] tie rule), rolled up per FOLLOWING
+    * event_type into the gap distribution (count, interpolated p50/p90/p99)
+    * and the share already exceeding the current [[GapUs]] threshold — a
+    * 30-minute gap cut is defensible exactly when p99 sits well under it
+    * and `n_over_session_gap` is the between-sessions tail.
+    *
+    * Scale shape: ONE exchange — the lag window partitions by
+    * high-cardinality user_id (bounded per-user state, skew-free); the
+    * rollup is a hash aggregate onto |event_type| rows. All gap arithmetic
+    * integer µs; percentiles interpolate on BIGINTs identically in both
+    * engines (the q_percentiles rule).
+    */
+  def gapAudit(s: SparkSession, dir: String): DataFrame =
+    gapAuditOf(Tables.events(s, dir))
+
+  private[graft] def gapAuditOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)"), 4).as("p50_gap_us"),
+        round(expr("percentile(gap_us, 0.9)"), 4).as("p90_gap_us"),
+        round(expr("percentile(gap_us, 0.99)"), 4).as("p99_gap_us"),
+        sum(when(col("gap_us") > GapUs, 1L).otherwise(0L))
+          .as("n_over_session_gap"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------ ev_dau_stickiness
 
   /** Trailing WAU window span in days, anchor-inclusive. */
@@ -920,6 +957,7 @@ object Streamish extends QueryModule {
     "ev_pattern" -> (patternMatch(_, _)),
     "ev_abandon" -> (abandon(_, _)),
     "ev_lateness_audit" -> (latenessAudit(_, _)),
+    "ev_gap_audit" -> (gapAudit(_, _)),
     "ev_rfm" -> (rfm(_, _)),
     "ev_dau_stickiness" -> (dauStickiness(_, _)),
     "ev_hll_merge" -> (hllMerge(_, _)),
@@ -1065,6 +1103,24 @@ object Streamish extends QueryModule {
          |  round(quantile_cont(late_us, 0.95), 4) AS p95_late_us,
          |  round(quantile_cont(late_us, 0.99), 4) AS p99_late_us
          |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_gap_audit" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(ts::TIMESTAMP) AS ts_us
+         |  FROM events
+         |), g AS (
+         |  SELECT event_type,
+         |    ts_us - lag(ts_us) OVER (
+         |      PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+         |  FROM e
+         |)
+         |SELECT event_type, count(*)::BIGINT AS n_gaps,
+         |  round(quantile_cont(gap_us, 0.5), 4) AS p50_gap_us,
+         |  round(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us,
+         |  round(quantile_cont(gap_us, 0.99), 4) AS p99_gap_us,
+         |  count(*) FILTER (WHERE gap_us > $GapUs)::BIGINT AS n_over_session_gap
+         |FROM g WHERE gap_us IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_rfm" ->
       """WITH pu AS (
         |  SELECT user_id, max(ts::DATE) AS last_day,

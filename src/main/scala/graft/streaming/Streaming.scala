@@ -207,6 +207,37 @@ object Streaming {
       .parquet(dir)
   }
 
+  /** Unbounded view of the orders table (same file-stream shape as
+    * [[eventsStream]]) — the arriving-fact feed a live materialized view
+    * maintains itself from.
+    */
+  def ordersStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/orders.parquet").schema
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming twin of q_mv_refresh: the materialized view maintained LIVE.
+    * Arriving orders pass through the SAME dim enrichment as the batch op
+    * (stream-static customer equi-join + broadcast nation — stateless) and
+    * fold into the same mergeable state a batch refresh union-merges:
+    * count, exact integer-cents sum, max, HLL customer sketch, one
+    * update-mode state row per (nation, month) — bounded by the view's own
+    * key space, never by order volume. Because every stat is mergeable
+    * (sums add, maxes max, HLL registers max per slot — all
+    * order-independent), the one-pass streamed state EQUALS the batch
+    * snapshot∪delta merge including the sketch estimate, which
+    * StreamingSpec pins exactly — the streaming query IS the proof that
+    * the view's state algebra is incremental.
+    */
+  def mvViewStreaming(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    graft.ops.Relational.mvServe(
+      graft.ops.Relational.mvPartialOf(
+        graft.ops.Relational.mvEnrichedOf(orders, customer, nation)))
+
   /** Streaming twin of q_histogram: the distribution profile maintained
     * AGAINST A FIXED BUCKET LAYOUT as facts arrive — exactly how a
     * production histogram store works (boundaries come from the previous

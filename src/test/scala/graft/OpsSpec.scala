@@ -1350,6 +1350,52 @@ class OpsSpec extends AnyFunSuite {
     assert(g.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet === d)
   }
 
+  test("ev_gap_audit: per-user gaps, same-ts tie order, session-gap tail, interpolated quantiles") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: view@0 → click@10 (gap 10 min) → purchase@50 (gap 40 min —
+    // over the 30-min session gap). user 2: click@0 and view@0 share a
+    // timestamp (tie breaks by event_id: the view FOLLOWS, gap 0) →
+    // click@5 (gap 5 min). Gaps attribute to the FOLLOWING event's type.
+    val events = Seq(
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(10)),
+      (3L, 1L, "purchase", ts(50)),
+      (4L, 2L, "click", ts(0)), (5L, 2L, "view", ts(0)),
+      (6L, 2L, "click", ts(5))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ops.Streamish.gapAuditOf(events)
+      .as[(String, Long, Double, Double, Double, Long)].collect().toSeq
+    val M = 60.0 * 1000000 // minutes → µs
+    val expected = Seq(
+      // click gaps sorted [5 min, 10 min]: p50 interpolates to 7.5 min,
+      // p90 to 9.5 min, p99 to 9.95 min
+      ("click", 2L, 7.5 * M, 9.5 * M, 9.95 * M, 0L),
+      ("purchase", 1L, 40 * M, 40 * M, 40 * M, 1L),
+      ("view", 1L, 0.0, 0.0, 0.0, 0L))
+    assert(got === expected)
+  }
+
+  test("sim_drift: zero-variance guard, exact 4σ dimension, i.i.d. dims stay quiet") {
+    import spark.implicits._
+    // label 0: both populations constant and equal — se2 = 0 on every dim,
+    // the guard emits z = 0. label 1 dim 0: constant 0.5 on both sides
+    // (z 0); dim 1: ref {0.0, 1.0} vs new {2.0, 3.0} — equal variances, so
+    // z = |0.5 − 2.5| / sqrt(0.25/2 + 0.25/2) = 4 EXACTLY (the Q.20
+    // quantization scales numerator and denominator identically).
+    val emb = Seq(
+      (0L, 0L, Seq(1.0f, 0.0f)), (1L, 0L, Seq(1.0f, 0.0f)),
+      (2L, 0L, Seq(1.0f, 0.0f)), (3L, 0L, Seq(1.0f, 0.0f)),
+      (4L, 1L, Seq(0.5f, 0.0f)), (5L, 1L, Seq(0.5f, 2.0f)),
+      (6L, 1L, Seq(0.5f, 1.0f)), (7L, 1L, Seq(0.5f, 3.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = graft.ops.Similarity.driftOf(emb)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val expected = Seq(
+      (0L, 2L, 2L, 0L, 0.0),
+      (1L, 2L, 2L, 1L, 4.0))
+    assert(got === expected)
+  }
+
   test("txt_blocklist: density gate keeps the boundary, zero-hit and empty docs") {
     import spark.implicits._
     // doc 1: all flagged → drop. doc 2: 1/20 = 0.05 → keep. doc 3:

@@ -318,6 +318,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("streamed materialized view equals the batch snapshot∪delta merge, sketch estimate included") {
+    import spark.implicits._
+    // Live MV maintenance: arriving orders fold into one update-mode state
+    // row per (nation, month) — counts/sums/maxes/HLL registers are all
+    // order-independent merges, so the one-pass streamed state must EQUAL
+    // the batch snapshot∪delta refresh exactly, including the sketch
+    // estimate (same registers → same estimate, not merely within_tol).
+    val sink = runToMemory(
+      Streaming.mvViewStreaming(Streaming.ordersStream(spark, dir),
+        Tables.customer(spark, dir), Tables.nation(spark, dir)),
+      "t_mv_view", "complete")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("n_name"), col("month").cast("string").as("month"),
+        col("n_orders"), col("revenue_cents"), col("max_cents"),
+        col("n_cust_approx").cast("long").as("n_cust_approx"))
+      .orderBy("n_name", "month")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val got = norm(sink)
+    val want = norm(graft.ops.Relational.mvMergedOf(Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir)))
+    assert(want.nonEmpty && got === want)
+  }
+
   test("streaming histogram against the batch bucket layout is bit-identical") {
     import spark.implicits._
     // Fixed-layout maintenance: bounds come from a batch ANALYZE snapshot,
