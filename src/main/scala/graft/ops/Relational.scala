@@ -781,6 +781,72 @@ object Relational extends QueryModule {
       .orderBy("n_name", "month")
   }
 
+  /** Data-quality constraint audit — the dbt-test / expectations gate every
+    * ingest pipeline runs before publishing a partition: uniqueness,
+    * referential integrity, range, enum-membership and NOT-NULL checks
+    * across four tables, each reported as (table, constraint,
+    * n_violations, status). Two checks FIRE on the fixture corpus by
+    * design (the tax cap and the non-negative balance expectation), so the
+    * violation counters are live, not vacuous zeros.
+    *
+    * Scale shape: all row-local checks for a table stack into ONE
+    * aggregate over ONE scan (conditional sums + the uniqueness
+    * count-vs-distinct in the same agg — never one scan per check);
+    * referential checks are key-only LEFT ANTI joins (the q_cascade_delete
+    * pattern, AQE-broadcast when the parent's key side is small). The
+    * result is a fixed |checks|-row frame whatever the corpus volume.
+    */
+  def constraintAudit(s: SparkSession, dir: String): DataFrame = {
+    def checks(table: String, df: DataFrame, aggs: (String, Column)*): DataFrame = {
+      val named = aggs.zipWithIndex.map { case ((_, c), i) => c.as(s"v$i") }
+      val rows = aggs.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(table).as("table_name"), lit(name).as("constraint"),
+          col(s"v$i").cast("long").as("n_violations"))
+      }
+      df.agg(named.head, named.tail: _*)
+        .select(explode(array(rows: _*)).as("r"))
+        .select(col("r.table_name"), col("r.constraint"), col("r.n_violations"))
+    }
+    val o = Tables.orders(s, dir)
+    val ordersRow = checks("orders", o,
+      "o_orderkey unique" -> (count(lit(1)) - countDistinct(col("o_orderkey"))),
+      "o_totalprice positive" ->
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
+      "o_orderstatus in (F,O,P)" ->
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)))
+    val li = Tables.lineitem(s, dir)
+    val liRow = checks("lineitem", li,
+      "l_quantity in [1,50]" ->
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)),
+      "l_tax <= 0.06" ->
+        sum(when(col("l_tax") > 0.06, 1L).otherwise(0L)))
+    val c = Tables.customer(s, dir)
+    val custRow = checks("customer", c,
+      "c_custkey unique" -> (count(lit(1)) - countDistinct(col("c_custkey"))),
+      "c_acctbal non-negative" ->
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)))
+    val ev = Tables.events(s, dir)
+    val evRow = checks("events", ev,
+      "user_id not null" ->
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)))
+    def fkViolations(table: String, name: String, child: DataFrame,
+        key: Column, parent: DataFrame, pkey: Column): DataFrame =
+      child.select(key.as("k"))
+        .join(parent.select(pkey.as("pk")), col("k") === col("pk"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(table).as("table_name"), lit(name).as("constraint"),
+          col("n_violations"))
+    val fkOrders = fkViolations("orders", "o_custkey fk -> customer",
+      o, col("o_custkey"), c, col("c_custkey"))
+    val fkLineitem = fkViolations("lineitem", "l_orderkey fk -> orders",
+      li, col("l_orderkey"), o, col("o_orderkey"))
+    Seq(ordersRow, liRow, custRow, evRow, fkOrders, fkLineitem)
+      .reduce(_ unionByName _)
+      .withColumn("status",
+        when(col("n_violations") === 0, "pass").otherwise("fail"))
+      .orderBy("table_name", "constraint")
+  }
+
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.
     */
@@ -1568,6 +1634,7 @@ object Relational extends QueryModule {
     "q_unpivot" -> (unpivotPricing(_, _)),
     "q_upsert" -> (upsert(_, _)),
     "q_mv_refresh" -> (mvRefresh(_, _)),
+    "q_constraint_audit" -> (constraintAudit(_, _)),
     "q_scd2" -> (scd2(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
     "q_cube" -> (cubeOrders(_, _)),
@@ -2124,6 +2191,46 @@ object Relational extends QueryModule {
          |  1::BIGINT AS within_tol
          |FROM enriched GROUP BY n_name, month
          |ORDER BY n_name, month""".stripMargin,
+    "q_constraint_audit" ->
+      """WITH ch AS (
+        |  SELECT 'orders' AS table_name, 'o_orderkey unique' AS "constraint",
+        |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_totalprice positive',
+        |    count(*) FILTER (WHERE o_totalprice <= 0)::BIGINT FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderstatus in (F,O,P)',
+        |    count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_quantity in [1,50]',
+        |    count(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50)::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_tax <= 0.06',
+        |    count(*) FILTER (WHERE l_tax > 0.06)::BIGINT FROM lineitem
+        |  UNION ALL
+        |  SELECT 'customer', 'c_custkey unique',
+        |    (count(*) - count(DISTINCT c_custkey))::BIGINT FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'c_acctbal non-negative',
+        |    count(*) FILTER (WHERE c_acctbal < 0)::BIGINT FROM customer
+        |  UNION ALL
+        |  SELECT 'events', 'user_id not null',
+        |    count(*) FILTER (WHERE user_id IS NULL)::BIGINT FROM events
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey fk -> customer',
+        |    (SELECT count(*) FROM orders ANTI JOIN customer
+        |       ON o_custkey = c_custkey)::BIGINT
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey fk -> orders',
+        |    (SELECT count(*) FROM lineitem ANTI JOIN orders
+        |       ON l_orderkey = o_orderkey)::BIGINT
+        |)
+        |SELECT table_name, "constraint", n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM ch ORDER BY table_name, "constraint"""".stripMargin,
     "q_scd2" ->
       s"""WITH changes AS (
          |  SELECT o_orderkey AS c_key,

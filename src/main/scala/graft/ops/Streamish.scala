@@ -564,6 +564,64 @@ object Streamish extends QueryModule {
       .orderBy("event_type")
   }
 
+  // ----------------------------------------------------- ev_growth_accounting
+
+  /** Weekly growth accounting — the new/retained/resurrected/churned
+    * decomposition every growth team publishes (and the quick ratio on
+    * top): per week, actives split by whether the user is first-ever
+    * (new), was active the immediately preceding week (retained), or
+    * returns after a gap (resurrected); churned counts land on the week
+    * AFTER a user's last consecutive active week (only weeks observed in
+    * the log — the incomplete tail past the horizon is not a churn
+    * verdict). Quick ratio = (new + resurrected) / churned, NULL where
+    * churn is zero.
+    *
+    * Scale shape: the (user, week) activity set collapses first (one
+    * distinct shuffle — rows per user-week, not per event); both lag and
+    * lead classifications ride ONE user-keyed window partition; weekly
+    * rollups are hash aggregates onto |weeks| rows and the churn
+    * attribution joins the broadcast observed-week frame. Integer date
+    * arithmetic only.
+    */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame =
+    growthAccountingOf(Tables.events(s, dir))
+
+  private[graft] def growthAccountingOf(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+    val classified = act
+      .withColumn("prev_week", lag("week", 1).over(w))
+      .withColumn("next_week", lead("week", 1).over(w))
+    val weekly = classified
+      .groupBy("week")
+      .agg(
+        sum(when(col("prev_week").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(datediff(col("week"), col("prev_week")) === 7, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prev_week").isNotNull &&
+            datediff(col("week"), col("prev_week")) > 7, 1L)
+          .otherwise(0L)).as("n_resurrected"),
+        count(lit(1)).as("n_active"))
+    val weeks = act.select("week").distinct()
+    val churn = classified
+      .filter(col("next_week").isNull ||
+        datediff(col("next_week"), col("week")) > 7)
+      .select(date_add(col("week"), 7).as("week"))
+      .join(broadcast(weeks), "week")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_churned"))
+    weekly.join(churn, Seq("week"), "left")
+      .select(col("week"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        when(coalesce(col("n_churned"), lit(0L)) > 0,
+          round((col("n_new") + col("n_resurrected")).cast("double")
+            / col("n_churned"), 6)).as("quick_ratio"))
+      .orderBy("week")
+  }
+
   // ------------------------------------------------------------ ev_gap_audit
 
   /** Inter-event gap audit — the diagnostic that SETS the session-gap
@@ -958,6 +1016,7 @@ object Streamish extends QueryModule {
     "ev_abandon" -> (abandon(_, _)),
     "ev_lateness_audit" -> (latenessAudit(_, _)),
     "ev_gap_audit" -> (gapAudit(_, _)),
+    "ev_growth_accounting" -> (growthAccounting(_, _)),
     "ev_rfm" -> (rfm(_, _)),
     "ev_dau_stickiness" -> (dauStickiness(_, _)),
     "ev_hll_merge" -> (hllMerge(_, _)),
@@ -1121,6 +1180,37 @@ object Streamish extends QueryModule {
          |  count(*) FILTER (WHERE gap_us > $GapUs)::BIGINT AS n_over_session_gap
          |FROM g WHERE gap_us IS NOT NULL
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_growth_accounting" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP)::DATE AS week
+        |  FROM events
+        |), cl AS (
+        |  SELECT user_id, week,
+        |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+        |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+        |  FROM act
+        |), weekly AS (
+        |  SELECT week,
+        |    count(*) FILTER (WHERE prev_week IS NULL)::BIGINT AS n_new,
+        |    count(*) FILTER (WHERE week - prev_week = 7)::BIGINT AS n_retained,
+        |    count(*) FILTER (WHERE prev_week IS NOT NULL
+        |      AND week - prev_week > 7)::BIGINT AS n_resurrected,
+        |    count(*)::BIGINT AS n_active
+        |  FROM cl GROUP BY week
+        |), churn AS (
+        |  SELECT c.week + 7 AS week, count(*)::BIGINT AS n_churned
+        |  FROM cl c
+        |  WHERE (c.next_week IS NULL OR c.next_week - c.week > 7)
+        |    AND c.week + 7 IN (SELECT week FROM act)
+        |  GROUP BY c.week + 7
+        |)
+        |SELECT w.week, w.n_new, w.n_retained, w.n_resurrected, w.n_active,
+        |  coalesce(ch.n_churned, 0)::BIGINT AS n_churned,
+        |  CASE WHEN coalesce(ch.n_churned, 0) > 0
+        |    THEN round((w.n_new + w.n_resurrected)::DOUBLE / ch.n_churned, 6)
+        |  END AS quick_ratio
+        |FROM weekly w LEFT JOIN churn ch USING (week)
+        |ORDER BY w.week""".stripMargin,
     "ev_rfm" ->
       """WITH pu AS (
         |  SELECT user_id, max(ts::DATE) AS last_day,

@@ -1350,6 +1350,57 @@ class OpsSpec extends AnyFunSuite {
     assert(g.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet === d)
   }
 
+  test("ev_growth_accounting: new/retained/resurrected split, churn attribution, horizon tail dropped") {
+    import spark.implicits._
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"2024-01-$day 12:00:00")
+    // Mondays: W1=01-01 W2=01-08 W3=01-15 W4=01-22. user 1: W1,W2,W4 →
+    // new, retained, resurrected; its W2→W4 gap churns it in W3, and its
+    // W4 tail would churn in W5 which nobody observes — dropped. user 2:
+    // W1 only → churns in W2. user 3: W2,W3 → new then retained, churns W4.
+    val events = Seq(
+      (1L, 1L, ts("02")), (2L, 1L, ts("09")), (3L, 1L, ts("23")),
+      (4L, 2L, ts("03")),
+      (5L, 3L, ts("10")), (6L, 3L, ts("16"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.ops.Streamish.growthAccountingOf(events)
+      .select(col("week").cast("string"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_active"), col("n_churned"),
+        col("quick_ratio"))
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    val expected = Seq(
+      ("2024-01-01", 2L, 0L, 0L, 2L, 0L, None),
+      ("2024-01-08", 1L, 1L, 0L, 2L, 1L, Some(1.0)),
+      ("2024-01-15", 0L, 1L, 0L, 1L, 1L, Some(0.0)),
+      ("2024-01-22", 0L, 0L, 1L, 1L, 1L, Some(1.0)))
+    assert(got === expected)
+  }
+
+  test("q_constraint_audit: every counter reconciles with a direct recompute on a different plan") {
+    import spark.implicits._
+    val audit = graft.ops.Relational.constraintAudit(spark, dir)
+      .as[(String, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def direct(n: Long) = (n, if (n == 0) "pass" else "fail")
+    assert(audit(("orders", "o_orderkey unique")) ===
+      direct(o.count() - o.select("o_orderkey").distinct().count()))
+    assert(audit(("lineitem", "l_tax <= 0.06")) ===
+      direct(li.filter(col("l_tax") > 0.06).count()))
+    assert(audit(("customer", "c_acctbal non-negative")) ===
+      direct(c.filter(col("c_acctbal") < 0).count()))
+    assert(audit(("orders", "o_custkey fk -> customer")) ===
+      direct(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()))
+    assert(audit(("lineitem", "l_orderkey fk -> orders")) ===
+      direct(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()))
+    // the two live checks must actually FIRE on the fixture corpus
+    assert(audit(("lineitem", "l_tax <= 0.06"))._2 === "fail")
+    assert(audit(("customer", "c_acctbal non-negative"))._2 === "fail")
+    assert(audit.size === 10)
+  }
+
   test("ev_gap_audit: per-user gaps, same-ts tie order, session-gap tail, interpolated quantiles") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)

@@ -123,6 +123,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val noPushableFilter = Set(
     "q_approx_intersect", // year buckets via date_trunc — expression, not a column predicate
     "q_approx_topk", // count-min over every row by design
+    "q_constraint_audit", // the ingest gate must see every row to count violations
     "q_cube", "q_rollup", "q_grouping_sets", // full-table multi-level aggregates
     "q_distinct_having", // HAVING is post-aggregate, nothing reaches the scan
     "q_histogram", "q_percentiles", "q_profile", // full-column distribution/profile diagnostics
