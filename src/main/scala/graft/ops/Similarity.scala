@@ -34,7 +34,7 @@ object Similarity extends QueryModule {
 
   private val Scale = 1048576L // 2^20
   private[graft] val Dim = 64
-  private val NumQueries = 8 // vec_id < 8 is the fixed demo query set
+  private[graft] val NumQueries = 8 // vec_id < 8 is the fixed demo query set
   private[graft] val TopK = 5
   private val GraphK = 3
 
@@ -477,6 +477,30 @@ object Similarity extends QueryModule {
           round(col("n_hits").cast("double") / TopK, 6).as("recall_at_k"))
         .orderBy("q_id"),
       ivf)
+  }
+
+  /** Recall@k of the graph-search beam ([[graphSearch]]) against the
+    * brute-force truth — the third serving family's acceptance audit (LSH
+    * has [[recallAtK]], IVF-PQ has [[recallIvfPq]]; with this every ANN
+    * serving path in the module carries its own measured quality gate).
+    * Beam misses have their own two mechanisms: truth sitting beyond
+    * [[BeamHops]] hops of the entry node, and beam-width eviction mid-walk
+    * — exactly the trades HNSW tuning dials (efSearch/M) control.
+    *
+    * Scale shape: both sides are the already-audited query plans; the
+    * rollup joins two |Q|·k bounded frames.
+    */
+  def recallGraph(s: SparkSession, dir: String): DataFrame = {
+    val truth = bruteTopK(s, dir).select(col("q_id"), col("vec_id"))
+    val got = graphSearch(s, dir)
+      .select(col("q_id").as("g_qid"), col("vec_id").as("g_vid"))
+    truth.join(got,
+        col("q_id") === col("g_qid") && col("vec_id") === col("g_vid"), "left")
+      .groupBy("q_id")
+      .agg(count(col("g_vid")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / TopK, 6).as("recall_at_k"))
+      .orderBy("q_id")
   }
 
   // --------------------------------------------------------- sim_graph_rank
@@ -1529,6 +1553,7 @@ object Similarity extends QueryModule {
     "sim_graph_search" -> (graphSearch(_, _)),
     "sim_recall_at_k" -> (recallAtK(_, _)),
     "sim_recall_ivfpq" -> (recallIvfPq(_, _)),
+    "sim_recall_graph" -> (recallGraph(_, _)),
     "sim_semantic_dedup" -> (semanticDedup(_, _)),
     "sim_triplets" -> (triplets(_, _)))
 
@@ -1729,6 +1754,35 @@ object Similarity extends QueryModule {
        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
        |  WHERE q.vec_id < $NumQueries
        |), ${rankSql("pairs", "q_id", "vec_id", TopK)}""".stripMargin
+
+  /** Beam search over the SAME knn-graph CTE chain as sim_graph_rank —
+    * entry node, per-round candidate/score/top-B, and the final top-k all
+    * mirror [[graphSearchOf]] exactly (ties to the smaller id). Standalone
+    * so the recall audit can compose it as a subselect.
+    */
+  private val graphSearchSql =
+    s"""WITH $corpusSql, $bandSql, cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+       |  FROM lng a JOIN lng b
+       |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id <> b.vec_id
+       |), pairs AS (
+       |  SELECT cand.vec_id, nbr_id,
+       |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
+       |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
+       |), ${rankCtesSql("pairs", "vec_id", "nbr_id")}, edges AS (
+       |  SELECT vec_id AS src, nbr_id AS dst FROM ranked WHERE rnk <= $GraphK
+       |), und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+       |), sym AS (
+       |  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und
+       |), entry AS (
+       |  SELECT min(vec_id) AS node FROM e WHERE vec_id >= $NumQueries
+       |), b0 AS (
+       |  SELECT e.vec_id AS q_id, entry.node AS node FROM e, entry
+       |  WHERE e.vec_id < $NumQueries
+       |), ${(1 to BeamHops).map(beamIterSql).mkString(", ")}
+       |SELECT q_id, node AS vec_id, rk::INT AS rnk, round(cos, 6) AS cos_sim
+       |FROM b$BeamHops WHERE rk <= $TopK ORDER BY q_id, rnk""".stripMargin
 
   private val ivfpqTopkSql =
     s"""WITH $pqChainSql, coarse AS (
@@ -1987,32 +2041,17 @@ object Similarity extends QueryModule {
          |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
          |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
          |), ${rankSql("pairs", "vec_id", "nbr_id", GraphK)}""".stripMargin,
-    "sim_graph_search" ->
-      // beam search over the SAME knn-graph CTE chain as sim_graph_rank;
-      // entry node, per-round candidate/score/top-B, and the final top-k
-      // all mirror graphSearchOf exactly (ties to the smaller id)
-      s"""WITH $corpusSql, $bandSql, cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
-         |  FROM lng a JOIN lng b
-         |    ON a.b_idx = b.b_idx AND a.band = b.band AND a.vec_id <> b.vec_id
-         |), pairs AS (
-         |  SELECT cand.vec_id, nbr_id,
-         |    ea.vq AS va, eb.vq AS vb, ea.nn AS na, eb.nn AS nb
-         |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e eb ON eb.vec_id = nbr_id
-         |), ${rankCtesSql("pairs", "vec_id", "nbr_id")}, edges AS (
-         |  SELECT vec_id AS src, nbr_id AS dst FROM ranked WHERE rnk <= $GraphK
-         |), und AS (
-         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
-         |), sym AS (
-         |  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und
-         |), entry AS (
-         |  SELECT min(vec_id) AS node FROM e WHERE vec_id >= $NumQueries
-         |), b0 AS (
-         |  SELECT e.vec_id AS q_id, entry.node AS node FROM e, entry
-         |  WHERE e.vec_id < $NumQueries
-         |), ${(1 to BeamHops).map(beamIterSql).mkString(", ")}
-         |SELECT q_id, node AS vec_id, rk::INT AS rnk, round(cos, 6) AS cos_sim
-         |FROM b$BeamHops WHERE rk <= $TopK ORDER BY q_id, rnk""".stripMargin,
+    "sim_graph_search" -> graphSearchSql,
+    "sim_recall_graph" ->
+      s"""WITH bt AS (
+         |  SELECT q_id, vec_id FROM ($bruteTopkSql)
+         |), gt AS (
+         |  SELECT q_id, vec_id FROM ($graphSearchSql)
+         |)
+         |SELECT bt.q_id, count(gt.vec_id)::BIGINT AS n_hits,
+         |  round(count(gt.vec_id)::DOUBLE / $TopK, 6) AS recall_at_k
+         |FROM bt LEFT JOIN gt ON bt.q_id = gt.q_id AND bt.vec_id = gt.vec_id
+         |GROUP BY bt.q_id ORDER BY bt.q_id""".stripMargin,
     "sim_ivf_assign" ->
       s"""WITH $assignSql
          |SELECT vec_id, label, c_label AS assigned, label = c_label AS hit,

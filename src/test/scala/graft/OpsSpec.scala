@@ -1350,6 +1350,19 @@ class OpsSpec extends AnyFunSuite {
     assert(g.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet === d)
   }
 
+  test("sim_recall_graph: one audited row per query, hits bounded by k, and the beam never beats brute") {
+    import spark.implicits._
+    val rows = graft.ops.Similarity.recallGraph(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // every query id below NumQueries gets exactly one verdict row
+    assert(rows.map(_._1) === (0L until graft.ops.Similarity.NumQueries.toLong))
+    rows.foreach { case (q, hits, r) =>
+      assert(hits >= 0 && hits <= graft.ops.Similarity.TopK, s"q$q hits $hits")
+      assert(r >= 0.0 && r <= 1.0, s"q$q recall $r")
+      assert(r === hits.toDouble / graft.ops.Similarity.TopK)
+    }
+  }
+
   test("ev_growth_accounting: new/retained/resurrected split, churn attribution, horizon tail dropped") {
     import spark.implicits._
     def ts(day: String) = java.sql.Timestamp.valueOf(s"2024-01-$day 12:00:00")

@@ -42,6 +42,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_approx_topk", // 1-row n_total scalar broadcast onto the ≤ k row output
     "q_zorder", // 1-row key-extremes scalar broadcast (range normalization)
     "sim_recall_ivfpq", // composes brute + IVF-PQ, both bounded as above
+    "sim_recall_graph", // composes brute + graph search, both bounded as above
     "dd_lsh_recall", // 1-row n_true × 1-row n_found audit scalars
     "txt_classifier_train", // 1-row bias/mistake scalars crossed per round
     "txt_classifier_score", // same loop + the 1-row final-bias scalar
