@@ -53,6 +53,26 @@ object Bench {
     // bench_remeasure_r12.json).
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    // MEASUREMENT-INTEGRITY STAMP — the r16 lesson: a recompile while a
+    // bench JVM runs rewrites anonymous-class files under lazily-loaded
+    // code and the run dies (or worse, half-measures) with
+    // NoClassDefFoundError on whichever query first touches a shifted
+    // lambda. The classes dir is fingerprinted at start and re-checked at
+    // the end; a changed fingerprint flags the WHOLE run as invalid in the
+    // JSON rather than leaving the artifact silently suspect.
+    def classesFingerprint(): Long = {
+      val root = Paths.get(this.getClass.getProtectionDomain.getCodeSource
+        .getLocation.toURI)
+      if (!Files.isDirectory(root)) Files.getLastModifiedTime(root).toMillis
+      else {
+        val s = Files.walk(root)
+        try s.filter(p => p.toString.endsWith(".class"))
+          .mapToLong(p => Files.getLastModifiedTime(p).toMillis ^ p.hashCode())
+          .reduce(0L, java.lang.Long.sum)
+        finally s.close()
+      }
+    }
+    val classesStamp0 = try classesFingerprint() catch { case _: Exception => 0L }
     // FOOTPRINT TELEMETRY — the r15 lesson: the factor-100 failure mode was
     // disk exhaustion (dd_ngram_jaccard filled 80 GB of shuffle spill), not
     // wall-time, and exponents can't see it. Every stage's aggregated task
@@ -280,8 +300,10 @@ object Bench {
       .mkString("{", ",", "}")
     val qsRatio = ok.map { case (k, _, _) => s"${jstr(k)}:${r4(calMin(k)._2)}" }
       .mkString("{", ",", "}")
+    val classesChanged =
+      (try classesFingerprint() catch { case _: Exception => 0L }) != classesStamp0
     val core =
-      s""""value":${r4(total)},"value_calibrated":${r4(totalCal)},"unit":"sec","reps":$reps,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size},"sentinel_spread":${r4(sentSpread)},"sentinel_floor":${r4(floor)}"""
+      s""""value":${r4(total)},"value_calibrated":${r4(totalCal)},"unit":"sec","reps":$reps,"sf":"$sfDir","n_ok":${ok.size},"n_err":${results.size - ok.size},"sentinel_spread":${r4(sentSpread)},"sentinel_floor":${r4(floor)},"classes_changed_mid_run":$classesChanged"""
     // The stdout line must survive the driver's ~2 KB tail-capture window
     // INTACT (r15's 176-query map pushed it to 4.5 KB and BENCH_r15.json
     // came back parsed:null with only a truncated tail). Headline numbers
