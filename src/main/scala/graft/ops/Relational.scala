@@ -847,6 +847,60 @@ object Relational extends QueryModule {
       .orderBy("table_name", "constraint")
   }
 
+  /** Spend-concentration audit — per nation, the Gini coefficient of
+    * customer spend plus the top-decile revenue share: the inequality
+    * numbers behind sampling, weighting, and whale-risk decisions (a
+    * nation where 10 % of customers carry 60 % of revenue wants different
+    * treatment from a flat one). Gini uses the rank formula
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending per-customer totals —
+    * Σᵢ i·xᵢ and Σx are exact BIGINTs over integer cents (ranks
+    * deterministic with the (cents, custkey) tie order), so both engines
+    * divide the same integers (the ev_anomaly rule).
+    *
+    * Scale shape: one customer-keyed aggregate collapses orders to
+    * |customers| rows; the rank window partitions by nation over that
+    * collapsed frame (bounded per-nation state); the final rollup is
+    * |nations| rows. Nothing after the first aggregate is corpus-scale.
+    */
+  def gini(s: SparkSession, dir: String): DataFrame =
+    giniOf(Tables.orders(s, dir), Tables.customer(s, dir),
+      Tables.nation(s, dir))
+
+  private[graft] def giniOf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val perCust = orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+    // both rank directions and the partition count ride ONE nation-keyed
+    // window exchange over the collapsed per-customer frame
+    val ranked = perCust
+      .withColumn("rk", row_number().over(Window.partitionBy("n_name")
+        .orderBy(col("cents"), col("o_custkey"))))
+      .withColumn("drk", row_number().over(Window.partitionBy("n_name")
+        .orderBy(col("cents").desc, col("o_custkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("n_name")))
+    // top decile by rank: ceil(n/10) customers — integer arithmetic
+    val top = ranked.filter(col("drk") <= expr("(n + 9) div 10"))
+      .groupBy("n_name").agg(sum("cents").as("top_cents"))
+    ranked.groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("revenue_cents"),
+        sum(col("rk") * col("cents")).as("iwsum"))
+      .join(top, "n_name")
+      .select(col("n_name"), col("n_customers"), col("revenue_cents"),
+        round(lit(2.0) * col("iwsum").cast("double")
+            / (col("n_customers").cast("double") * col("revenue_cents").cast("double"))
+          - (col("n_customers") + 1).cast("double") / col("n_customers").cast("double"),
+          6).as("gini"),
+        round(col("top_cents").cast("double") / col("revenue_cents").cast("double"), 6)
+          .as("top_decile_share"))
+      .orderBy("n_name")
+  }
+
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.
     */
@@ -1635,6 +1689,7 @@ object Relational extends QueryModule {
     "q_upsert" -> (upsert(_, _)),
     "q_mv_refresh" -> (mvRefresh(_, _)),
     "q_constraint_audit" -> (constraintAudit(_, _)),
+    "q_gini" -> (gini(_, _)),
     "q_scd2" -> (scd2(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
     "q_cube" -> (cubeOrders(_, _)),
@@ -2231,6 +2286,36 @@ object Relational extends QueryModule {
         |SELECT table_name, "constraint", n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM ch ORDER BY table_name, "constraint"""".stripMargin,
+    "q_gini" ->
+      """WITH pc AS (
+        |  SELECT n_name, o_custkey,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, o_custkey
+        |), rk AS (
+        |  SELECT n_name, cents,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY cents, o_custkey) AS rk,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY cents DESC, o_custkey) AS drk,
+        |    count(*) OVER (PARTITION BY n_name) AS n
+        |  FROM pc
+        |), top AS (
+        |  SELECT n_name, sum(cents)::BIGINT AS top_cents
+        |  FROM rk WHERE drk <= (n + 9) // 10 GROUP BY n_name
+        |), g AS (
+        |  SELECT n_name, count(*)::BIGINT AS n_customers,
+        |    sum(cents)::BIGINT AS revenue_cents,
+        |    sum(rk * cents)::BIGINT AS iwsum
+        |  FROM rk GROUP BY n_name
+        |)
+        |SELECT g.n_name, g.n_customers, g.revenue_cents,
+        |  round(2.0 * g.iwsum::DOUBLE
+        |      / (g.n_customers::DOUBLE * g.revenue_cents::DOUBLE)
+        |    - (g.n_customers + 1)::DOUBLE / g.n_customers::DOUBLE, 6) AS gini,
+        |  round(top.top_cents::DOUBLE / g.revenue_cents::DOUBLE, 6)
+        |    AS top_decile_share
+        |FROM g JOIN top USING (n_name) ORDER BY g.n_name""".stripMargin,
     "q_scd2" ->
       s"""WITH changes AS (
          |  SELECT o_orderkey AS c_key,

@@ -1350,6 +1350,27 @@ class OpsSpec extends AnyFunSuite {
     assert(g.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet === d)
   }
 
+  test("q_gini: hand-computed Gini and top-decile share, perfectly-equal nation reads zero") {
+    import spark.implicits._
+    val nation = Seq((0L, "ALPHA"), (1L, "BETA")).toDF("n_nationkey", "n_name")
+    val customer = Seq((10L, 0L), (11L, 0L), (12L, 0L), (13L, 0L),
+      (20L, 1L), (21L, 1L)).toDF("c_custkey", "c_nationkey")
+    // ALPHA spends [1.00, 1.00, 3.00, 5.00] cents=[100,100,300,500]:
+    // Σi·xᵢ = 100+200+900+2000 = 3200, G = 2·3200/(4·1000) − 5/4 = 0.35;
+    // top decile = ceil(4/10) = 1 customer → 500/1000 = 0.5. BETA is
+    // perfectly equal [2.00, 2.00] → G = 0 exactly.
+    val orders = Seq(
+      (1L, 10L, 1.00), (2L, 11L, 1.00), (3L, 12L, 3.00), (4L, 13L, 5.00),
+      (5L, 20L, 2.00), (6L, 21L, 2.00)
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val got = graft.ops.Relational.giniOf(orders, customer, nation)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    val expected = Seq(
+      ("ALPHA", 4L, 1000L, 0.35, 0.5),
+      ("BETA", 2L, 400L, 0.0, 0.5))
+    assert(got === expected)
+  }
+
   test("sim_recall_graph: one audited row per query, hits bounded by k, and the beam never beats brute") {
     import spark.implicits._
     val rows = graft.ops.Similarity.recallGraph(spark, dir)
