@@ -162,19 +162,19 @@ object Pipeline extends QueryModule {
     * boundary dd_leakage_split guarantees.
     *
     * Scale shape: the scoring loop's state is bounded (≤ EmbedDim + 1), so
-    * the whole pipeline is the one scored-corpus pass + two 1-row broadcast
-    * scalars (the tercile cutoffs — `percentile` interpolates p·(n−1) on
-    * the same integers in both engines, the pplBucket precedent) + the
-    * bounded split join, folding map-side into ≤ 9 rows. The oracle
-    * composes the classifier-score and leakage-split stage oracles — the
-    * gate proves the COMPOSITION, not just the stages.
+    * the whole pipeline is the scored-corpus pass + the tercile cutoffs
+    * from [[Quantiles.exact]] (bounded-state rank selection — per-doc
+    * margins are near-unique, so an exact `percentile` buffering the full
+    * multiset is the r16 verdict's flagged scale-killer) broadcast as a
+    * 1-row scalar + the bounded split join, folding map-side into ≤ 9
+    * rows. The oracle composes the classifier-score and leakage-split
+    * stage oracles — the gate proves the COMPOSITION, not just the stages.
     */
   def classified(s: SparkSession, dir: String): DataFrame = {
     val scored = TextOps.classifierScoreOf(Tables.documents(s, dir))
     val sp = Dedup.leakageSplit(s, dir).select(col("doc_id"), col("split"))
-    val cuts = scored.agg(
-      expr("percentile(score, 0.3333333333333333)").as("q33"),
-      expr("percentile(score, 0.6666666666666666)").as("q66"))
+    val cuts = Quantiles.exact(scored, Seq.empty, "score",
+      Seq("q33" -> 0.3333333333333333, "q66" -> 0.6666666666666666))
     // tail = lowest margins (least target-domain-like), head = highest
     val tiered = scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("score"),

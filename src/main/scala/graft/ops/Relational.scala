@@ -853,9 +853,13 @@ object Relational extends QueryModule {
     * nation where 10 % of customers carry 60 % of revenue wants different
     * treatment from a flat one). Gini uses the rank formula
     * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending per-customer totals —
-    * Σᵢ i·xᵢ and Σx are exact BIGINTs over integer cents (ranks
-    * deterministic with the (cents, custkey) tie order), so both engines
-    * divide the same integers (the ev_anomaly rule).
+    * Σx is an exact BIGINT over integer cents and Σᵢ i·xᵢ accumulates as
+    * exact DECIMAL(38,0) (ranks deterministic with the (cents, custkey)
+    * tie order), so both engines divide the same integers (the ev_anomaly
+    * rule). The decimal matters at scale: at ~10M customers per nation
+    * Σᵢ i·xᵢ ≈ n²·avg/2 clears 2⁶³, where a BIGINT sum would wrap
+    * silently with ANSI off while DuckDB's HUGEINT keeps going — the
+    * 38-digit decimal holds to ~10¹⁹ customers.
     *
     * Scale shape: one customer-keyed aggregate collapses orders to
     * |customers| rows; the rank window partitions by nation over that
@@ -889,7 +893,9 @@ object Relational extends QueryModule {
     ranked.groupBy("n_name")
       .agg(count(lit(1)).as("n_customers"),
         sum("cents").as("revenue_cents"),
-        sum(col("rk") * col("cents")).as("iwsum"))
+        // rank × cents as DECIMAL(38,0) BEFORE the multiply: the product
+        // and its sum both clear 2^63 at large-nation scale (scaladoc)
+        sum(col("rk").cast(DecimalType(38, 0)) * col("cents")).as("iwsum"))
       .join(top, "n_name")
       .select(col("n_name"), col("n_customers"), col("revenue_cents"),
         round(lit(2.0) * col("iwsum").cast("double")
@@ -1625,6 +1631,15 @@ object Relational extends QueryModule {
   /** Exact interpolated percentiles (median / p95) per order priority —
     * `percentile` is exact two-phase (sort-based partial state), matching
     * DuckDB's quantile_cont interpolation bit-for-bit on the same doubles.
+    *
+    * DELIBERATELY the exact half of the [[approxPercentiles]] demo pair,
+    * kept as pedagogy: its final reducer buffers the group's full distinct
+    * (value, count) multiset, which is exactly the state growth the sketch
+    * half bounds — at billions of near-unique values per group this shape
+    * dies, and every PRODUCTION quantile in the battery therefore rides
+    * [[Quantiles.exact]]'s bounded-state rank selection or
+    * `approx_percentile` instead (PlanShapeSpec gates the whole declared
+    * surface; only this documented pair is allowed the exact aggregate).
     */
   def percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

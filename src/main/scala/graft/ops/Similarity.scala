@@ -969,8 +969,12 @@ object Similarity extends QueryModule {
     * split the corpus into a reference and an arriving population (vec_id
     * parity — deterministic, and parity-stable under the scaling replica's
     * even id strides) and, per label, run a per-DIMENSION two-sample
-    * Welch z-test on the component distributions. Emits per label both
-    * population sizes, how many of the [[Dim]] dimensions drifted
+    * z-test on the component distributions (a Welch-STYLE unpooled
+    * standard error built from POPULATION variances Σv²/n − m², not the
+    * n−1 sample estimator — at monitoring populations the bias is
+    * negligible and the population form keeps the fixture's hand-computed
+    * z = 4 exact; a textbook Welch test would divide by n−1). Emits per
+    * label both population sizes, how many of the [[Dim]] dimensions drifted
     * (|z| > [[DriftZ]]) and the worst |z| — on an i.i.d. split these sit
     * at the 3σ false-positive floor, and a real encoder/ingest shift
     * lights up specific dimensions long before top-k overlap metrics
@@ -978,8 +982,8 @@ object Similarity extends QueryModule {
     *
     * Determinism: all sufficient statistics are exact BIGINTs over the
     * Q.20 quantized components (Σv, Σv², n — order-independent; |v| ≤ 2²⁰
-    * so Σv² stays far under 2⁶³ at any realistic volume); means, Welch
-    * variances, and z are then IDENTICAL double expressions in both
+    * so Σv² stays far under 2⁶³ at any realistic volume); means,
+    * population variances, and z are then IDENTICAL double expressions in both
     * engines (the ev_anomaly rule), with the zero-variance guard emitting
     * z = 0 deterministically.
     *

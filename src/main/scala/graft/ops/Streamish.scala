@@ -532,35 +532,61 @@ object Streamish extends QueryModule {
     * engine never drops.
     *
     * Scale shape: ONE batch-keyed partial aggregate collapses the log to
-    * |events|/[[LatenessBatch]] rows; the exclusive prefix max runs as an
-    * unpartitioned window over that bounded batch frame only (the
-    * Pipeline cell-table precedent — never over events); events then join
-    * the broadcast high-water frame on the batch key, and the per-type
-    * rollup is a hash aggregate onto |event_type| rows. All lateness
-    * arithmetic integer µs; the percentiles interpolate on BIGINTs
-    * identically in both engines (the q_percentiles rule).
+    * |events|/[[LatenessBatch]] rows (a frame that GROWS with the corpus —
+    * n/500, not bounded); the exclusive prefix max is therefore TWO-LEVEL:
+    * a running max within each [[LatenessChunk]]-batch chunk (window cells
+    * ≤ 65k rows) merged with the exclusive prefix max across the tiny
+    * chunk frame (n/(500·65536) rows — the only unpartitioned window).
+    * Events then equi-join the batch high-water frame with NO broadcast
+    * hint (n/500 rows is shuffle-join territory at scale; AQE may still
+    * elect a broadcast at small sf), and the per-type rollup is a hash
+    * aggregate onto |event_type| rows. All lateness arithmetic integer µs
+    * (the batch key uses integral `div`, matching the oracle's floor
+    * division bit-for-bit); the p95/p99 ride [[Quantiles.exact]]'s
+    * bounded-state rank selection — never an exact `percentile` buffering
+    * the near-unique µs multiset.
     */
   def latenessAudit(s: SparkSession, dir: String): DataFrame =
     latenessAuditOf(Tables.events(s, dir))
 
+  /** Batches per chunk of the two-level prefix max: the chunk window cell
+    * is ≤ this many rows and the cross-chunk frame is n/(500·65536) rows
+    * (~30 rows at a trillion events).
+    */
+  private[graft] val LatenessChunk = 65536L
+
   private[graft] def latenessAuditOf(events: DataFrame): DataFrame = {
     val e = events
       .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
-        (col("event_id") / lit(LatenessBatch)).cast("long").as("b"))
+        expr(s"event_id div $LatenessBatch").as("b"))
     val batchMax = e.groupBy("b").agg(max("ts_us").as("mx"))
+      .withColumn("ck", expr(s"b div $LatenessChunk"))
+    val chunkPrefix = batchMax.groupBy("ck").agg(max("mx").as("cmx"))
+      .withColumn("pmx", max("cmx").over(
+        Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("ck"), col("pmx"))
+    // greatest() skips NULLs: hwm is NULL only for the very first batch
+    // (no earlier batch in-chunk, no earlier chunk) — the oracle's NULL
     val hwm = batchMax
-      .withColumn("hwm", max("mx").over(
-        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("b"), col("hwm"))
-    e.join(broadcast(hwm), "b")
+      .withColumn("imx", max("mx").over(Window.partitionBy("ck").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .join(broadcast(chunkPrefix), "ck")
+      .select(col("b"), greatest(col("imx"), col("pmx")).as("hwm"))
+    val late = e.join(hwm, "b")
       .withColumn("late_us",
         greatest(lit(0L), coalesce(col("hwm") - col("ts_us"), lit(0L))))
-      .groupBy("event_type")
+      .select("event_type", "late_us")
+    val stats = late.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
-        max("late_us").as("max_late_us"),
-        round(expr("percentile(late_us, 0.95)"), 4).as("p95_late_us"),
-        round(expr("percentile(late_us, 0.99)"), 4).as("p99_late_us"))
+        max("late_us").as("max_late_us"))
+    val qs = Quantiles.exact(late, Seq("event_type"), "late_us",
+      Seq("p95" -> 0.95, "p99" -> 0.99))
+    stats.join(qs, "event_type")
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        col("max_late_us"),
+        round(col("p95"), 4).as("p95_late_us"),
+        round(col("p99"), 4).as("p99_late_us"))
       .orderBy("event_type")
   }
 
@@ -633,29 +659,36 @@ object Streamish extends QueryModule {
     * 30-minute gap cut is defensible exactly when p99 sits well under it
     * and `n_over_session_gap` is the between-sessions tail.
     *
-    * Scale shape: ONE exchange — the lag window partitions by
-    * high-cardinality user_id (bounded per-user state, skew-free); the
-    * rollup is a hash aggregate onto |event_type| rows. All gap arithmetic
-    * integer µs; percentiles interpolate on BIGINTs identically in both
-    * engines (the q_percentiles rule).
+    * Scale shape: the lag window partitions by high-cardinality user_id
+    * (bounded per-user state, skew-free); the counting rollup is a hash
+    * aggregate onto |event_type| rows, and the p50/p90/p99 ride
+    * [[Quantiles.exact]]'s bounded-state rank selection — never an exact
+    * `percentile` buffering the near-unique µs multiset (the r16
+    * verdict's flagged shape). All gap arithmetic integer µs.
     */
   def gapAudit(s: SparkSession, dir: String): DataFrame =
     gapAuditOf(Tables.events(s, dir))
 
   private[graft] def gapAuditOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    events
+    val gaps = events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("ts"))
       .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
       .filter(col("gap_us").isNotNull)
-      .groupBy("event_type")
+      .select("event_type", "gap_us")
+    val stats = gaps.groupBy("event_type")
       .agg(count(lit(1)).as("n_gaps"),
-        round(expr("percentile(gap_us, 0.5)"), 4).as("p50_gap_us"),
-        round(expr("percentile(gap_us, 0.9)"), 4).as("p90_gap_us"),
-        round(expr("percentile(gap_us, 0.99)"), 4).as("p99_gap_us"),
         sum(when(col("gap_us") > GapUs, 1L).otherwise(0L))
           .as("n_over_session_gap"))
+    val qs = Quantiles.exact(gaps, Seq("event_type"), "gap_us",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    stats.join(qs, "event_type")
+      .select(col("event_type"), col("n_gaps"),
+        round(col("p50"), 4).as("p50_gap_us"),
+        round(col("p90"), 4).as("p90_gap_us"),
+        round(col("p99"), 4).as("p99_gap_us"),
+        col("n_over_session_gap"))
       .orderBy("event_type")
   }
 
@@ -779,17 +812,18 @@ object Streamish extends QueryModule {
     * exact cross-engine arithmetic: monetary quantizes to integer cents per
     * row (multiply-then-round, the q_histogram rule) so the per-user sum is
     * order-independent; recency is whole days behind the corpus's last
-    * active day (integer date arithmetic); the quintile cutoffs are ONE
-    * exact interpolated-percentile aggregate over the per-user frame
-    * broadcast back (the ppl_bucket/pipe_classified precedent — both
-    * engines interpolate p·(n−1) on identical values); scores count strict
-    * cutoff exceedances, with recency inverted (5 = most recent).
+    * active day (integer date arithmetic); the quintile cutoffs come from
+    * [[Quantiles.exact]]'s bounded-state rank selection over the three
+    * metrics stacked into one (metric, value) frame — the per-user
+    * monetary domain is near-unique, so an exact `percentile` buffering
+    * its full multiset is the r16 verdict's flagged scale-killer — and
+    * both engines interpolate p·(n−1) on identical values; scores count
+    * strict cutoff exceedances, with recency inverted (5 = most recent).
     *
     * Scale shape: one user-keyed map-side-partial hash aggregate collapses
-    * the corpus to |users| rows; everything after runs on that frame — a
-    * 1-row anchor broadcast, a 1-row cutoff broadcast, and a codegen'd
-    * scoring projection. No windows, no self-joins; the only corpus-scale
-    * shuffle is the per-user aggregate's own.
+    * the corpus to |users| rows; the cutoff selection adds two |users|-
+    * scale exchanges with bounded window cells, and scoring is a 1-row
+    * anchor broadcast + 1-row cutoff broadcast + codegen'd projection.
     */
   def rfm(s: SparkSession, dir: String): DataFrame =
     rfmOf(Tables.events(s, dir))
@@ -820,10 +854,18 @@ object Streamish extends QueryModule {
       .select(col("user_id"),
         datediff(col("corpus_day"), col("last_day")).cast("long").as("recency_days"),
         col("n_events"), col("monetary_cents"))
-    val cuts = broadcast(base.agg(
-      expr("percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
-      expr("percentile(n_events, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
-      expr("percentile(monetary_cents, array(0.2, 0.4, 0.6, 0.8))").as("mc")))
+    val stacked = base.select(expr(
+      """stack(3, 'r', cast(recency_days as double),
+        |         'f', cast(n_events as double),
+        |         'm', cast(monetary_cents as double)) as (metric, v)""".stripMargin))
+    val cutsPerMetric = Quantiles.exact(stacked, Seq("metric"), "v",
+      Seq("c1" -> 0.2, "c2" -> 0.4, "c3" -> 0.6, "c4" -> 0.8))
+    def metricArray(m: String): Column =
+      first(when(col("metric") === m,
+        array(col("c1"), col("c2"), col("c3"), col("c4"))), ignoreNulls = true)
+    val cuts = broadcast(cutsPerMetric.groupBy().agg(
+      metricArray("r").as("rc"), metricArray("f").as("fc"),
+      metricArray("m").as("mc")))
     def above(x: Column, cutsCol: String): Column =
       (1 to 4).map(i =>
         when(x > element_at(col(cutsCol), i), 1L).otherwise(0L)).reduce(_ + _)

@@ -1112,21 +1112,22 @@ object TextOps extends QueryModule {
     * being dropped or misfiled.
     *
     * Scale shape: the scores are [[lmPerplexity]]'s aggregation; the two
-    * tercile cutoffs are ONE exact interpolated-percentile aggregate (sort
-    * -based partial state, the q_percentiles machinery) broadcast back as a
-    * 1-row scalar — no global row_number window, which would funnel the
-    * corpus through a single partition at scale.
+    * tercile cutoffs ride [[graft.ops.Quantiles.exact]]'s bounded-state
+    * rank selection (per-doc ppl is near-unique, so an exact `percentile`
+    * buffering the full multiset is the r16 verdict's flagged
+    * scale-killer) and come back as a 1-row broadcast scalar — no global
+    * row_number window, which would funnel the corpus through a single
+    * partition at scale.
     */
   def pplBucket(s: SparkSession, dir: String): DataFrame = {
-    // scored feeds BOTH the cutoff aggregate and the bucket join — persist
+    // scored feeds BOTH the cutoff selection and the bucket join — persist
     // so the bigram-LM training aggregation runs once, not per branch
     val scored = lmPerplexity(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1/3 and 2/3 as double literals: both engines interpolate index
     // p·(n−1) on identical doubles (parity pinned by q_percentiles)
-    val cuts = scored.agg(
-      expr("percentile(ppl, 0.3333333333333333)").as("q33"),
-      expr("percentile(ppl, 0.6666666666666666)").as("q66"))
+    val cuts = Quantiles.exact(scored, Seq.empty, "ppl",
+      Seq("q33" -> 0.3333333333333333, "q66" -> 0.6666666666666666))
     scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("ppl"),
         when(col("ppl").isNull, "unscoreable")

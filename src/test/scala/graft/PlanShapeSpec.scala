@@ -169,6 +169,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  /** The documented exact/sketch demo pair (q_percentiles scaladoc): the
+    * ONLY declared plans allowed Spark's exact `Percentile`/`PercentileDisc`
+    * aggregates, whose final reducer buffers a group's full distinct-value
+    * multiset — the r16 verdict's flagged scale-killer on near-unique
+    * domains. Every production quantile must ride Quantiles.exact's
+    * bounded-state rank selection or approx_percentile.
+    */
+  private val exactPercentileByDesign = Set("q_percentiles", "q_approx_percentiles")
+
+  test("no exact percentile aggregate in any declared plan outside the documented demo pair") {
+    // matches percentile( / percentile_disc( but not percentile_approx( /
+    // approx_percentile( — '_' is a word char, so \b rejects both
+    val exactPct = "\\bpercentile(_disc)?\\(".r
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      if (exactPercentileByDesign(name)) None
+      else {
+        val plan = q(spark, dir).queryExecution.optimizedPlan.toString
+        if (exactPct.findFirstIn(plan).isDefined) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"exact-percentile aggregate over an unbounded domain in: ${offenders.mkString(", ")}")
+  }
+
   test("no cartesian products anywhere; nested-loop joins only where bounded by design") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val plan = q(spark, dir).queryExecution.executedPlan.toString
