@@ -856,7 +856,7 @@ object Dedup extends QueryModule {
     */
   private[graft] def ngramJaccardOf(documents: DataFrame): DataFrame = {
     val tx = lower(col("text"))
-    val g = documents
+    val base = documents
       .filter(length(tx) >= 4)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 16).as("lb"),
@@ -872,25 +872,47 @@ object Dedup extends QueryModule {
         // as a hash-compare mismatch, so the gate checks the semantics, not
         // the interning.
         array_distinct(expr("ngram_hashes(lower(text), 4)")).as("grams"))
-      .withColumn("n", size(col("grams")))
+    // The (lang, lb) block key packs LOSSLESSLY into one long through a
+    // broadcast lang dictionary (distinct language codes are bounded by
+    // construction; lb < 2³² covers 68-gigabyte documents): the corpus-
+    // scale gram exchanges below carry an 8-byte block key instead of a
+    // 16-byte UnsafeRow string + a long — measured at the r16 factor-100
+    // probe as the widest column set in the suite's fattest shuffler.
+    val langs = base.select("lang").distinct()
+      .withColumn("lang_id",
+        row_number().over(Window.orderBy("lang")).cast("long"))
+    val g = base.join(broadcast(langs), "lang")
+      .select(col("doc_id"),
+        (col("lang_id") * lit(4294967296L) + col("lb")).as("bk"),
+        col("grams"), size(col("grams")).as("n"))
       // g feeds three DAG branches (prefix build + both verify sides);
       // persisting saves two gram-array rebuilds — ~2.2× on the whole query.
       // At extreme scale swap for recompute if the cache would thrash.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = g.select(col("doc_id"), col("lang"), col("lb"), col("n"),
-      explode(col("grams")).as("gram"))
+    // the exploded frame carries ONLY (doc_id, bk, gram): n is re-derived
+    // inside the doc-keyed window pass (same exchange, one more window
+    // function) instead of riding both corpus-scale exchanges as payload
+    val ex = g.select(col("doc_id"), col("bk"), explode(col("grams")).as("gram"))
     // df via a window over the exploded rows (one shuffle) instead of
     // groupBy + join-back (two shuffles of the 18-per-doc gram rows).
     // Persisted: the candidate self-join reads the prefix TWICE (side a /
     // side b), and un-persisted each side re-runs the explode plus both
     // window sorts — at the r15 factor-100 probe that doubled the heaviest
-    // shuffles in the query. ~0.4·|grams| narrow rows, MEMORY_AND_DISK.
+    // shuffles in the query. MEMORY_AND_DISK; the df ≥ 2 prune below keeps
+    // it well under the historical ~0.4·|grams| rows.
     val prefix = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "lb", "gram")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("bk", "gram")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)))
-      .filter(col("pos") <= col("n") - ceil(col("n") * lit(GramJaccardT)) + 1)
-      .select("doc_id", "lang", "lb", "gram", "pos", "n")
+      // pos ≤ k is the prefix filter; df ≥ 2 is LOSSLESS on top of it: a
+      // block-unique gram can never be a join witness (nobody shares it),
+      // so dropping it cuts the self-join's shuffle without touching any
+      // pair's witness set — pos/cnt/ub all keep their full-list meaning
+      // because they were computed BEFORE the prune.
+      .filter(col("pos") <= col("n") - ceil(col("n") * lit(GramJaccardT)) + 1 &&
+        col("df") >= 2)
+      .select("doc_id", "bk", "gram", "pos", "n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin-style candidate pruning (Xiao et al., WWW'08), applied while
     // the pair rows are still NARROW — before any gram array attaches.
@@ -927,7 +949,7 @@ object Dedup extends QueryModule {
     // count every witness to stay an exact |Sa∩Sb|.
     def kOf(n: Column): Column = n - ceil(n * lit(GramJaccardT)) + 1
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+        col("a.bk") === col("b.bk") &&
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (least(col("a.pos"), col("b.pos")) +
