@@ -34,6 +34,17 @@ final case class PngDecoded(doc_id: Long, media_type: String, width: Int,
     height: Int, color_type: Int, n_channels: Int, png_bytes: Int,
     ch0_mean: Double, ch1_mean: Double, ch2_mean: Double, alpha_mean: Double)
 
+/** mm_jpeg_decode detail row: geometry + SOURCE channel means (exact, the
+  * oracle-recomputable side) + DECODED channel means (engine-side codec
+  * evidence — JPEG is lossy, so these are deterministic but not
+  * SQL-recomputable; the declared output serves them through the earned
+  * `within_tol` gate and drops the raw values, the png_bytes precedent).
+  */
+final case class JpegDecoded(doc_id: Long, media_type: String, width: Int,
+    height: Int, n_components: Int, sampling: String, jpeg_bytes: Int,
+    ch0_src_mean: Double, ch1_src_mean: Double, ch2_src_mean: Double,
+    ch0_dec_mean: Double, ch1_dec_mean: Double, ch2_dec_mean: Double)
+
 /** Multimodal-column battery: image/audio/video handled as opaque `binary`
   * columns with typed metadata, per the LLM-pipeline mandate.
   *
@@ -1041,6 +1052,690 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------- mm_jpeg_decode
+
+  private[graft] val JpegN = 16 // synthesized image side (N×N = one 4:2:0 MCU)
+
+  /** |decoded − source| channel-mean tolerance for the within_tol gate.
+    * The error budget is DC quantization (≤ q00/16 ≈ 0.25 gray levels at
+    * quality 90) + chroma box-downsampling on the 4:2:0 lane + the two
+    * rounded color transforms — comfortably under 3 on any input.
+    */
+  private[graft] val JpegTol = 3.0
+
+  private val ZigzagOrder: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ITU T.81 Annex K base quantization tables (natural row-major order)
+  private val QBaseLum: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99)
+  private val QBaseChrom: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99)
+
+  private[graft] val JpegQuality = 90
+
+  /** IJG quality scaling of a base table (the libjpeg formula — public). */
+  private def scaledQ(base: Array[Int]): Array[Int] = {
+    val scale = if (JpegQuality < 50) 5000 / JpegQuality else 200 - 2 * JpegQuality
+    base.map(b => math.max(1, math.min(255, (b * scale + 50) / 100)))
+  }
+
+  // ITU T.81 Annex K typical Huffman tables: (bits per code length 1..16, values)
+  private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).map(_.toByte).toArray
+  private val DcChromBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromVals = (0 to 11).map(_.toByte).toArray
+  private val AcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+  private val AcChromBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromVals: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  /** cos((2x+1)·u·π/16) — shared by the encoder's FDCT and decoder's IDCT.
+    * Plain doubles: JDK ≥ 15 floating point is always strict, so the codec
+    * is bit-deterministic across JVMs (cross-ENGINE parity is handled by
+    * the within_tol gate, never by comparing decoded samples in SQL).
+    */
+  private val JCos: Array[Array[Double]] = Array.tabulate(8, 8)((u, x) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val JC: Array[Double] = Array.tabulate(8)(u =>
+    if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Canonical Huffman code assignment from a (bits, vals) spec —
+    * value → (code, length).
+    */
+  private def huffEncodeTable(bits: Array[Int], vals: Array[Byte]): Array[(Int, Int)] = {
+    val table = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    for (l <- 1 to 16) {
+      var i = 0
+      while (i < bits(l)) {
+        table(vals(k) & 0xff) = (code, l)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    table
+  }
+
+  /** MSB-first bit writer with JPEG byte stuffing (0xFF → 0xFF 0x00). */
+  private final class JBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { put(0x7f, 8 - nbits) } // pad with 1s
+  }
+
+  /** Baseline-sequential JPEG encoder (ITU T.81 — public knowledge, zero
+    * deps): 8-bit, Annex-K quant (IJG quality scaling) + typical Huffman
+    * tables, JFIF color transform, interleaved single scan. `subsample`
+    * selects 4:2:0 (Y 2×2, box-averaged chroma) vs 4:4:4; `planes` is
+    * 1 (gray) or 3 (RGB interleaved in `raw`). Exists to frame synthesized
+    * bodies as REAL compressed blobs the decoder must huffman-decode,
+    * dequantize and inverse-transform — and as the fixture builder.
+    */
+  private[graft] def encodeJpeg(w: Int, h: Int, planes: Int, subsample: Boolean,
+      raw: Array[Byte]): Array[Byte] = {
+    require(planes == 1 || planes == 3, "planes must be 1 or 3")
+    require(raw.length == w * h * planes, "raw must be w*h*planes samples")
+    val qLum = scaledQ(QBaseLum)
+    val qChrom = scaledQ(QBaseChrom)
+    // color transform → per-component planes
+    val nComp = planes
+    val comps: Array[Array[Int]] = if (planes == 1) {
+      Array(raw.map(_ & 0xff))
+    } else {
+      val y = new Array[Int](w * h); val cb = new Array[Int](w * h)
+      val cr = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        val r = raw(3 * i) & 0xff; val g = raw(3 * i + 1) & 0xff
+        val b = raw(3 * i + 2) & 0xff
+        def cl(d: Double): Int = math.max(0, math.min(255, math.rint(d).toInt))
+        y(i) = cl(0.299 * r + 0.587 * g + 0.114 * b)
+        cb(i) = cl(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+        cr(i) = cl(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+        i += 1
+      }
+      Array(y, cb, cr)
+    }
+    val hv: Array[(Int, Int)] =
+      if (planes == 3 && subsample) Array((2, 2), (1, 1), (1, 1))
+      else Array.fill(nComp)((1, 1))
+    val (hmax, vmax) = (hv.map(_._1).max, hv.map(_._2).max)
+    // component planes at their own resolution (box-average downsample)
+    val planesC: Array[Array[Int]] = (0 until nComp).map { c =>
+      val (hc, vc) = hv(c)
+      val cw = (w * hc + hmax - 1) / hmax; val chh = (h * vc + vmax - 1) / vmax
+      if (hc == hmax && vc == vmax) comps(c)
+      else {
+        val fx = hmax / hc; val fy = vmax / vc
+        val p = new Array[Int](cw * chh)
+        var yy = 0
+        while (yy < chh) {
+          var xx = 0
+          while (xx < cw) {
+            var s = 0; var n = 0
+            var dy = 0
+            while (dy < fy) {
+              var dx = 0
+              while (dx < fx) {
+                val sx = xx * fx + dx; val sy = yy * fy + dy
+                if (sx < w && sy < h) { s += comps(c)(sy * w + sx); n += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            p(yy * cw + xx) = math.rint(s.toDouble / math.max(n, 1)).toInt
+            xx += 1
+          }
+          yy += 1
+        }
+        p
+      }
+    }.toArray
+    // FDCT + quantize one 8×8 block at (bx, by) of component c
+    def block(c: Int, bx: Int, by: Int): Array[Int] = {
+      val (hc, vc) = hv(c)
+      val cw = (w * hc + hmax - 1) / hmax; val chh = (h * vc + vmax - 1) / vmax
+      val q = if (c == 0) qLum else qChrom
+      val f = new Array[Double](64)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val sx = math.min(bx * 8 + xx, cw - 1) // edge-replicate padding
+          val sy = math.min(by * 8 + yy, chh - 1)
+          f(yy * 8 + xx) = planesC(c)(sy * cw + sx) - 128.0
+          xx += 1
+        }
+        yy += 1
+      }
+      val coef = new Array[Int](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var x = 0
+          while (x < 8) {
+            var y2 = 0
+            while (y2 < 8) {
+              s += f(y2 * 8 + x) * JCos(u)(x) * JCos(v)(y2)
+              y2 += 1
+            }
+            x += 1
+          }
+          val fc = 0.25 * JC(u) * JC(v) * s
+          coef(v * 8 + u) = math.rint(fc / q(v * 8 + u)).toInt
+          v += 1
+        }
+        u += 1
+      }
+      coef
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >>> 8); out.write(len & 0xff)
+      body.foreach(b => out.write(b & 0xff))
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array(0x4a, 0x46, 0x49, 0x46, 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0 JFIF
+    seg(0xdb, 0 +: (0 until 64).map(i => qLum(ZigzagOrder(i))).toArray) // DQT 0
+    if (nComp == 3)
+      seg(0xdb, 1 +: (0 until 64).map(i => qChrom(ZigzagOrder(i))).toArray)
+    // SOF0
+    seg(0xc0, Array(8, h >>> 8, h & 0xff, w >>> 8, w & 0xff, nComp) ++
+      (0 until nComp).flatMap(c =>
+        Seq(c + 1, (hv(c)._1 << 4) | hv(c)._2, if (c == 0) 0 else 1)))
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Unit =
+      seg(0xc4, Array((tc << 4) | th) ++ (1 to 16).map(bits) ++ vals.map(_ & 0xff))
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    if (nComp == 3) {
+      dht(0, 1, DcChromBits, DcChromVals); dht(1, 1, AcChromBits, AcChromVals)
+    }
+    // SOS
+    seg(0xda, Array(nComp) ++
+      (0 until nComp).flatMap(c => Seq(c + 1, if (c == 0) 0x00 else 0x11)) ++
+      Array(0, 63, 0))
+    val dcT = Array(huffEncodeTable(DcLumBits, DcLumVals),
+      huffEncodeTable(DcChromBits, DcChromVals))
+    val acT = Array(huffEncodeTable(AcLumBits, AcLumVals),
+      huffEncodeTable(AcChromBits, AcChromVals))
+    val bw = new JBitWriter(out)
+    val dcPred = new Array[Int](nComp)
+    def emit(c: Int, coef: Array[Int]): Unit = {
+      val t = if (c == 0) 0 else 1
+      def size(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+      def bitsOf(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
+      val diff = coef(0) - dcPred(c)
+      dcPred(c) = coef(0)
+      val ds = size(diff)
+      val (dc, dl) = dcT(t)(ds)
+      bw.put(dc, dl)
+      if (ds > 0) bw.put(bitsOf(diff, ds), ds)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val v = coef(ZigzagOrder(k))
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { val (zc, zl) = acT(t)(0xf0); bw.put(zc, zl); run -= 16 }
+          val s = size(v)
+          val (ac, al) = acT(t)((run << 4) | s)
+          bw.put(ac, al)
+          bw.put(bitsOf(v, s), s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = acT(t)(0x00); bw.put(ec, el) }
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < nComp) {
+          val (hc, vc) = hv(c)
+          var by = 0
+          while (by < vc) {
+            var bx = 0
+            while (bx < hc) {
+              emit(c, block(c, mx * hc + bx, my * vc + by))
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Huffman DECODE tables: canonical mincode/maxcode/valptr (T.81 F.2.2.3). */
+  private final class JHuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        valptr(l) = k
+        mincode(l) = code
+        maxcode(l) = if (bits(l) > 0) code + bits(l) - 1 else -1
+        code = (code + bits(l)) << 1
+        k += bits(l)
+      }
+    }
+    def value(l: Int, code: Int): Int = vals(valptr(l) + code - mincode(l)) & 0xff
+  }
+
+  /** Strict baseline-sequential JPEG decoder — the second real-world codec
+    * branch beside [[decodePng]] (the r16 verdict's item 6): 8-bit
+    * huffman-coded DCT, sampling factors 1–2 (4:4:4 / 4:2:0 and their
+    * mixes), gray or YCbCr. STRICTNESS contract, mirroring the PNG
+    * decoder's: any non-SOF0 frame (progressive SOF2, arithmetic SOF9–11,
+    * lossless, 12-bit), 16-bit quant tables, restart intervals, multi-scan
+    * files, huffman garbage, truncated scans, inter-MCU marker noise or
+    * trailing bytes after EOI → None, never a garbage decode. Returns
+    * (w, h, nComponents, samples channel-interleaved at full resolution,
+    * chroma upsampled by replication, JFIF inverse color transform).
+    */
+  private[graft] def decodeJpeg(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    var i = 2
+    def u8(off: Int): Int = p(off) & 0xff
+    def u16(off: Int): Int = (u8(off) << 8) | u8(off + 1)
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[JHuffTable](4)
+    val acTabs = new Array[JHuffTable](4)
+    var w = 0; var h = 0; var nComp = 0
+    var compHv: Array[(Int, Int)] = null
+    var compQ: Array[Int] = null
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    var sofSeen = false
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (i + 4 > p.length || u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd8 || m == 0xd9 || (m >= 0xd0 && m <= 0xd7)) return None
+      val len = u16(i + 2)
+      if (len < 2 || i + 2 + len > p.length) return None
+      val body = i + 4
+      val bodyLen = len - 2
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var j = body
+          while (j < body + bodyLen) {
+            val pq = u8(j) >> 4; val tq = u8(j) & 0x0f
+            if (pq != 0 || tq > 3 || j + 65 > body + bodyLen) return None // 8-bit only
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(ZigzagOrder(k)) = u8(j + 1 + k); k += 1 }
+            qt(tq) = t
+            j += 65
+          }
+        case 0xc0 => // SOF0: baseline sequential
+          if (sofSeen || bodyLen < 6) return None
+          if (u8(body) != 8) return None // 8-bit precision only
+          h = u16(body + 1); w = u16(body + 3)
+          nComp = u8(body + 5)
+          if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+          if (bodyLen != 6 + 3 * nComp) return None
+          compHv = new Array[(Int, Int)](nComp)
+          compQ = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            val hc = u8(body + 7 + 3 * c) >> 4; val vc = u8(body + 7 + 3 * c) & 0x0f
+            if (hc < 1 || hc > 2 || vc < 1 || vc > 2) return None
+            compHv(c) = (hc, vc)
+            compQ(c) = u8(body + 8 + 3 * c)
+            if (compQ(c) > 3) return None
+            c += 1
+          }
+          sofSeen = true
+        case mm if (mm >= 0xc1 && mm <= 0xcf) && mm != 0xc4 =>
+          return None // progressive/arithmetic/lossless/12-bit frames rejected
+        case 0xc4 => // DHT: one or more tables
+          var j = body
+          while (j < body + bodyLen) {
+            val tc = u8(j) >> 4; val th = u8(j) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val bits = new Array[Int](17)
+            var tot = 0
+            var l = 1
+            while (l <= 16) { bits(l) = u8(j + l); tot += bits(l); l += 1 }
+            if (j + 17 + tot > body + bodyLen) return None
+            val vals = new Array[Byte](tot)
+            System.arraycopy(p, j + 17, vals, 0, tot)
+            val tab = new JHuffTable(bits, vals)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            j += 17 + tot
+          }
+        case 0xdd => return None // restart intervals: strictly rejected
+        case 0xda => // SOS: must cover all components in one scan
+          if (!sofSeen || bodyLen < 4) return None
+          val ns = u8(body)
+          if (ns != nComp || bodyLen != 4 + 2 * ns) return None
+          compDc = new Array[Int](nComp)
+          compAc = new Array[Int](nComp)
+          var c = 0
+          while (c < ns) {
+            val cs = u8(body + 1 + 2 * c)
+            if (cs != c + 1) return None // encoder-order component ids
+            compDc(c) = u8(body + 2 + 2 * c) >> 4
+            compAc(c) = u8(body + 2 + 2 * c) & 0x0f
+            if (compDc(c) > 3 || compAc(c) > 3) return None
+            c += 1
+          }
+          if (u8(body + 1 + 2 * ns) != 0 || u8(body + 2 + 2 * ns) != 63 ||
+            u8(body + 3 + 2 * ns) != 0) return None // full-spectral baseline
+          sosAt = body + bodyLen
+        case mm if (mm >= 0xe0 && mm <= 0xef) || mm == 0xfe => () // APPn/COM
+        case _ => return None
+      }
+      i += 2 + len
+    }
+    // validate referenced tables exist
+    var c = 0
+    while (c < nComp) {
+      if (qt(compQ(c)) == null || dcTabs(compDc(c)) == null ||
+        acTabs(compAc(c)) == null) return None
+      c += 1
+    }
+    val (hmax, vmax) = (compHv.map(_._1).max, compHv.map(_._2).max)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // entropy-coded bit reader with unstuffing; any real marker → fail
+    var pos = sosAt
+    var acc = 0; var nbits = 0
+    var bad = false
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= p.length) { bad = true; return 0 }
+        var b = u8(pos); pos += 1
+        if (b == 0xff) {
+          if (pos >= p.length) { bad = true; return 0 }
+          val b2 = u8(pos); pos += 1
+          if (b2 != 0x00) { bad = true; return 0 } // marker mid-scan
+          b = 0xff
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+    def huffDec(t: JHuffTable): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        code = (code << 1) | nextBit()
+        if (bad) return -1
+        if (t.maxcode(l) >= 0 && code <= t.maxcode(l) && code >= t.mincode(l))
+          return t.value(l, code)
+        l += 1
+      }
+      bad = true; -1
+    }
+    def receive(s: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < s) { v = (v << 1) | nextBit(); k += 1 }
+      v
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    val planes = (0 until nComp).map { c =>
+      new Array[Int](mcusX * 8 * compHv(c)._1 * mcusY * 8 * compHv(c)._2)
+    }.toArray
+    val dcPred = new Array[Int](nComp)
+    val blk = new Array[Int](64)
+    var my = 0
+    while (my < mcusY && !bad) {
+      var mx = 0
+      while (mx < mcusX && !bad) {
+        var cc = 0
+        while (cc < nComp && !bad) {
+          val (hc, vc) = compHv(cc)
+          val q = qt(compQ(cc))
+          var by = 0
+          while (by < vc && !bad) {
+            var bx = 0
+            while (bx < hc && !bad) {
+              java.util.Arrays.fill(blk, 0)
+              val ds = huffDec(dcTabs(compDc(cc)))
+              if (!bad) {
+                if (ds < 0 || ds > 11) bad = true
+                else {
+                  dcPred(cc) += extend(receive(ds), ds)
+                  blk(0) = dcPred(cc) * q(0)
+                  var k = 1
+                  while (k < 64 && !bad) {
+                    val rs = huffDec(acTabs(compAc(cc)))
+                    if (bad || rs < 0) { bad = true }
+                    else {
+                      val r = rs >> 4; val s = rs & 0x0f
+                      if (s == 0) {
+                        if (r == 15) k += 16 else k = 64 // ZRL / EOB
+                      } else {
+                        k += r
+                        if (k > 63) bad = true
+                        else {
+                          val nat = ZigzagOrder(k)
+                          blk(nat) = extend(receive(s), s) * q(nat)
+                          k += 1
+                        }
+                      }
+                    }
+                  }
+                }
+              }
+              if (!bad) {
+                // IDCT + level shift + clamp, into the component plane
+                val cw = mcusX * 8 * hc
+                val ox = (mx * hc + bx) * 8; val oy = (my * vc + by) * 8
+                var y2 = 0
+                while (y2 < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var s = 0.0
+                    var u = 0
+                    while (u < 8) {
+                      var v = 0
+                      while (v < 8) {
+                        val f = blk(v * 8 + u)
+                        if (f != 0) s += JC(u) * JC(v) * f * JCos(u)(x) * JCos(v)(y2)
+                        v += 1
+                      }
+                      u += 1
+                    }
+                    val px = math.max(0, math.min(255, math.rint(0.25 * s).toInt + 128))
+                    planes(cc)((oy + y2) * cw + ox + x) = px
+                    x += 1
+                  }
+                  y2 += 1
+                }
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          cc += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    if (bad) return None
+    // strict tail: discard pad bits, then exactly EOI, then end of payload
+    nbits = 0
+    if (pos + 2 != p.length || u8(pos) != 0xff || u8(pos + 1) != 0xd9) return None
+    // upsample + inverse color transform to channel-interleaved samples
+    val outArr = new Array[Int](w * h * nComp)
+    if (nComp == 1) {
+      val cw = mcusX * 8
+      var y2 = 0
+      while (y2 < h) {
+        var x = 0
+        while (x < w) { outArr(y2 * w + x) = planes(0)(y2 * cw + x); x += 1 }
+        y2 += 1
+      }
+    } else {
+      def cl(d: Double): Int = math.max(0, math.min(255, math.rint(d).toInt))
+      val cws = (0 until 3).map(c => mcusX * 8 * compHv(c)._1).toArray
+      var y2 = 0
+      while (y2 < h) {
+        var x = 0
+        while (x < w) {
+          def samp(c: Int): Int = {
+            val sx = x * compHv(c)._1 / hmax; val sy = y2 * compHv(c)._2 / vmax
+            planes(c)(sy * cws(c) + sx)
+          }
+          val yv = samp(0); val cb = samp(1) - 128; val cr = samp(2) - 128
+          val o = (y2 * w + x) * 3
+          outArr(o) = cl(yv + 1.402 * cr)
+          outArr(o + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr)
+          outArr(o + 2) = cl(yv + 1.772 * cb)
+          x += 1
+        }
+        y2 += 1
+      }
+    }
+    Some((w, h, nComp, outArr))
+  }
+
+  /** JPEG decode over the asset battery — the LOSSY real-codec branch
+    * beside [[pngDecode]]: each payload's bytes are cycled into a
+    * [[JpegN]]² body, compressed as a REAL baseline JPEG (media lane picks
+    * the layout: image → 4:2:0 color, the dominant crawl shape; video →
+    * 4:4:4 color; audio/text → grayscale) and round-tripped through
+    * [[decodeJpeg]] — huffman decode, dequant and the integer-clamped
+    * float IDCT are exercised per block, not faked. The declared output
+    * serves the exact SOURCE channel means (SQL-recomputable) plus an
+    * EARNED `within_tol` = 1 iff every decoded channel mean sits within
+    * [[JpegTol]] of its source mean — a garbage decode cannot pass, and
+    * the lossy decoded values themselves stay on the engine-only detail
+    * frame ([[jpegDecodeDetail]], OpsSpec-pinned) rather than weakening
+    * the hash gate.
+    *
+    * Scale shape: one typed mapPartitions, blob bytes never shuffle,
+    * fixed-width output row per asset.
+    */
+  def jpegDecode(s: SparkSession, dir: String): DataFrame =
+    jpegDecodeDetail(s, dir)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("n_components"), col("sampling"),
+        col("ch0_src_mean"), col("ch1_src_mean"), col("ch2_src_mean"),
+        when(greatest(
+          abs(col("ch0_dec_mean") - col("ch0_src_mean")),
+          abs(col("ch1_dec_mean") - col("ch1_src_mean")),
+          abs(col("ch2_dec_mean") - col("ch2_src_mean"))) <= JpegTol, lit(1L))
+          .otherwise(lit(0L)).as("within_tol"))
+      .orderBy("doc_id")
+
+  private[graft] def jpegDecodeDetail(s: SparkSession, dir: String): DataFrame =
+    jpegDecodeDetailOf(assets(s, dir))
+
+  private[graft] def jpegDecodeDetailOf(assetFrame: DataFrame): DataFrame = {
+    import assetFrame.sparkSession.implicits._
+    assetFrame
+      .filter(length(col("payload")) > 0)
+      .as[MediaAsset]
+      .mapPartitions { it =>
+        it.map { a =>
+          val (planes, subsample, sampling) = a.media_type match {
+            case "image" => (3, true, "4:2:0")
+            case "video" => (3, false, "4:4:4")
+            case _ => (1, false, "gray")
+          }
+          val body = new Array[Byte](JpegN * JpegN * planes)
+          var k = 0
+          while (k < body.length) { body(k) = a.payload(k % a.payload.length); k += 1 }
+          val jpg = encodeJpeg(JpegN, JpegN, planes, subsample, body)
+          val (w, h, nc, dec) = decodeJpeg(jpg).getOrElse(
+            throw new IllegalStateException(s"JPEG round-trip failed: doc ${a.doc_id}"))
+          val n = w.toLong * h
+          val srcSums = new Array[Long](3)
+          k = 0
+          while (k < body.length) { srcSums(k % planes) += body(k) & 0xff; k += 1 }
+          val decSums = new Array[Long](3)
+          k = 0
+          while (k < dec.length) { decSums(k % nc) += dec(k); k += 1 }
+          def m(sums: Array[Long], c: Int): Double =
+            if (c < planes) sums(c).toDouble / n else 0.0
+          JpegDecoded(a.doc_id, a.media_type, w, h, nc, sampling, jpg.length,
+            m(srcSums, 0), m(srcSums, 1), m(srcSums, 2),
+            m(decSums, 0), m(decSums, 1), m(decSums, 2))
+        }
+      }
+      .toDF()
+      .withColumn("ch0_src_mean", round(col("ch0_src_mean"), 6))
+      .withColumn("ch1_src_mean", round(col("ch1_src_mean"), 6))
+      .withColumn("ch2_src_mean", round(col("ch2_src_mean"), 6))
+      .drop("jpeg_bytes")
+  }
+
   /** Synthetic blob container layout the decoder parses (defined here, not
     * in any external library — the container ships no image/audio codecs):
     *   - bytes [0, 4): magic (emitted as lowercase hex; shorter payloads
@@ -1230,7 +1925,8 @@ object Multimodal extends QueryModule {
     "mm_dct_phash" -> (dctPhash(_, _)),
     "mm_wav_energy" -> (wavEnergy(_, _)),
     "mm_wav_downsample" -> (wavDownsample(_, _)),
-    "mm_png_decode" -> (pngDecode(_, _)))
+    "mm_png_decode" -> (pngDecode(_, _)),
+    "mm_jpeg_decode" -> (jpegDecode(_, _)))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1277,6 +1973,40 @@ object Multimodal extends QueryModule {
          |  round(sum(CASE WHEN c = 3 THEN v ELSE 0 END)::DOUBLE / ${PngN * PngN}, 6)
          |    AS alpha_mean
          |FROM s GROUP BY doc_id, media_type, color_type, ch
+         |ORDER BY doc_id""".stripMargin,
+    "mm_jpeg_decode" ->
+      // the compressed round-trip (huffman, dequant, IDCT, color transform)
+      // is engine-side and LOSSY; the oracle recomputes the exact SOURCE
+      // channel means from the same cycled byte synthesis and emits a
+      // literal within_tol = 1 — the engine must EARN the 1 by decoding
+      // back to within JpegTol of the source means (a garbage or wrong
+      // decode hash-mismatches here)
+      s"""WITH a AS (
+         |  SELECT doc_id, $mtSql AS media_type, text, length(text)::BIGINT AS len
+         |  FROM documents WHERE length(text) > 0
+         |), p AS (
+         |  SELECT doc_id, media_type, text, len,
+         |    CASE media_type WHEN 'image' THEN 3 WHEN 'video' THEN 3
+         |         ELSE 1 END::BIGINT AS ch,
+         |    CASE media_type WHEN 'image' THEN '4:2:0' WHEN 'video' THEN '4:4:4'
+         |         ELSE 'gray' END AS sampling
+         |  FROM a
+         |), s AS (
+         |  SELECT doc_id, media_type, sampling, ch, i % ch AS c,
+         |    ascii(substr(text, ((i % len) + 1)::INT, 1))::BIGINT AS v
+         |  FROM (SELECT doc_id, media_type, sampling, ch, text, len,
+         |          unnest(range(${JpegN * JpegN} * ch)) AS i FROM p)
+         |)
+         |SELECT doc_id, media_type, $JpegN::INT AS width, $JpegN::INT AS height,
+         |  ch::INT AS n_components, sampling,
+         |  round(sum(CASE WHEN c = 0 THEN v ELSE 0 END)::DOUBLE / ${JpegN * JpegN}, 6)
+         |    AS ch0_src_mean,
+         |  round(sum(CASE WHEN c = 1 THEN v ELSE 0 END)::DOUBLE / ${JpegN * JpegN}, 6)
+         |    AS ch1_src_mean,
+         |  round(sum(CASE WHEN c = 2 THEN v ELSE 0 END)::DOUBLE / ${JpegN * JpegN}, 6)
+         |    AS ch2_src_mean,
+         |  1::BIGINT AS within_tol
+         |FROM s GROUP BY doc_id, media_type, sampling, ch
          |ORDER BY doc_id""".stripMargin,
     "mm_wav_energy" ->
       s"""WITH d AS (

@@ -195,18 +195,24 @@ object ClusterCheck {
       s""""sum_baseline":$without,"skew_split_fired":$skewFired}"""
   }
 
-  /** Heavy-query subset on the cluster master, then on local[n] with the
-    * same core count — per-query min across reps, noop-forced.
+  /** Query set on the cluster master, then on local[n] with the same core
+    * count — per-query min across reps, noop-forced. Set
+    * SPARK_GRAFT_CLUSTER_QUERIES=ALL for the full declared surface (the
+    * r16 verdict's item 4: a custom expression that only breaks under real
+    * serialization hides in whatever subset is NOT run); per-query failures
+    * are recorded, not fatal, so one bad query can't void the artifact.
     */
   private def benchPhase(sfDir: String): String = {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
-    val names = sys.env.get("SPARK_GRAFT_CLUSTER_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq("sim_graph_rank_full", "sim_bfs_reach", "sim_triangles",
+    val names = sys.env.get("SPARK_GRAFT_CLUSTER_QUERIES") match {
+      case Some("ALL") => graft.SparkEntry.queries.keys.toSeq.sorted
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => Seq("sim_graph_rank_full", "sim_bfs_reach", "sim_triangles",
         "dd_cluster", "dd_ngram_jaccard", "dd_neardup", "pipe_corpus",
-        "q_tpch_q18", "q_tpch_q9", "ev_session", "txt_tfidf", "mm_phash_neardup"))
-    def timeAll(spark: SparkSession): Map[String, Double] = {
+        "q_tpch_q18", "q_tpch_q9", "ev_session", "txt_tfidf", "mm_phash_neardup")
+    }
+    def timeAll(spark: SparkSession): (Map[String, Double], Map[String, String]) = {
       def sweep(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -215,29 +221,45 @@ object ClusterCheck {
       spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name")
         .count().write.format("noop").mode("overwrite").save()
       val acc = scala.collection.mutable.Map.empty[String, Double]
+      val errs = scala.collection.mutable.Map.empty[String, String]
       for (pass <- 1 to reps; name <- if (pass % 2 == 1) names else names.reverse) {
         sweep()
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        val s = (System.nanoTime() - t0) / 1e9
-        acc(name) = math.min(acc.getOrElse(name, Double.MaxValue), s)
+        try {
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          val s = (System.nanoTime() - t0) / 1e9
+          acc(name) = math.min(acc.getOrElse(name, Double.MaxValue), s)
+        } catch {
+          case e: Exception =>
+            errs(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
       }
-      acc.toMap
+      (acc.toMap, errs.toMap)
     }
     val cluster = session("local-cluster[2,4,8192]", 16)
-    val cSec = timeAll(cluster)
+    val (cSec, cErr) = timeAll(cluster)
     cluster.stop()
     val local = session("local[8]", 16)
-    val lSec = timeAll(local)
+    val (lSec, lErr) = timeAll(local)
     local.stop()
     def r2(d: Double) = math.rint(d * 100) / 100
+    val okNames = names.filter(n => cSec.contains(n) && lSec.contains(n))
     def m(sec: Map[String, Double]) =
-      names.map(n => s"${jstr(n)}:${r2(sec(n))}").mkString("{", ",", "}")
-    val (ct, lt) = (cSec.values.sum, lSec.values.sum)
+      okNames.map(n => s"${jstr(n)}:${r2(sec(n))}").mkString("{", ",", "}")
+    val ratios = okNames
+      .map(n => s"${jstr(n)}:${r2(cSec(n) / math.max(lSec(n), 1e-9))}")
+      .mkString("{", ",", "}")
+    val errJson = (cErr.map { case (n, e) => s"${jstr(s"cluster:$n")}:${jstr(e)}" } ++
+      lErr.map { case (n, e) => s"${jstr(s"local8:$n")}:${jstr(e)}" })
+      .mkString("{", ",", "}")
+    val (ct, lt) = (okNames.map(cSec).sum, okNames.map(lSec).sum)
     s""""bench":{"master":"local-cluster[2,4,8192]","reps":$reps,""" +
+      s""""n_queries":${names.size},"n_ok":${okNames.size},""" +
+      s""""n_err":${(cErr.keySet ++ lErr.keySet).size},""" +
       s""""total_cluster":${r2(ct)},"total_local8":${r2(lt)},""" +
-      s""""network_shuffle_tax":${r2(ct / lt)},""" +
+      s""""network_shuffle_tax":${r2(ct / math.max(lt, 1e-9))},""" +
+      s""""ratio":$ratios,"errors":$errJson,""" +
       s""""cluster":${m(cSec)},"local8":${m(lSec)}}"""
   }
 
