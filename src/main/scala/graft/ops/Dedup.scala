@@ -913,6 +913,13 @@ object Dedup extends QueryModule {
       .filter(col("pos") <= col("n") - ceil(col("n") * lit(GramJaccardT)) + 1 &&
         col("df") >= 2)
       .select("doc_id", "bk", "gram", "pos", "n")
+      // cached PRE-PARTITIONED AND PRE-SORTED on the self-join keys: the
+      // cached plan reports HashPartitioning(bk, gram) + matching order,
+      // so the self-join below plans with ZERO exchanges and ZERO sorts —
+      // one prefix shuffle total where the plain cache paid it once per
+      // join side (measured at the r17 factor-100 stage probe: 2 × 665 MB)
+      .repartition(col("bk"), col("gram"))
+      .sortWithinPartitions("bk", "gram")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin-style candidate pruning (Xiao et al., WWW'08), applied while
     // the pair rows are still NARROW — before any gram array attaches.
@@ -947,35 +954,59 @@ object Dedup extends QueryModule {
     // own float-ceil expression so the suffix length matches the kept
     // prefix EXACTLY. No filter runs before the aggregate — cnt must
     // count every witness to stay an exact |Sa∩Sb|.
+    //
+    // The witness payload (ub, na, nb — each < 2²¹; a 2M-gram document is
+    // a ~2 MB text) rides the pair shuffle PACKED into one BIGINT: na/nb
+    // are constant within a pair, so min(packed) ≡ (min ub, na, nb) and
+    // the aggregate's shuffle row shrinks from 5 columns to 3 — the pair
+    // exchange is the query's single fattest stage (4.4 GB / 219M rows at
+    // the r17 factor-100 probe before packing).
     def kOf(n: Column): Column = n - ceil(n * lit(GramJaccardT)) + 1
+    // NOT taken: AllPairs/PPJoin's asymmetric INDEX prefix (the smaller
+    // side witnessing within n − ceil(2t/(1+t)·n) + 1). It cuts witness
+    // rows ~0.6× but destroys bound #3 — the tight side's suffix term
+    // grows to ~0.75n, which ALONE nearly satisfies the inequality, so the
+    // prefix-overlap prune stops firing. Measured at the r17 factor-100
+    // probe: candidates 21k → 12.8M and the verify join wrote 20 GB (the
+    // r15 disk-fill mode back from the dead). The symmetric filter prefix
+    // + exact cnt is the profitable configuration for this bound set.
+    val mask21 = lit((1L << 21) - 1)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.bk") === col("b.bk") &&
           col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (least(col("a.pos"), col("b.pos")) +
-          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))).as("ub"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+        ((least(col("a.pos"), col("b.pos")) +
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) * lit(1L << 42) +
+          col("a.n") * lit(1L << 21) + col("b.n")).as("pk"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("cnt"),
-        min("ub").as("ub"), min("na").as("na"), min("nb").as("nb"))
+      .agg(count(lit(1)).as("cnt"), min("pk").as("pk"))
+      .select(col("doc_a"), col("doc_b"), col("cnt"),
+        shiftright(col("pk"), 42).as("ub"),
+        shiftright(col("pk"), 21).bitwiseAND(mask21).as("na"),
+        col("pk").bitwiseAND(mask21).as("nb"))
       .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 3 &&
         col("ub") * 8 >= (col("na") + col("nb")) * 3 &&
         (col("cnt") + greatest(col("na") - kOf(col("na")),
           col("nb") - kOf(col("nb")))) * 8 >= (col("na") + col("nb")) * 3)
       .select("doc_a", "doc_b")
-    // shuffle_hash, not the default sort-merge: SMJ on the SECOND join
-    // sorts the (pair × gram-array) wide rows, and that sort's spill is
-    // candidates × array bytes — measured at the r15 factor-100 probe as
-    // an 80 GB disk fill that killed the query (SPILL_OUT_OF_MEMORY).
-    // Hash-building the per-doc payload side (bounded per partition, and
-    // partitions scale with the cluster) streams the wide rows straight
-    // into the verify filter, which collapses them to narrow output before
-    // the terminal sort. Applied at every candidate-verify site in this
-    // family (minhash, edit, recall, decontaminate, embed, semantic).
+      // surviving pairs are output-proportional (21k rows at the factor-100
+      // probe) and feed TWO branches below (the id broadcast + the verify
+      // join) — persist so the 219M-witness aggregate runs exactly once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Verify reads gram arrays ONLY for docs that appear in a surviving
+    // pair: the candidate id set is output-proportional and broadcasts,
+    // so the array-bearing side is filtered by a broadcast hash semi-join
+    // at the cache scan instead of shuffling the WHOLE corpus's arrays
+    // into each verify join (2 × 430 MB at the r17 probe; the filtered
+    // side is a few MB). shuffle_hash on the residual joins, not SMJ —
+    // sorting pair × array rows was the r15 80 GB disk-fill failure mode.
+    val candDocs = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val gv = g.join(broadcast(candDocs), "doc_id")
     val out = cand
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+      .join(gv.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
         col("n").as("na")).hint("shuffle_hash"), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+      .join(gv.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
         col("n").as("nb")).hint("shuffle_hash"), "doc_b")
       // size-ratio prefilter (J ≥ t ⇒ min/max ≥ t) skips the array work
       // for hopeless pairs; union via sizes as in minhashNearDup.
@@ -985,7 +1016,7 @@ object Dedup extends QueryModule {
       .filter(col("jac") >= GramJaccardT)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-    materializeThenRelease(out, g, prefix)
+    materializeThenRelease(out, g, prefix, cand)
   }
 
   // ------------------------------------------- dd_embed_neardup
