@@ -880,6 +880,139 @@ object Streamish extends QueryModule {
       .orderBy("user_id")
   }
 
+  // -------------------------------------------------------------- ev_ab_test
+
+  /** Deterministic assignment hash for [[abTest]]: the user id through one
+    * LCG step (a=1103515245, c=12345, m=2^31 — public `rand(3)` constants)
+    * with the HIGH bit of the state as the variant coin (the low bits of an
+    * LCG are short-period; bit 0 literally alternates with user parity).
+    * The multiply runs in DECIMAL(38,0) so it is exact for ANY BIGINT user
+    * id — a raw 64-bit multiply overflows once ids pass ~2^33, and a silent
+    * wrap would re-assign existing users mid-experiment. DuckDB mirrors it
+    * in HUGEINT. Production would salt per-experiment; the fixed constants
+    * keep the oracle reproducible.
+    */
+  private def abVariant(userId: Column): Column =
+    ((userId.cast(DecimalType(38, 0)) * lit(1103515245L) + lit(12345L))
+      % lit(2147483648L)).cast("long").geq(lit(1073741824L)).cast("int")
+
+  /** A/B experiment readout — the controlled-experiment query every growth
+    * stack runs on the event log: users split 50/50 by a deterministic
+    * assignment hash ([[abVariant]]); conversion = ACTIVATION, a first
+    * `purchase` within 3 days of the user's first event (plain "ever
+    * purchased" saturates to 1.0 on a month of data and the z-test
+    * degenerates); reported with the two-proportion pooled z-test,
+    * absolute/relative lift, and revenue per user. Output is ONE row.
+    *
+    * Determinism: the activation flag compares exact integer microseconds
+    * (min event µs vs min purchase µs — min commutes with the parquet
+    * ns→µs truncation); user counts are exact integers; revenue sums as
+    * DECIMAL(18,2); every double (rates, lift, z) is one fixed expression
+    * over those exact aggregates, mirrored token-for-token in the oracle —
+    * no engine ever averages doubles in engine-chosen order.
+    *
+    * Scale shape: ONE user-keyed map-side-partial hash aggregate collapses
+    * the corpus to |users| rows (first-event µs, first-purchase µs, and
+    * revenue all land in the same pass), then ONE single-row global
+    * aggregate with every per-variant figure as a conditional sum — no
+    * join, no window, no second scan; the final z/lift projection runs on
+    * one row. At 100 TB this is the cheapest shape a readout can have.
+    */
+  private val AbActivationUs = 3L * 24 * 3600 * 1000000 // 3-day window
+
+  def abTest(s: SparkSession, dir: String): DataFrame =
+    abTestOf(Tables.events(s, dir))
+
+  private[graft] def abTestOf(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val users = events
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .groupBy("user_id")
+      .agg(min(us).as("first_us"),
+        min(when(col("event_type") === "purchase", us)).as("first_buy_us"),
+        sum(when(col("event_type") === "purchase", dec2(col("value"))))
+          .as("rev"))
+      .select(col("user_id"), col("rev"),
+        when(col("first_buy_us") <= col("first_us") + AbActivationUs, 1L)
+          .otherwise(0L).as("converted"))
+      .withColumn("variant", abVariant(col("user_id")))
+    def side(v: Int, c: Column): Column = when(col("variant") === v, c)
+    val agg = users.agg(
+      sum(side(0, lit(1L)).otherwise(0L)).as("users_c"),
+      sum(side(1, lit(1L)).otherwise(0L)).as("users_t"),
+      sum(side(0, col("converted")).otherwise(0L)).as("conv_c"),
+      sum(side(1, col("converted")).otherwise(0L)).as("conv_t"),
+      sum(side(0, col("rev"))).as("rev_c"),
+      sum(side(1, col("rev"))).as("rev_t"))
+    val rc = col("conv_c").cast("double") / col("users_c")
+    val rt = col("conv_t").cast("double") / col("users_t")
+    val p = (col("conv_c") + col("conv_t")).cast("double") /
+      (col("users_c") + col("users_t"))
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("users_c") + lit(1.0) / col("users_t")))
+    val z = when(se > 0, (rt - rc) / se).otherwise(lit(0.0))
+    agg.select(col("users_c"), col("users_t"), col("conv_c"), col("conv_t"),
+      round(rc, 6).as("rate_c"), round(rt, 6).as("rate_t"),
+      round(rt - rc, 6).as("abs_lift"),
+      when(rc > 0, round((rt - rc) / rc, 6)).otherwise(lit(null)).as("rel_lift"),
+      round(coalesce(col("rev_c"), lit(0)).cast("double") / col("users_c"), 6)
+        .as("arpu_c"),
+      round(coalesce(col("rev_t"), lit(0)).cast("double") / col("users_t"), 6)
+        .as("arpu_t"),
+      round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
+  // ---------------------------------------------------- ev_forecast_baseline
+
+  /** Seasonal-naive forecast backtest — the baseline every time-series
+    * forecasting deployment must publish before anything fancier ships:
+    * predict each (event_type, day)'s traffic as the SAME WEEKDAY one week
+    * earlier, and score WAPE (weighted absolute percentage error), total
+    * bias, and coverage per type. The lag-7 lookup is a calendar self-join
+    * (`p.day = d.day - 7`), not a row-offset window — a missing day shifts
+    * row-lag silently onto the wrong weekday, while the calendar join just
+    * leaves that day unscored.
+    *
+    * WAPE over MAPE deliberately: MAPE averages per-day double ratios, and
+    * a cross-engine double average is order-dependent; WAPE is
+    * Σ|err| / Σactual — two exact BIGINT sums and ONE double division at
+    * the end (the ev_anomaly sufficient-statistics rule). It is also the
+    * metric practitioners prefer on sparse counts (MAPE explodes on
+    * near-zero days).
+    *
+    * Scale shape: the corpus collapses map-side to |days × types| daily
+    * rows (persisted once, released after the plan materializes); the
+    * self-join and final agg run on that bounded frame — AQE broadcasts
+    * it. Nothing downstream of the first aggregate ever rescans events.
+    */
+  def forecastBaseline(s: SparkSession, dir: String): DataFrame =
+    forecastBaselineOf(Tables.events(s, dir))
+
+  private[graft] def forecastBaselineOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pred = daily.select(col("event_type").as("p_type"),
+      col("day").as("p_day"), col("n").as("nhat"))
+    val scored = daily.join(pred,
+      col("event_type") === col("p_type") &&
+        col("p_day") === date_sub(col("day"), 7))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("days_scored"),
+        sum("n").as("total_actual"),
+        sum(abs(col("n") - col("nhat"))).as("total_abs_err"),
+        sum("nhat").as("total_pred"))
+      .select(col("event_type"), col("days_scored"), col("total_actual"),
+        col("total_abs_err"),
+        round(col("total_abs_err").cast("double") / col("total_actual"), 6)
+          .as("wape"),
+        round((col("total_actual") - col("total_pred")).cast("double")
+          / col("total_actual"), 6).as("bias"))
+      .orderBy("event_type")
+      .transform(Dedup.materializeThenRelease(_, daily))
+  }
+
   // ----------------------------------------------------------- ev_hll_merge
 
   /** Log-size of the datasketches HLL register array for [[hllMerge]]:
@@ -1060,6 +1193,8 @@ object Streamish extends QueryModule {
     "ev_gap_audit" -> (gapAudit(_, _)),
     "ev_growth_accounting" -> (growthAccounting(_, _)),
     "ev_rfm" -> (rfm(_, _)),
+    "ev_ab_test" -> (abTest(_, _)),
+    "ev_forecast_baseline" -> (forecastBaseline(_, _)),
     "ev_dau_stickiness" -> (dauStickiness(_, _)),
     "ev_hll_merge" -> (hllMerge(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
@@ -1359,6 +1494,66 @@ object Streamish extends QueryModule {
         |  rk.streak_start AS longest_start
         |FROM agg JOIN rk ON agg.user_id = rk.user_id AND rn = 1
         |ORDER BY agg.user_id""".stripMargin,
+    "ev_ab_test" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts::TIMESTAMP)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts::TIMESTAMP) END) AS first_buy_us,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN value::DECIMAL(18,2) END) AS rev
+        |  FROM events GROUP BY user_id
+        |), u AS (
+        |  SELECT user_id, rev,
+        |    CASE WHEN first_buy_us <= first_us + 259200000000
+        |      THEN 1 ELSE 0 END::BIGINT AS converted,
+        |    CASE WHEN ((user_id::HUGEINT * 1103515245 + 12345) % 2147483648)
+        |      >= 1073741824 THEN 1 ELSE 0 END AS variant
+        |  FROM g
+        |), a AS (
+        |  SELECT
+        |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS users_c,
+        |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS users_t,
+        |    sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)::BIGINT AS conv_c,
+        |    sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)::BIGINT AS conv_t,
+        |    sum(CASE WHEN variant = 0 THEN rev END) AS rev_c,
+        |    sum(CASE WHEN variant = 1 THEN rev END) AS rev_t
+        |  FROM u
+        |), k AS (
+        |  SELECT *,
+        |    conv_c::DOUBLE / users_c AS rc,
+        |    conv_t::DOUBLE / users_t AS rt,
+        |    (conv_c + conv_t)::DOUBLE / (users_c + users_t) AS p
+        |  FROM a
+        |), s AS (
+        |  SELECT *,
+        |    sqrt(p * (1.0 - p) * (1.0 / users_c + 1.0 / users_t)) AS se
+        |  FROM k
+        |)
+        |SELECT users_c, users_t, conv_c, conv_t,
+        |  round(rc, 6) AS rate_c, round(rt, 6) AS rate_t,
+        |  round(rt - rc, 6) AS abs_lift,
+        |  CASE WHEN rc > 0 THEN round((rt - rc) / rc, 6) END AS rel_lift,
+        |  round(coalesce(rev_c, 0)::DOUBLE / users_c, 6) AS arpu_c,
+        |  round(coalesce(rev_t, 0)::DOUBLE / users_t, 6) AS arpu_t,
+        |  round(CASE WHEN se > 0 THEN (rt - rc) / se ELSE 0.0 END, 4) AS z,
+        |  abs(CASE WHEN se > 0 THEN (rt - rc) / se ELSE 0.0 END) > 1.96
+        |    AS significant
+        |FROM s""".stripMargin,
+    "ev_forecast_baseline" ->
+      """WITH daily AS (
+        |  SELECT ts::TIMESTAMP::DATE AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY day, event_type
+        |)
+        |SELECT d.event_type,
+        |  count(*) AS days_scored,
+        |  sum(d.n)::BIGINT AS total_actual,
+        |  sum(abs(d.n - p.n))::BIGINT AS total_abs_err,
+        |  round(sum(abs(d.n - p.n))::DOUBLE / sum(d.n), 6) AS wape,
+        |  round((sum(d.n) - sum(p.n))::DOUBLE / sum(d.n), 6) AS bias
+        |FROM daily d JOIN daily p
+        |  ON p.event_type = d.event_type AND p.day = d.day - 7
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "ev_anomaly" ->
       """WITH daily AS (
         |  SELECT ts::TIMESTAMP::DATE AS day, event_type, count(*) AS n

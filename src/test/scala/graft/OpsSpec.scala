@@ -284,6 +284,51 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall { case (_, z, f) => f === (math.abs(z) > 2) })
   }
 
+  test("ev_ab_test: hand-built experiment — assignment, activation window, pooled z") {
+    import spark.implicits._
+    // LCG high-bit assignment for uids 1..8 is [t,c,t,c,t,c,t,c] (verified
+    // below against an independent BigInt evaluation). Treatment 1,3,5,7:
+    // first event IS a purchase (value 10) -> all activate. Control 2,4:
+    // view day1 then purchase day2 value 5 -> activate (within 3 days).
+    // Control 6,8: view only, no purchase -> no activation, null revenue.
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00").getTime)
+    val ev =
+      Seq(1L, 3L, 5L, 7L).map(u => (u, ts(1), "purchase", 10.0)) ++
+        Seq(2L, 4L).flatMap(u => Seq((u, ts(1), "view", 0.0), (u, ts(2), "purchase", 5.0))) ++
+        Seq(6L, 8L).map(u => (u, ts(1), "view", 0.0))
+    (1L to 8L).foreach { u =>
+      val hi = ((BigInt(u) * 1103515245 + 12345) mod BigInt(2147483648L)) >= 1073741824
+      assert(hi === (u % 2 == 1), s"uid $u assignment drifted from the doc'd pattern")
+    }
+    val row = graft.ops.Streamish.abTestOf(ev.toDF("user_id", "ts", "event_type", "value"))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Option[Double],
+        Double, Double, Double, Boolean)].collect()
+    // rate_c=0.5 rate_t=1.0 -> p=0.75, se=sqrt(.75*.25*(1/4+1/4)),
+    // z = 0.5/0.30618621784789724 = 1.6329931618554518 -> 1.633, not significant
+    assert(row.toSeq === Seq((4L, 4L, 2L, 4L, 0.5, 1.0, 0.5, Some(1.0),
+      2.5, 10.0, 1.633, false)))
+  }
+
+  test("ev_forecast_baseline: calendar lag-7 join skips gaps instead of shifting rows") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00").getTime)
+    // click: d events on day d, days 1..14 -> scored days 8..14,
+    // actual 8..14 sums 77, predictions (lag-7) sum 28, |err| = 7*7 = 49
+    val click = (1 to 14).flatMap(d => (1 to d).map(_ => (1L, ts(d), "click")))
+    // err: 2 events/day on days 1,2,3,9,10 only. Day 8 has no actual row and
+    // day 15 no prediction -> exactly days 9,10 score (against days 2,3),
+    // error 0. A row-offset lag would have matched day 9 to day 3 instead.
+    val err = Seq(1, 2, 3, 9, 10).flatMap(d => Seq((2L, ts(d), "error"), (3L, ts(d), "error")))
+    val out = graft.ops.Streamish.forecastBaselineOf(
+      (click ++ err).toDF("user_id", "ts", "event_type"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("click", 7L, 77L, 49L, 0.636364, 0.636364),
+      ("error", 2L, 4L, 0L, 0.0, 0.0)))
+  }
+
   test("ev_range_join: bucketed equi-join result equals the naive interval filter") {
     import spark.implicits._
     // windows straddle hour boundaries, so equality with a brute-force
