@@ -1025,6 +1025,53 @@ object Similarity extends QueryModule {
       .orderBy("label")
   }
 
+  // ----------------------------------------------------- sim_outlier_prune
+
+  /** Per-centroid keep fraction: vectors below their assigned centroid's
+    * p5 cosine cut are flagged — the conventional "drop the worst few
+    * percent" cleaning dial.
+    */
+  private val OutlierP = 0.05
+
+  /** Embedding outlier mining — the cleaning pass SemDeDup-era data
+    * pipelines run BEFORE dedup: a vector far from every centroid is more
+    * often junk (encoder failure, off-distribution content, mislabeled
+    * modality) than signal, and pruning it cheapens every downstream
+    * pairwise stage. Each vector is assigned to its nearest label-seeded
+    * centroid (the shared [[assignments]] core), and per CENTROID the p5
+    * cosine cut comes from [[Quantiles.exact]] — bounded-state distributed
+    * rank selection, NOT the value-buffering `percentile` aggregate
+    * (cosines are near-unique doubles; this is exactly the domain the r16
+    * verdict flagged as fatal-at-billions). A vector is an outlier when
+    * its cosine sits strictly below its centroid's cut.
+    *
+    * Determinism: per-row cosines are the sequential-fold `array_dot`
+    * doubles both engines share; the cut is an interpolated order
+    * statistic over identical multisets (selection, never engine-ordered
+    * double summation), so the strict `<` verdict can't flip across
+    * engines even on a boundary tie.
+    *
+    * Scale shape: the assignment frame is persisted once and released
+    * after the plan materializes (it feeds both the cut selection and the
+    * verdict join); the cuts frame is |centroids| rows, broadcast onto
+    * the verdicts. Quantiles.exact adds two corpus-scale exchanges with
+    * every window cell bounded at ~n/128 rows — spill-safe at any volume.
+    */
+  def outlierPrune(s: SparkSession, dir: String): DataFrame = {
+    val a = assignments(s, dir)
+      .select(col("vec_id"), col("label"), col("assigned"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cuts = Quantiles.exact(a, Seq("assigned"), "cos",
+      Seq("c_lo" -> OutlierP))
+    val out = a.join(broadcast(cuts), "assigned")
+      .select(col("vec_id"), col("label"), col("assigned"),
+        round(col("cos"), 6).as("cos_sim"),
+        round(col("c_lo"), 6).as("cut_lo"),
+        (col("cos") < col("c_lo")).as("outlier"))
+      .orderBy("vec_id")
+    Dedup.materializeThenRelease(out, a)
+  }
+
   // ----------------------------------------------------- sim_cluster_purity
 
   /** External clustering evaluation — per-centroid PURITY of the IVF coarse
@@ -1540,6 +1587,7 @@ object Similarity extends QueryModule {
     "sim_knn_graph" -> (knnGraph(_, _)),
     "sim_ivf_assign" -> (ivfAssign(_, _)),
     "sim_cluster_purity" -> (clusterPurity(_, _)),
+    "sim_outlier_prune" -> (outlierPrune(_, _)),
     "sim_drift" -> (drift(_, _)),
     "sim_ivf_topk" -> (ivfTopK(_, _)),
     "sim_kmeans_step" -> (kmeansStep(_, _)),
@@ -2061,6 +2109,19 @@ object Similarity extends QueryModule {
          |SELECT vec_id, label, c_label AS assigned, label = c_label AS hit,
          |  round(cos, 6) AS cos_sim
          |FROM ranked WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "sim_outlier_prune" ->
+      s"""WITH $assignSql, asg AS (
+         |  SELECT vec_id, label, c_label AS assigned, cos
+         |  FROM ranked WHERE rnk = 1
+         |), cut AS (
+         |  SELECT assigned, quantile_cont(cos, $OutlierP) AS c_lo
+         |  FROM asg GROUP BY assigned
+         |)
+         |SELECT a.vec_id, a.label, a.assigned,
+         |  round(a.cos, 6) AS cos_sim, round(c.c_lo, 6) AS cut_lo,
+         |  a.cos < c.c_lo AS outlier
+         |FROM asg a JOIN cut c ON a.assigned = c.assigned
+         |ORDER BY a.vec_id""".stripMargin,
     "sim_cluster_purity" ->
       s"""WITH $assignSql, asg AS (
          |  SELECT vec_id, label, c_label AS assigned FROM ranked WHERE rnk = 1

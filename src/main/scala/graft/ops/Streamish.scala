@@ -1013,6 +1013,64 @@ object Streamish extends QueryModule {
       .transform(Dedup.materializeThenRelease(_, daily))
   }
 
+  // ----------------------------------------------------------- ev_cohort_ltv
+
+  /** Cohort LTV curves — the revenue companion to [[retention]] every
+    * subscription/commerce stack reports: users grouped by first-activity
+    * week, revenue accumulated by week offset FROM EACH USER'S OWN first
+    * day (the standard alignment — a calendar-week offset would smear a
+    * Sunday signup's week 0 across two buckets), emitted as cumulative
+    * LTV per cohort user.
+    *
+    * Determinism: cohort and offset are integral date arithmetic
+    * (`datediff ... div 7`, floor division in both engines); revenue sums
+    * and the cumulative window run in DECIMAL(18,2) (exact,
+    * order-independent); the single division by cohort size happens once
+    * per output row in a fixed double expression.
+    *
+    * Scale shape: one user-keyed aggregate (first day), one user-keyed
+    * equi-join of purchases onto it (same key — AQE plans one exchange
+    * each), a map-side-partial (cohort, offset) aggregate whose distinct
+    * buyer count expands over at most |purchasing users| rows, then the
+    * cumulative window on the bounded |cohorts × offsets| frame; the
+    * corpus-min anchor is a 1-row broadcast. Nothing after the first
+    * aggregate scales with raw events.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame =
+    cohortLtvOf(Tables.events(s, dir))
+
+  private[graft] def cohortLtvOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = ev.groupBy("user_id").agg(min("day").as("c_day"))
+    val anchor = broadcast(first.agg(min("c_day").as("day0")))
+    val cohorts = first.crossJoin(anchor)
+      .select(col("user_id"), col("c_day"),
+        expr("datediff(c_day, day0) div 7").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_n"))
+    val bought = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("day"), dec2(col("value")).as("rev"))
+      .join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(day, c_day) div 7").as("week_offset"),
+        col("user_id"), col("rev"))
+    val g = bought.groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("buyers"),
+        sum("rev").as("revenue"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = g.withColumn("cum", sum("revenue").over(w))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("cohort_n"),
+        col("buyers"), col("revenue").cast("double").as("revenue"),
+        round(col("cum").cast("double") / col("cohort_n"), 6).as("ltv_cum"))
+      .orderBy("cohort_week", "week_offset")
+    Dedup.materializeThenRelease(out, ev)
+  }
+
   // ----------------------------------------------------------- ev_hll_merge
 
   /** Log-size of the datasketches HLL register array for [[hllMerge]]:
@@ -1195,6 +1253,7 @@ object Streamish extends QueryModule {
     "ev_rfm" -> (rfm(_, _)),
     "ev_ab_test" -> (abTest(_, _)),
     "ev_forecast_baseline" -> (forecastBaseline(_, _)),
+    "ev_cohort_ltv" -> (cohortLtv(_, _)),
     "ev_dau_stickiness" -> (dauStickiness(_, _)),
     "ev_hll_merge" -> (hllMerge(_, _)),
     "ev_pivot" -> (pivotDaily(_, _)),
@@ -1540,6 +1599,41 @@ object Streamish extends QueryModule {
         |  abs(CASE WHEN se > 0 THEN (rt - rc) / se ELSE 0.0 END) > 1.96
         |    AS significant
         |FROM s""".stripMargin,
+    "ev_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts::TIMESTAMP::DATE AS day, event_type, value
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS c_day FROM ev GROUP BY user_id
+        |), a AS (
+        |  SELECT min(c_day) AS day0 FROM f
+        |), co AS (
+        |  SELECT user_id, c_day, ((c_day - day0) // 7)::BIGINT AS cohort_week
+        |  FROM f, a
+        |), cn AS (
+        |  SELECT cohort_week, count(*)::BIGINT AS cohort_n
+        |  FROM co GROUP BY cohort_week
+        |), p AS (
+        |  SELECT co.cohort_week,
+        |    ((e.day - co.c_day) // 7)::BIGINT AS week_offset,
+        |    e.user_id, e.value::DECIMAL(18,2) AS rev
+        |  FROM ev e JOIN co USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |), g AS (
+        |  SELECT cohort_week, week_offset,
+        |    count(DISTINCT user_id)::BIGINT AS buyers, sum(rev) AS revenue
+        |  FROM p GROUP BY cohort_week, week_offset
+        |), c AS (
+        |  SELECT *, sum(revenue) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g
+        |)
+        |SELECT c.cohort_week, week_offset, cohort_n, buyers,
+        |  revenue::DOUBLE AS revenue,
+        |  round(cum::DOUBLE / cohort_n, 6) AS ltv_cum
+        |FROM c JOIN cn USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "ev_forecast_baseline" ->
       """WITH daily AS (
         |  SELECT ts::TIMESTAMP::DATE AS day, event_type, count(*) AS n

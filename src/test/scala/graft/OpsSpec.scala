@@ -329,6 +329,48 @@ class OpsSpec extends AnyFunSuite {
       ("error", 2L, 4L, 0L, 0.0, 0.0)))
   }
 
+  test("ev_cohort_ltv: user-aligned offsets and exact cumulative revenue on a hand fixture") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00").getTime)
+    // u1 first day Jan 1 (cohort 0): buys $10 day 1 (offset 0) and $20
+    // day 9 (datediff 8 div 7 = offset 1). u2 first day Jan 2 (cohort 0,
+    // same week), never buys. u3 first day Jan 10 -> (10-1) div 7 =
+    // cohort 1, buys $5 that day.
+    val ev = Seq(
+      (1L, ts(1), "purchase", 10.0), (1L, ts(9), "purchase", 20.0),
+      (2L, ts(2), "view", 0.0),
+      (3L, ts(10), "purchase", 5.0))
+    val out = graft.ops.Streamish.cohortLtvOf(
+      ev.toDF("user_id", "ts", "event_type", "value"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 2L, 1L, 10.0, 5.0),   // cum 10 over cohort_n 2
+      (0L, 1L, 2L, 1L, 20.0, 15.0),  // cum 30 over 2
+      (1L, 0L, 1L, 1L, 5.0, 5.0)))
+  }
+
+  test("sim_outlier_prune: cuts sit at the per-centroid p5 and verdicts match them") {
+    import spark.implicits._
+    val rows = Similarity.outlierPrune(spark, dir)
+      .select("assigned", "cos_sim", "cut_lo", "outlier")
+      .as[(Int, Double, Double, Boolean)].collect().toSeq
+    assert(rows.size === 500) // every corpus vector gets a verdict
+    rows.groupBy(_._1).foreach { case (c, g) =>
+      val cut = g.map(_._3).distinct
+      assert(cut.size === 1, s"centroid $c: cut not constant")
+      // rounded-column consistency: outliers below the cut, keepers at or
+      // above it (1e-6 = the display rounding step)
+      g.foreach { case (_, cos, cl, o) =>
+        if (o) assert(cos <= cl + 1e-6) else assert(cos >= cl - 1e-6)
+      }
+      // p5 cut: strictly-below count can never exceed 5% + 1 interpolant
+      val below = g.count(_._4)
+      assert(below <= math.ceil(g.size * 0.05) + 1,
+        s"centroid $c: $below outliers of ${g.size}")
+    }
+  }
+
   test("ev_range_join: bucketed equi-join result equals the naive interval filter") {
     import spark.implicits._
     // windows straddle hour boundaries, so equality with a brute-force

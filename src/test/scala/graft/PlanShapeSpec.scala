@@ -50,7 +50,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_histogram", // 1-row cents-extremes scalar broadcast (bucket index)
     "ev_rfm", // 1-row date-anchor + 1-row quintile-cutoff scalar broadcasts
     "pipe_epoch_plan", // 1-row Σa + spare-seat scalars over the bounded cell table
-    "sim_graph_search") // 1-row entry-node scalar broadcast seeding the beam
+    "sim_graph_search", // 1-row entry-node scalar broadcast seeding the beam
+    "sim_outlier_prune", // same bounded centroid-broadcast subtree as sim_ivf_*
+    "ev_cohort_ltv") // 1-row corpus-min date-anchor scalar broadcast
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)
