@@ -923,15 +923,34 @@ object Streamish extends QueryModule {
   def abTest(s: SparkSession, dir: String): DataFrame =
     abTestOf(Tables.events(s, dir))
 
-  private[graft] def abTestOf(events: DataFrame): DataFrame = {
+  private[graft] def abTestOf(events: DataFrame): DataFrame =
+    abFromBase(abBaseOf(events))
+
+  /** The per-user experiment profile — one plain aggregation of
+    * order-independent merges (min, min, decimal sum), so it is also the
+    * streaming INGEST half: update-mode state = one bounded row per user
+    * (first-seen µs, first-purchase µs, revenue cents), the live
+    * experiment dashboard every growth stack keeps warm. StreamingSpec
+    * pins read-time scoring over a streamed profile store ≡ the batch
+    * readout.
+    */
+  private[graft] def abBaseOf(events: DataFrame): DataFrame = {
     val us = unix_micros(col("ts").cast("timestamp"))
-    val users = events
+    events
       .select(col("user_id"), col("event_type"), col("value"), col("ts"))
       .groupBy("user_id")
       .agg(min(us).as("first_us"),
         min(when(col("event_type") === "purchase", us)).as("first_buy_us"),
         sum(when(col("event_type") === "purchase", dec2(col("value"))))
           .as("rev"))
+  }
+
+  /** The read-time half: assignment, activation verdict, and the one-row
+    * z-test readout over whatever (user_id, first_us, first_buy_us, rev)
+    * frame the caller holds — the batch aggregate or a streamed store.
+    */
+  private[graft] def abFromBase(perUser: DataFrame): DataFrame = {
+    val users = perUser
       .select(col("user_id"), col("rev"),
         when(col("first_buy_us") <= col("first_us") + AbActivationUs, 1L)
           .otherwise(0L).as("converted"))

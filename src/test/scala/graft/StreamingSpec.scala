@@ -318,6 +318,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got === want)
   }
 
+  test("streamed per-user experiment profiles read out to the batch A/B verdict") {
+    import spark.implicits._
+    // Live experiment dashboard: update-mode state = one bounded row per
+    // user (first-seen µs, first-purchase µs, revenue) — every merge
+    // order-independent — with assignment, activation, and the pooled
+    // z-test computed at read time over the sink. Must EQUAL the batch
+    // ev_ab_test row exactly.
+    val sink = runToMemory(
+      Streamish.abBaseOf(Streaming.eventsStream(spark, dir)),
+      "t_ab_base", "complete")
+    val got = Streamish.abFromBase(sink)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Option[Double],
+        Double, Double, Double, Boolean)].collect().toSeq
+    val want = Streamish.abTest(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Option[Double],
+        Double, Double, Double, Boolean)].collect().toSeq
+    assert(want.nonEmpty && got === want)
+  }
+
   test("streamed materialized view equals the batch snapshot∪delta merge, sketch estimate included") {
     import spark.implicits._
     // Live MV maintenance: arriving orders fold into one update-mode state
