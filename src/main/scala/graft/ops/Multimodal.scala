@@ -673,6 +673,87 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- mm_wav_vad
+
+  private[graft] val VadWindow = 40 // samples per VAD window (2.5 ms @ 16 kHz)
+  private val VadAmp = 8000L        // window mean |amplitude| at/above = active
+  private val VadMaxGap = 1         // silent windows bridged inside a segment
+
+  /** Energy-gated voice-activity segmentation — the step after the
+    * [[wavEnergy]] silence screen in every speech-corpus pipeline: turn
+    * per-window activity into SEGMENTS (utterance spans an ASR stage
+    * transcribes one at a time), with a hangover that bridges up to
+    * [[VadMaxGap]] silent windows so a plosive gap doesn't split an
+    * utterance. Two active windows belong to one segment iff their indices
+    * differ by ≤ [[VadMaxGap]]+1; a segment's span runs first-active to
+    * last-active inclusive (bridged silence counts — it will be fed to the
+    * recognizer). Emits per asset the window/active counts, segment count,
+    * the longest segment's span and start (ties to the earliest; −1 when
+    * no activity), and the active ratio.
+    *
+    * Same strict RIFF round-trip as [[wavEnergy]]: payloads frame as
+    * canonical mono s16le blobs through `encodeWav`/`wavSamples`, so on a
+    * corpus of real WAV files the synthesis disappears and the identical
+    * plan runs. The 40-sample window (vs the energy screen's 160) keeps
+    * several windows per fixture asset so segment structure is exercised,
+    * and the whole segment walk is one sequential pass INSIDE the typed
+    * map — per-asset state is four counters, never a per-window row set.
+    *
+    * Scale shape: one typed mapPartitions pass, blob bytes never shuffle,
+    * one bounded row per asset; the only exchange is the presentation
+    * sort. All gating/bridging arithmetic is integer — exact cross-engine.
+    */
+  def wavVad(s: SparkSession, dir: String): DataFrame =
+    wavVadOf(assets(s, dir))
+
+  private[graft] def wavVadOf(assetFrame: DataFrame): DataFrame = {
+    import assetFrame.sparkSession.implicits._
+    val raw = assetFrame
+      .filter(length(col("payload")) > 0)
+      .as[MediaAsset]
+      .mapPartitions { it =>
+        it.map { a =>
+          val synth = new Array[Short](a.payload.length)
+          var k = 0
+          while (k < synth.length) {
+            synth(k) = (((a.payload(k) & 0xff) - 128) * 256).toShort; k += 1
+          }
+          val (_, smp) = wavSamples(encodeWav(WavRate, synth)).getOrElse(
+            throw new IllegalStateException(s"WAV round-trip failed: doc ${a.doc_id}"))
+          val nWin = smp.length / VadWindow
+          var nActive = 0L; var nSeg = 0L
+          var curStart = -1L; var lastActive = -1L
+          var bestSpan = 0L; var bestStart = -1L
+          var w = 0
+          while (w < nWin) {
+            var wsum = 0L
+            var i = w * VadWindow
+            val end = i + VadWindow
+            while (i < end) { wsum += math.abs(smp(i).toLong); i += 1 }
+            if (wsum >= VadAmp * VadWindow) {
+              nActive += 1
+              if (lastActive < 0 || w - lastActive > VadMaxGap + 1) {
+                nSeg += 1; curStart = w
+              }
+              val span = w - curStart + 1
+              if (span > bestSpan) { bestSpan = span; bestStart = curStart }
+              lastActive = w
+            }
+            w += 1
+          }
+          (a.doc_id, nWin.toLong, nActive, nSeg, bestSpan, bestStart)
+        }
+      }
+      .toDF("doc_id", "n_windows", "n_active", "n_segments",
+        "longest_span", "longest_start")
+    raw.select(col("doc_id"), col("n_windows"), col("n_active"),
+        col("n_segments"), col("longest_span"), col("longest_start"),
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(round(col("n_active").cast("double") / col("n_windows"), 6))
+          .as("active_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ mm_wav_downsample
 
   /** Decimation factor — the 48 kHz → 16 kHz resample every ASR pipeline
@@ -1924,6 +2005,7 @@ object Multimodal extends QueryModule {
     "mm_scene_cut" -> (sceneCut(_, _)),
     "mm_dct_phash" -> (dctPhash(_, _)),
     "mm_wav_energy" -> (wavEnergy(_, _)),
+    "mm_wav_vad" -> (wavVad(_, _)),
     "mm_wav_downsample" -> (wavDownsample(_, _)),
     "mm_png_decode" -> (pngDecode(_, _)),
     "mm_jpeg_decode" -> (jpegDecode(_, _)))
@@ -2039,6 +2121,57 @@ object Multimodal extends QueryModule {
          |  round(sum_abs::DOUBLE / n_samples, 6) AS mean_abs
          |FROM agg a LEFT JOIN ws ON ws.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin,
+    "mm_wav_vad" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents
+         |  WHERE length(text) > 0
+         |), s AS (
+         |  SELECT doc_id, n, i,
+         |    abs((ascii(substr(text, (i + 1)::INT, 1)) - 128) * 256)::BIGINT AS a
+         |  FROM (SELECT doc_id, n, text, unnest(range(n)) AS i FROM d)
+         |), w AS (
+         |  SELECT doc_id, i // $VadWindow AS win, sum(a) AS wsum
+         |  FROM s WHERE i // $VadWindow < n // $VadWindow
+         |  GROUP BY doc_id, i // $VadWindow
+         |), tot AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_windows,
+         |    sum(CASE WHEN wsum >= ${VadAmp * VadWindow} THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_active
+         |  FROM w GROUP BY doc_id
+         |), act AS (
+         |  SELECT doc_id, win FROM w WHERE wsum >= ${VadAmp * VadWindow}
+         |), brk AS (
+         |  SELECT doc_id, win,
+         |    CASE WHEN lag(win) OVER (PARTITION BY doc_id ORDER BY win) IS NULL
+         |      OR win - lag(win) OVER (PARTITION BY doc_id ORDER BY win)
+         |        > ${VadMaxGap + 1} THEN 1 ELSE 0 END AS b
+         |  FROM act
+         |), seg AS (
+         |  SELECT doc_id, win,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY win
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM brk
+         |), spans AS (
+         |  SELECT doc_id, sid, min(win) AS s0, (max(win) - min(win) + 1) AS span
+         |  FROM seg GROUP BY doc_id, sid
+         |), ranked AS (
+         |  SELECT doc_id, s0, span,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY span DESC, s0 ASC) AS rk,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_segments
+         |  FROM spans
+         |), best AS (
+         |  SELECT doc_id, n_segments, span AS longest_span, s0 AS longest_start
+         |  FROM ranked WHERE rk = 1
+         |)
+         |SELECT t.doc_id, t.n_windows, t.n_active,
+         |  coalesce(b.n_segments, 0)::BIGINT AS n_segments,
+         |  coalesce(b.longest_span, 0)::BIGINT AS longest_span,
+         |  coalesce(b.longest_start, -1)::BIGINT AS longest_start,
+         |  CASE WHEN t.n_windows = 0 THEN 0.0
+         |       ELSE round(t.n_active::DOUBLE / t.n_windows, 6) END AS active_ratio
+         |FROM tot t LEFT JOIN best b ON b.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "mm_dct_phash" ->
       s"""WITH px AS (
          |  SELECT doc_id, (k % $DctN)::INT AS x, (k // $DctN)::INT AS y,

@@ -1165,6 +1165,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("mm_wav_vad: segments bridge one silent window, split on two, ties to earliest") {
+    import spark.implicits._
+    // byte 0   -> |amp| 32768 -> 40-sample window sum 1,310,720 >= 320,000: ACTIVE
+    // byte 128 -> |amp| 0     -> window sum 0: silent
+    def blk(active: Boolean) = Array.fill[Byte](40)(if (active) 0 else 128.toByte)
+    def pay(pattern: String): Array[Byte] =
+      pattern.toSeq.flatMap(c => blk(c == 'A').toSeq).toArray
+    val docs = Seq(
+      // A S A S S A: gap of ONE silent window bridges (windows 0..2 = one
+      // segment, span 3), gap of TWO splits -> second segment at window 5
+      (1L, pay("ASASSA")),
+      // A S S A A: 3-0 > 2 splits; spans 1 and 2 -> longest is the LATER
+      // span-2 segment (span wins before position)
+      (2L, pay("ASSAA")),
+      // all silent + a trailing partial window (20 bytes, never counted)
+      (3L, pay("SSS") ++ Array.fill[Byte](20)(0)))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), lit("audio").as("media_type"), col("payload"))
+    val out = Multimodal.wavVadOf(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val expected = Seq(
+      (1L, 6L, 3L, 2L, 3L, 0L, 0.5),
+      (2L, 5L, 3L, 2L, 2L, 3L, 0.6),
+      (3L, 3L, 0L, 0L, 0L, -1L, 0.0))
+    assert(out === expected)
+  }
+
   test("mm_png_decode: real PNG round-trip (CRC, inflate, all five filters), strict rejects") {
     import spark.implicits._
     val inf = new java.util.zip.Inflater()
