@@ -870,6 +870,70 @@ object Relational extends QueryModule {
     giniOf(Tables.orders(s, dir), Tables.customer(s, dir),
       Tables.nation(s, dir))
 
+  // ------------------------------------------------------- q_mad_outliers
+
+  /** MAD z threshold (3σ-equivalent) and the normal-consistency constant
+    * that makes 1.4826·MAD estimate σ on Gaussian data.
+    */
+  private val MadZ = 3.0
+  private val MadK = 1.4826
+
+  /** Robust outlier screen — median/MAD instead of mean/stddev: one fat
+    * order inflates a stddev-based z-score's own yardstick (masking), while
+    * the median absolute deviation barely moves, so the MAD rule is what a
+    * billing-anomaly audit actually deploys. Per order priority: median
+    * total price, MAD, and how many orders sit beyond
+    * [[MadZ]]·[[MadK]]·MAD of the median.
+    *
+    * Both order statistics ride [[Quantiles.exact]] — per-group medians
+    * over near-unique DOUBLE totals are exactly the value-buffering
+    * `percentile` aggregate's fatal domain, and this query needs TWO of
+    * them (the deviation median depends on the first pass's result).
+    * Determinism: medians are interpolated order statistics (selection,
+    * never engine-ordered summation); |x − med| is a per-row double both
+    * engines compute identically; counts are integers.
+    *
+    * Scale shape: two Quantiles.exact passes (each two corpus-scale
+    * exchanges with ~n/128-row window cells, spill-safe), each group's
+    * 1-row cut broadcast back onto the scan; the output is |priorities|
+    * rows. No corpus-scale join, window, or sort anywhere else.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame =
+    madOutliersOf(Tables.orders(s, dir))
+
+  private[graft] def madOutliersOf(ordersDf: DataFrame): DataFrame = {
+    val o = ordersDf
+      .select(col("o_orderpriority").as("priority"),
+        col("o_totalprice").cast("double").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // med is |priorities| rows but its LINEAGE is the whole first quantile
+    // pipeline — and the second Quantiles.exact call evaluates its input
+    // ~4 times (bounds, bucketing, ranking, cells), so an unpersisted med
+    // re-runs the entire first pass inside every one of them (measured:
+    // 204 s at factor 100 unpersisted vs one-pass cost ~3× a single call).
+    val med = Quantiles.exact(o, Seq("priority"), "v", Seq("med" -> 0.5))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dev = o.join(broadcast(med), "priority")
+      .select(col("priority"), col("v"), col("med"),
+        abs(col("v") - col("med")).as("ad"))
+    val mad = Quantiles.exact(dev, Seq("priority"), "ad", Seq("mad" -> 0.5))
+    val out = dev.join(broadcast(mad), "priority")
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("median_price"),
+        first(col("mad")).as("mad_raw"),
+        sum(when(col("ad") > lit(MadZ * MadK) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("priority"), col("n"),
+        round(col("median_price"), 6).as("median_price"),
+        round(col("mad_raw"), 6).as("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 6)
+          .as("outlier_rate"))
+      .orderBy("priority")
+    Dedup.materializeThenRelease(out, o, med)
+  }
+
   private[graft] def giniOf(orders: DataFrame, customer: DataFrame,
       nation: DataFrame): DataFrame = {
     val perCust = orders
@@ -1705,6 +1769,7 @@ object Relational extends QueryModule {
     "q_mv_refresh" -> (mvRefresh(_, _)),
     "q_constraint_audit" -> (constraintAudit(_, _)),
     "q_gini" -> (gini(_, _)),
+    "q_mad_outliers" -> (madOutliers(_, _)),
     "q_scd2" -> (scd2(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
     "q_cube" -> (cubeOrders(_, _)),
@@ -2301,8 +2366,31 @@ object Relational extends QueryModule {
         |SELECT table_name, "constraint", n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM ch ORDER BY table_name, "constraint"""".stripMargin,
+    "q_mad_outliers" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS priority, o_totalprice::DOUBLE AS v
+         |  FROM orders
+         |), m AS (
+         |  SELECT priority, quantile_cont(v, 0.5) AS med
+         |  FROM o GROUP BY priority
+         |), d AS (
+         |  SELECT o.priority, v, med, abs(v - med) AS ad
+         |  FROM o JOIN m USING (priority)
+         |), md AS (
+         |  SELECT priority, quantile_cont(ad, 0.5) AS mad
+         |  FROM d GROUP BY priority
+         |)
+         |SELECT d.priority, count(*)::BIGINT AS n,
+         |  round(max(med), 6) AS median_price,
+         |  round(max(md.mad), 6) AS mad,
+         |  sum(CASE WHEN ad > ${MadZ * MadK} * md.mad THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_outliers,
+         |  round(sum(CASE WHEN ad > ${MadZ * MadK} * md.mad
+         |    THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS outlier_rate
+         |FROM d JOIN md USING (priority)
+         |GROUP BY d.priority ORDER BY d.priority""".stripMargin,
     "q_gini" ->
-      """WITH pc AS (
+"""WITH pc AS (
         |  SELECT n_name, o_custkey,
         |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
         |  FROM orders

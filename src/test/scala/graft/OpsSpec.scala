@@ -371,6 +371,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mad_outliers: hand-computable median/MAD and the 3-sigma-equivalent rule") {
+    import spark.implicits._
+    // values 1..9 plus one fat order 100: median of the 10 values is 5.5
+    // (interpolated), deviations sort to [.5,.5,1.5,1.5,2.5,2.5,3.5,3.5,
+    // 4.5,94.5] -> MAD 2.5, threshold 3*1.4826*2.5 = 11.1195 -> only the
+    // 94.5 deviation is out. A stddev z-score would read sigma ~ 29 and
+    // flag NOTHING at 3 sigma - the masking the MAD rule exists to beat.
+    val o = ((1 to 9).map(_.toDouble) :+ 100.0)
+      .map(v => ("1-URGENT", v)).toDF("o_orderpriority", "o_totalprice")
+    val out = graft.ops.Relational.madOutliersOf(o)
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+    assert(out === Seq(("1-URGENT", 10L, 5.5, 2.5, 1L, 0.1)))
+  }
+
   test("ev_range_join: bucketed equi-join result equals the naive interval filter") {
     import spark.implicits._
     // windows straddle hour boundaries, so equality with a brute-force

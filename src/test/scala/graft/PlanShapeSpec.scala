@@ -128,6 +128,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_approx_topk", // count-min over every row by design
     "q_constraint_audit", // the ingest gate must see every row to count violations
     "q_gini", // concentration audit over ALL customer spend — no pushable predicate
+    "q_mad_outliers", // robust outlier screen over ALL order totals — no predicate
     "q_cube", "q_rollup", "q_grouping_sets", // full-table multi-level aggregates
     "q_distinct_having", // HAVING is post-aggregate, nothing reaches the scan
     "q_histogram", "q_percentiles", "q_profile", // full-column distribution/profile diagnostics
