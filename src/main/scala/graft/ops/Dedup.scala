@@ -110,6 +110,46 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ dd_bow_dedup
+
+  /** Bag-of-words (word-order-invariant) dedup — the cheap tier BETWEEN
+    * exact dedup and MinHash: fingerprint the SORTED token multiset, so
+    * two documents that differ only by word order (scraper-side sentence
+    * reshuffles, templated reorderings) collapse into one group that byte-
+    * exact dedup misses, at exact-dedup cost — no shingles, no bands, no
+    * verify join. Output is the [[exactDedup]] keep-list shape: one
+    * deterministic winner (min doc_id) per bag-of-words group with its
+    * dup_cnt; `n_exact_variants` counts distinct byte-level variants
+    * inside the group, and `reorder_only` marks the groups pure exact
+    * dedup would NOT have fully collapsed — the rows this tier earns.
+    *
+    * Scale shape: one per-row projection (sort ≤ doc-length tokens
+    * in-place, md5) then ONE hash groupBy on the high-cardinality
+    * fingerprint — map-side partial, skew-free, the dd_exact shape. The
+    * distinct-variant count is bounded per group by the group's size.
+    * Empty docs fingerprint to NULL and are dropped, like every exact
+    * tier.
+    */
+  def bowDedup(s: SparkSession, dir: String): DataFrame =
+    bowDedupOf(Tables.documents(s, dir))
+
+  private[graft] def bowDedupOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), fpExpr,
+        when(size(col("toks")) <= 0, lit(null))
+          .otherwise(md5(concat_ws(" ", array_sort(col("toks")))))
+          .as("bow_fp"))
+      .filter(col("bow_fp").isNotNull)
+      .groupBy("bow_fp")
+      .agg(min("doc_id").as("doc_id"),
+        count(lit(1)).as("dup_cnt"),
+        countDistinct(col("fp")).as("n_exact_variants"))
+      .select(col("doc_id"), col("bow_fp"), col("dup_cnt"),
+        col("n_exact_variants"),
+        (col("n_exact_variants") >= 2).as("reorder_only"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------- dd_leakage_split
 
   /** Leakage-free train/val/test split — the eval-hygiene op every
@@ -1444,6 +1484,7 @@ object Dedup extends QueryModule {
     "dd_substring" -> (substringDedup(_, _)),
     "dd_cdc_dedup" -> (cdcDedup(_, _)),
     "dd_exact" -> (exactDedup(_, _)),
+    "dd_bow_dedup" -> (bowDedup(_, _)),
     "dd_leakage_split" -> (leakageSplit(_, _)),
     "dd_incremental" -> (incrementalDedup(_, _)),
     "dd_neardup_ingest" -> (neardupIngest(_, _)),
@@ -1564,6 +1605,20 @@ object Dedup extends QueryModule {
          |  FROM fp
          |)
          |SELECT doc_id, fp, dup_cnt FROM g WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+    "dd_bow_dedup" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp,
+         |    md5(list_aggregate(list_sort($toksSql), 'string_agg', ' ')) AS bow_fp
+         |  FROM documents
+         |  WHERE len($toksSql) > 0
+         |)
+         |SELECT min(doc_id) AS doc_id, bow_fp,
+         |  count(*)::BIGINT AS dup_cnt,
+         |  count(DISTINCT fp)::BIGINT AS n_exact_variants,
+         |  count(DISTINCT fp) >= 2 AS reorder_only
+         |FROM fp GROUP BY bow_fp
+         |ORDER BY doc_id""".stripMargin,
     "dd_leakage_split" ->
       s"""WITH fp AS (
          |  SELECT doc_id, md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp

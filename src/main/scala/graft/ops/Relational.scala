@@ -971,6 +971,54 @@ object Relational extends QueryModule {
       .orderBy("n_name")
   }
 
+  // ---------------------------------------------------------- q_k_anonymity
+
+  /** k-anonymity audit — the data-governance gate a release pipeline runs
+    * before customer-grained data leaves the trust boundary: every row is
+    * binned by its quasi-identifier tuple (nation, market segment,
+    * account-balance band of 1000 currency units), a bin's size is its k,
+    * and the report is the re-identification risk histogram — rows in bins
+    * of k = 1 (unique: directly re-identifiable through the QI tuple
+    * alone), 2–4, 5–9, 10–19, 20+ — with each bucket's share of the
+    * population. A release policy reads one row: the share sitting below
+    * the conventional k ≥ 5 threshold.
+    *
+    * Scale shape: ONE hash aggregate on the QI tuple (map-side partial,
+    * high-cardinality, skew-free) collapses the corpus to |QI| rows; the
+    * histogram is a second aggregate onto ≤ 5 bucket rows, and the share
+    * is an exact-integer ratio computed by a window over that ≤ 5-row
+    * frame. Nothing downstream of the first aggregate sees corpus-scale
+    * data. The balance band is floor(acctbal / 1000) — ONE double
+    * division + floor, bit-identical across engines.
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(Tables.customer(s, dir))
+
+  private[graft] def kAnonymityOf(customer: DataFrame): DataFrame = {
+    val k = customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("k"))
+    val hist = k
+      .select(when(col("k") === 1, 0).when(col("k") <= 4, 1)
+        .when(col("k") <= 9, 2).when(col("k") <= 19, 3)
+        .otherwise(4).as("bucket_ord"), col("k"))
+      .groupBy("bucket_ord")
+      .agg(count(lit(1)).as("n_groups"), sum("k").as("n_rows"))
+    // unpartitioned window over the ≤ 5-row histogram frame — bounded
+    hist
+      .withColumn("pct_rows", round(col("n_rows").cast("double")
+        / sum("n_rows").over(Window.partitionBy()), 6))
+      .select(col("bucket_ord"),
+        when(col("bucket_ord") === 0, "1").when(col("bucket_ord") === 1, "2-4")
+          .when(col("bucket_ord") === 2, "5-9")
+          .when(col("bucket_ord") === 3, "10-19").otherwise("20+")
+          .as("k_bucket"),
+        col("n_groups"), col("n_rows"), col("pct_rows"))
+      .orderBy("bucket_ord")
+  }
+
   /** ROLLUP over (returnflag, linestatus) with grouping_id — hierarchical
     * subtotals in one shuffle instead of three.
     */
@@ -1769,6 +1817,7 @@ object Relational extends QueryModule {
     "q_mv_refresh" -> (mvRefresh(_, _)),
     "q_constraint_audit" -> (constraintAudit(_, _)),
     "q_gini" -> (gini(_, _)),
+    "q_k_anonymity" -> (kAnonymity(_, _)),
     "q_mad_outliers" -> (madOutliers(_, _)),
     "q_scd2" -> (scd2(_, _)),
     "q_rollup" -> (rollupPricing(_, _)),
@@ -2419,6 +2468,26 @@ object Relational extends QueryModule {
         |  round(top.top_cents::DOUBLE / g.revenue_cents::DOUBLE, 6)
         |    AS top_decile_share
         |FROM g JOIN top USING (n_name) ORDER BY g.n_name""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000.0)::BIGINT AS bal_band,
+        |    count(*)::BIGINT AS k
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment, bal_band
+        |), b AS (
+        |  SELECT CASE WHEN k = 1 THEN 0 WHEN k <= 4 THEN 1 WHEN k <= 9 THEN 2
+        |    WHEN k <= 19 THEN 3 ELSE 4 END AS bucket_ord, k
+        |  FROM qi
+        |), h AS (
+        |  SELECT bucket_ord, count(*)::BIGINT AS n_groups, sum(k)::BIGINT AS n_rows
+        |  FROM b GROUP BY bucket_ord
+        |)
+        |SELECT bucket_ord,
+        |  CASE bucket_ord WHEN 0 THEN '1' WHEN 1 THEN '2-4' WHEN 2 THEN '5-9'
+        |    WHEN 3 THEN '10-19' ELSE '20+' END AS k_bucket,
+        |  n_groups, n_rows,
+        |  round(n_rows::DOUBLE / sum(n_rows) OVER (), 6) AS pct_rows
+        |FROM h ORDER BY bucket_ord""".stripMargin,
     "q_scd2" ->
       s"""WITH changes AS (
          |  SELECT o_orderkey AS c_key,

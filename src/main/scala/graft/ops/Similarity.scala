@@ -1098,6 +1098,64 @@ object Similarity extends QueryModule {
         round(col("majority_n").cast("double") / col("cluster_size"), 6))
       .orderBy("assigned")
 
+  // ------------------------------------------------------- sim_silhouette
+
+  /** INTERNAL clustering evaluation — the simplified silhouette (distance
+    * to own centroid vs distance to the best OTHER centroid) per cluster:
+    * for every vector, a = 1 − cos(own), b = 1 − cos(second-best),
+    * s = (b − a) / max(a, b) ∈ [−1, 1]; per cluster the median s (the
+    * robust center — silhouettes are skewed), the minimum, and how many
+    * members sit at s < 0, i.e. are closer to ANOTHER centroid than their
+    * own — the rows a re-assignment pass would move. [[clusterPurity]]
+    * grades the quantizer against ground-truth labels; this grades it
+    * with no labels at all — the acceptance audit that still works on
+    * unlabeled production corpora. Simplified (centroid-based) silhouette
+    * deliberately: the classic all-pairs formula is O(n²) and dies at
+    * scale, while this one is O(n·|centroids|) — the same reason
+    * large-scale libraries ship it.
+    *
+    * Determinism: per-row cosines are the sequential-fold `array_dot`
+    * doubles both engines share; s is ONE fixed expression over the two
+    * cosines mirrored token-for-token; the median rides
+    * [[Quantiles.exact]]'s bounded-state rank selection (never the
+    * value-buffering `percentile` — silhouettes are near-unique doubles);
+    * min and the s < 0 count are order-independent.
+    *
+    * Scale shape: scoring is the shared broadcast-centroid frame
+    * (|corpus|·|centroids| rows, no shuffle); best + runner-up collapse in
+    * ONE map-side-partial hash aggregate holding ≤ |centroids| structs per
+    * vector; the rollup is |centroids| rows + the bounded-state median.
+    */
+  def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val top2 = scoredCentroids(s, dir)
+      .groupBy("vec_id")
+      .agg(slice(sort_array(collect_list(
+        struct((-col("cos")).as("nc"), col("c_label")))), 1, 2).as("t2"))
+      .select(col("vec_id"),
+        col("t2")(0).getField("c_label").as("assigned"),
+        (-col("t2")(0).getField("nc")).as("cos1"),
+        (-col("t2")(1).getField("nc")).as("cos2"))
+    val sil = top2.select(col("vec_id"), col("assigned"),
+      ((lit(1.0) - col("cos2")) - (lit(1.0) - col("cos1"))).as("num"),
+      greatest(lit(1.0) - col("cos1"), lit(1.0) - col("cos2")).as("den"))
+      .select(col("vec_id"), col("assigned"),
+        when(col("den") > 0, col("num") / col("den")).otherwise(lit(0.0))
+          .as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = Quantiles.exact(sil, Seq("assigned"), "s",
+      Seq("median_sil" -> 0.5))
+    val out = sil.groupBy("assigned")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_negative"),
+        min("s").as("mn"))
+      .join(broadcast(med), "assigned")
+      .select(col("assigned"), col("n_vecs"), col("n_negative"),
+        round(col("median_sil"), 6).as("median_sil"),
+        round(col("mn"), 6).as("min_sil"))
+      .orderBy("assigned")
+    Dedup.materializeThenRelease(out, sil)
+  }
+
   // ---------------------------------------------------- sim_semantic_dedup
 
   private[graft] val SemT = 0.4 // pair threshold — demo-scaled (prod ~0.95+)
@@ -1588,6 +1646,7 @@ object Similarity extends QueryModule {
     "sim_ivf_assign" -> (ivfAssign(_, _)),
     "sim_cluster_purity" -> (clusterPurity(_, _)),
     "sim_outlier_prune" -> (outlierPrune(_, _)),
+    "sim_silhouette" -> (silhouette(_, _)),
     "sim_drift" -> (drift(_, _)),
     "sim_ivf_topk" -> (ivfTopK(_, _)),
     "sim_kmeans_step" -> (kmeansStep(_, _)),
@@ -2122,6 +2181,31 @@ object Similarity extends QueryModule {
          |  a.cos < c.c_lo AS outlier
          |FROM asg a JOIN cut c ON a.assigned = c.assigned
          |ORDER BY a.vec_id""".stripMargin,
+    "sim_silhouette" ->
+      s"""WITH $assignSql, t2 AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rnk = 1 THEN c_label END) AS assigned,
+         |    max(CASE WHEN rnk = 1 THEN cos END) AS cos1,
+         |    max(CASE WHEN rnk = 2 THEN cos END) AS cos2
+         |  FROM ranked WHERE rnk <= 2 GROUP BY vec_id
+         |), sil AS (
+         |  SELECT vec_id, assigned,
+         |    CASE WHEN greatest(1.0 - cos1, 1.0 - cos2) > 0
+         |      THEN ((1.0 - cos2) - (1.0 - cos1))
+         |        / greatest(1.0 - cos1, 1.0 - cos2)
+         |      ELSE 0.0 END AS s
+         |  FROM t2
+         |), med AS (
+         |  SELECT assigned, quantile_cont(s, 0.5) AS median_sil
+         |  FROM sil GROUP BY assigned
+         |)
+         |SELECT sil.assigned, count(*)::BIGINT AS n_vecs,
+         |  sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+         |  round(med.median_sil, 6) AS median_sil,
+         |  round(min(s), 6) AS min_sil
+         |FROM sil JOIN med ON sil.assigned = med.assigned
+         |GROUP BY sil.assigned, med.median_sil
+         |ORDER BY sil.assigned""".stripMargin,
     "sim_cluster_purity" ->
       s"""WITH $assignSql, asg AS (
          |  SELECT vec_id, label, c_label AS assigned FROM ranked WHERE rnk = 1

@@ -981,6 +981,62 @@ object Streamish extends QueryModule {
       round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
   }
 
+  // ------------------------------------------------------ ev_power_analysis
+
+  /** Experiment power / minimum-detectable-effect readout — the design
+    * check every [[abTest]] dashboard ships beside the z-test, answering
+    * "is this experiment even big enough to see the lift we care about?":
+    * with the CURRENT arm sizes and pooled activation rate, the smallest
+    * absolute lift detectable at two-sided α = 0.05 and 80 % power
+    * (normal approximation; z₀.₀₂₅ = 1.96, z₀.₂₀ = 0.8416), whether the
+    * observed lift clears that bar, and the per-arm sample size a lift of
+    * the observed magnitude would need (n = 2·(z_α+z_β)²·p(1−p)/Δ²).
+    *
+    * Determinism: both z constants enter as the SAME two decimal literals
+    * in both engines and are added in double — never pre-folded to a
+    * different literal — and every other double is one fixed expression
+    * over exact integer aggregates, mirrored token-for-token in the
+    * oracle.
+    *
+    * Scale shape: identical to [[abTest]] — ONE user-keyed map-side
+    * partial aggregate collapses the corpus to |users| rows, then ONE
+    * single-row conditional-sum aggregate; the power algebra runs on that
+    * one row. The cheapest shape a readout can have at 100 TB.
+    */
+  def powerAnalysis(s: SparkSession, dir: String): DataFrame =
+    powerAnalysisOf(Tables.events(s, dir))
+
+  private[graft] def powerAnalysisOf(events: DataFrame): DataFrame = {
+    val users = abBaseOf(events)
+      .select(col("user_id"),
+        when(col("first_buy_us") <= col("first_us") + AbActivationUs, 1L)
+          .otherwise(0L).as("converted"))
+      .withColumn("variant", abVariant(col("user_id")))
+    val agg = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("users_c"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("users_t"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_c"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_t"))
+    val p = (col("conv_c") + col("conv_t")).cast("double") /
+      (col("users_c") + col("users_t"))
+    val rc = col("conv_c").cast("double") / col("users_c")
+    val rt = col("conv_t").cast("double") / col("users_t")
+    val zsum = lit(1.96) + lit(0.8416)
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("users_c") + lit(1.0) / col("users_t")))
+    val mde = zsum * se
+    val obs = rt - rc
+    agg.select(col("users_c"), col("users_t"),
+      round(p, 6).as("rate_pooled"),
+      round(mde, 6).as("mde_abs"),
+      when(p > 0, round(mde / p, 6)).otherwise(lit(null)).as("mde_rel"),
+      round(obs, 6).as("obs_lift"),
+      (abs(obs) >= mde).as("detectable"),
+      when(abs(obs) > 0,
+        ceil(lit(2.0) * (zsum * zsum) * p * (lit(1.0) - p) / (obs * obs))
+          .cast("long")).otherwise(lit(null)).as("n_req_per_arm"))
+  }
+
   // ---------------------------------------------------- ev_forecast_baseline
 
   /** Seasonal-naive forecast backtest — the baseline every time-series
@@ -1271,6 +1327,7 @@ object Streamish extends QueryModule {
     "ev_growth_accounting" -> (growthAccounting(_, _)),
     "ev_rfm" -> (rfm(_, _)),
     "ev_ab_test" -> (abTest(_, _)),
+    "ev_power_analysis" -> (powerAnalysis(_, _)),
     "ev_forecast_baseline" -> (forecastBaseline(_, _)),
     "ev_cohort_ltv" -> (cohortLtv(_, _)),
     "ev_dau_stickiness" -> (dauStickiness(_, _)),
@@ -1617,6 +1674,50 @@ object Streamish extends QueryModule {
         |  round(CASE WHEN se > 0 THEN (rt - rc) / se ELSE 0.0 END, 4) AS z,
         |  abs(CASE WHEN se > 0 THEN (rt - rc) / se ELSE 0.0 END) > 1.96
         |    AS significant
+        |FROM s""".stripMargin,
+    "ev_power_analysis" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts::TIMESTAMP)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts::TIMESTAMP) END) AS first_buy_us
+        |  FROM events GROUP BY user_id
+        |), u AS (
+        |  SELECT user_id,
+        |    CASE WHEN first_buy_us <= first_us + 259200000000
+        |      THEN 1 ELSE 0 END::BIGINT AS converted,
+        |    CASE WHEN ((user_id::HUGEINT * 1103515245 + 12345) % 2147483648)
+        |      >= 1073741824 THEN 1 ELSE 0 END AS variant
+        |  FROM g
+        |), a AS (
+        |  SELECT
+        |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS users_c,
+        |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS users_t,
+        |    sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)::BIGINT AS conv_c,
+        |    sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)::BIGINT AS conv_t
+        |  FROM u
+        |), k AS (
+        |  SELECT *,
+        |    conv_c::DOUBLE / users_c AS rc,
+        |    conv_t::DOUBLE / users_t AS rt,
+        |    (conv_c + conv_t)::DOUBLE / (users_c + users_t) AS p,
+        |    1.96::DOUBLE + 0.8416::DOUBLE AS zsum
+        |  FROM a
+        |), s AS (
+        |  SELECT *,
+        |    zsum * sqrt(p * (1.0 - p) * (1.0 / users_c + 1.0 / users_t)) AS mde,
+        |    rt - rc AS obs
+        |  FROM k
+        |)
+        |SELECT users_c, users_t,
+        |  round(p, 6) AS rate_pooled,
+        |  round(mde, 6) AS mde_abs,
+        |  CASE WHEN p > 0 THEN round(mde / p, 6) END AS mde_rel,
+        |  round(obs, 6) AS obs_lift,
+        |  abs(obs) >= mde AS detectable,
+        |  CASE WHEN abs(obs) > 0 THEN
+        |    ceil(2.0 * (zsum * zsum) * p * (1.0 - p) / (obs * obs))::BIGINT
+        |  END AS n_req_per_arm
         |FROM s""".stripMargin,
     "ev_cohort_ltv" ->
       """WITH ev AS (

@@ -283,6 +283,48 @@ object TextOps extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------- txt_yield_curve
+
+  /** Candidate minimum-token cuts for [[yieldCurve]] — powers of two across
+    * the range a pretraining length filter actually tunes in.
+    */
+  private[ops] val YieldCuts = Seq(1, 16, 32, 64, 128, 256, 512)
+
+  /** Filter-threshold yield curve — the diagnostic that SETS a minimum
+    * document-length cut, the way ev_gap_audit sets the session gap: for
+    * every candidate cut, the documents and tokens that would survive
+    * `n_tokens >= cut`, as counts and as corpus shares. A curator reads
+    * the curve once and picks the knee — without re-running the filter
+    * per candidate.
+    *
+    * Scale shape: ONE single-row aggregate computes every cut's survivor
+    * counts as conditional sums in the same scan (no docs × cuts explode,
+    * no per-cut re-scan), then `stack` unrolls that row to |cuts| output
+    * rows. Yields are exact-BIGINT ratios with one double division each,
+    * so both engines round the same number.
+    */
+  def yieldCurve(s: SparkSession, dir: String): DataFrame =
+    yieldCurveOf(Tables.documents(s, dir))
+
+  private[graft] def yieldCurveOf(documents: DataFrame): DataFrame = {
+    val n = documents
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+    val aggs = YieldCuts.flatMap { c =>
+      Seq(sum(when(col("n") >= c, 1L).otherwise(0L)).as(s"d_$c"),
+        sum(when(col("n") >= c, col("n")).otherwise(0L)).as(s"t_$c"))
+    } ++ Seq(count(lit(1)).as("td"), sum("n").as("tt"))
+    val stackArgs = YieldCuts
+      .map(c => s"CAST($c AS BIGINT), d_$c, t_$c").mkString(", ")
+    n.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${YieldCuts.size}, $stackArgs) AS (min_tokens, n_docs, n_tokens)",
+        "td", "tt")
+      .select(col("min_tokens"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("td"), 6).as("doc_yield"),
+        round(col("n_tokens").cast("double") / col("tt"), 6).as("token_yield"))
+      .orderBy("min_tokens")
+  }
+
   /** Polynomial rolling-hash fingerprint of the character stream
     * (h ← h·131 + code mod 2^31−1) — the cheap content hash behind
     * content-defined chunking; n_same = dup-group size. Computed by the
@@ -1749,6 +1791,7 @@ object TextOps extends QueryModule {
     "txt_langid" -> (languageId(_, _)),
     "txt_fingerprint" -> (fingerprints(_, _)),
     "txt_token_count" -> (tokenCount(_, _)),
+    "txt_yield_curve" -> (yieldCurve(_, _)),
     "txt_rolling_fp" -> (rollingFingerprint(_, _)),
     "txt_winnowing" -> (winnowing(_, _)),
     "txt_tfidf" -> (tfidf(_, _)),
@@ -2309,6 +2352,23 @@ object TextOps extends QueryModule {
          |    ELSE round(len(regexp_extract_all(lower(text), '$BpePattern'))::DOUBLE
          |      / len($toksSql), 4) END AS pieces_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_yield_curve" ->
+      s"""WITH n AS (
+         |  SELECT len($toksSql)::BIGINT AS n FROM documents
+         |), c AS (
+         |  SELECT unnest([${YieldCuts.mkString(", ")}])::BIGINT AS min_tokens
+         |), t AS (
+         |  SELECT count(*)::BIGINT AS td, sum(n)::BIGINT AS tt FROM n
+         |)
+         |SELECT min_tokens,
+         |  sum(CASE WHEN n.n >= min_tokens THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+         |  sum(CASE WHEN n.n >= min_tokens THEN n.n ELSE 0 END)::BIGINT AS n_tokens,
+         |  round(sum(CASE WHEN n.n >= min_tokens THEN 1 ELSE 0 END)::DOUBLE
+         |    / td, 6) AS doc_yield,
+         |  round(sum(CASE WHEN n.n >= min_tokens THEN n.n ELSE 0 END)::DOUBLE
+         |    / tt, 6) AS token_yield
+         |FROM n, c, t GROUP BY min_tokens, td, tt
+         |ORDER BY min_tokens""".stripMargin,
     "txt_tfidf" ->
       s"""WITH tf AS (
          |  SELECT doc_id, t AS term, count(*) AS tf

@@ -310,6 +310,94 @@ class OpsSpec extends AnyFunSuite {
       2.5, 10.0, 1.633, false)))
   }
 
+  test("ev_power_analysis: MDE algebra and required-n on the ab_test fixture") {
+    import spark.implicits._
+    // same 8-user experiment as the ev_ab_test fixture: nc=nt=4, conv 2/4,
+    // p=0.75, se=sqrt(.75*.25*.5), mde=(1.96+0.8416)*se=0.857811 > obs 0.5
+    // -> not detectable; n_req = ceil(2*2.8016^2*0.1875/0.25) = 12
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00").getTime)
+    val ev =
+      Seq(1L, 3L, 5L, 7L).map(u => (u, ts(1), "purchase", 10.0)) ++
+        Seq(2L, 4L).flatMap(u => Seq((u, ts(1), "view", 0.0), (u, ts(2), "purchase", 5.0))) ++
+        Seq(6L, 8L).map(u => (u, ts(1), "view", 0.0))
+    val row = graft.ops.Streamish.powerAnalysisOf(
+      ev.toDF("user_id", "ts", "event_type", "value"))
+      .as[(Long, Long, Double, Double, Option[Double], Double, Boolean, Option[Long])]
+      .collect()
+    assert(row.toSeq === Seq((4L, 4L, 0.75, 0.857811, Some(1.143748),
+      0.5, false, Some(12L))))
+  }
+
+  test("q_k_anonymity: hand-binned QI histogram covers every bucket and the population") {
+    import spark.implicits._
+    // five QI groups sized 1 / 3 / 6 / 12 / 25 — one per k-bucket; the
+    // negative balance lands in band -1 (floor, not truncation)
+    val rows =
+      Seq.fill(1)((1, "A", 500.0)) ++ Seq.fill(3)((1, "B", 1500.0)) ++
+        Seq.fill(6)((2, "A", 2500.0)) ++ Seq.fill(12)((2, "B", -100.0)) ++
+        Seq.fill(25)((3, "A", 0.0))
+    val out = graft.ops.Relational.kAnonymityOf(
+      rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal"))
+      .as[(Int, String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0, "1", 1L, 1L, math.rint(1.0 / 47 * 1e6) / 1e6),
+      (1, "2-4", 1L, 3L, math.rint(3.0 / 47 * 1e6) / 1e6),
+      (2, "5-9", 1L, 6L, math.rint(6.0 / 47 * 1e6) / 1e6),
+      (3, "10-19", 1L, 12L, math.rint(12.0 / 47 * 1e6) / 1e6),
+      (4, "20+", 1L, 25L, math.rint(25.0 / 47 * 1e6) / 1e6)))
+  }
+
+  test("txt_yield_curve: survivor counts step at every cut on a 4-doc ladder") {
+    import spark.implicits._
+    // token counts 0 / 1 / 20 / 700: the empty doc survives no cut, the
+    // 700-token doc survives all of them
+    val docs = Seq(
+      (1L, ""), (2L, "w"), (3L, Seq.fill(20)("w").mkString(" ")),
+      (4L, Seq.fill(700)("w").mkString(" ")))
+    val out = graft.ops.TextOps.yieldCurveOf(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    def y(d: Long, t: Long) =
+      (math.rint(d.toDouble / 4 * 1e6) / 1e6, math.rint(t.toDouble / 721 * 1e6) / 1e6)
+    assert(out === Seq(
+      (1L, 3L, 721L, y(3, 721)._1, y(3, 721)._2),
+      (16L, 2L, 720L, y(2, 720)._1, y(2, 720)._2),
+      (32L, 1L, 700L, y(1, 700)._1, y(1, 700)._2),
+      (64L, 1L, 700L, y(1, 700)._1, y(1, 700)._2),
+      (128L, 1L, 700L, y(1, 700)._1, y(1, 700)._2),
+      (256L, 1L, 700L, y(1, 700)._1, y(1, 700)._2),
+      (512L, 1L, 700L, y(1, 700)._1, y(1, 700)._2)))
+  }
+
+  test("sim_silhouette: partitions the corpus, bounded range, consistent with the assignment") {
+    import spark.implicits._
+    val sil = graft.ops.Similarity.silhouette(spark, dir)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(sil.nonEmpty)
+    sil.foreach { case (_, n, neg, med, mn) =>
+      assert(neg >= 0 && neg <= n)
+      assert(med >= -1.0 - 1e-9 && med <= 1.0 + 1e-9)
+      assert(mn <= med + 1e-9) // the min can never exceed the median
+    }
+    // cluster sizes must agree with the nearest-centroid assignment
+    val byAssigned = graft.ops.Similarity.ivfAssign(spark, dir)
+      .groupBy("assigned").count().as[(Int, Long)].collect().toMap
+    assert(sil.map(r => r._1 -> r._2).toMap === byAssigned)
+  }
+
+  test("dd_bow_dedup: reorder-only group collapses, exact variants counted, empties dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma"), (4L, "delta"), (5L, "  "))
+    val out = graft.ops.Dedup.bowDedupOf(docs.toDF("doc_id", "text"))
+      .select("doc_id", "dup_cnt", "n_exact_variants", "reorder_only")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // group {1,2,3}: three docs, two byte-level variants -> reorder_only;
+    // doc 4 is its own group; doc 5 fingerprints to NULL and is dropped
+    assert(out === Seq((1L, 3L, 2L, true), (4L, 1L, 1L, false)))
+  }
+
   test("ev_forecast_baseline: calendar lag-7 join skips gaps instead of shifting rows") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(

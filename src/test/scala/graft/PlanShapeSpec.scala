@@ -24,6 +24,7 @@ class PlanShapeSpec extends AnyFunSuite {
     //                                   a non-equi (=!=) bounded broadcast
     "sim_ivf_assign", "sim_ivf_topk", "sim_kmeans_step", "sim_kmeans_train",
     "sim_cluster_purity", // same bounded centroid-broadcast subtree as ivf_assign
+    "sim_silhouette", // same bounded centroid-broadcast subtree as ivf_assign
     "sim_recall_at_k", // composes brute + LSH, both bounded as above
     "sim_pq_encode", "sim_graph_rank", "ev_range_join",
     // 1-ROW aggregate scalars (vocab size / corpus total / normalizer)
@@ -128,6 +129,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_approx_topk", // count-min over every row by design
     "q_constraint_audit", // the ingest gate must see every row to count violations
     "q_gini", // concentration audit over ALL customer spend — no pushable predicate
+    "q_k_anonymity", // re-identification audit must bin EVERY row — no predicate
     "q_mad_outliers", // robust outlier screen over ALL order totals — no predicate
     "q_cube", "q_rollup", "q_grouping_sets", // full-table multi-level aggregates
     "q_distinct_having", // HAVING is post-aggregate, nothing reaches the scan
