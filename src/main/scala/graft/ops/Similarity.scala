@@ -1098,6 +1098,34 @@ object Similarity extends QueryModule {
         round(col("majority_n").cast("double") / col("cluster_size"), 6))
       .orderBy("assigned")
 
+  // ------------------------------------------------------ sim_ivf_balance
+
+  /** IVF posting-list balance audit — the index-health table an ANN
+    * serving team reads before the quantizer ships: per coarse centroid
+    * the inverted-list size, its corpus share, and the imbalance factor
+    * (list_size / ideal uniform size). Serving cost per probe is
+    * proportional to the probed lists' sizes, so a hot list at imbalance
+    * 3 means every query probing it scans 3× the budgeted candidates —
+    * the p99-latency killer list-rebalance (or centroid re-train) exists
+    * to fix. [[clusterPurity]] grades label agreement, [[silhouette]]
+    * grades geometric fit; this grades the SERVING cost profile.
+    *
+    * Scale shape: the shared nearest-centroid assignment then ONE hash
+    * aggregate onto |centroids| rows; share and imbalance are windows
+    * over that bounded frame. Exact integers until one double division.
+    */
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    assignments(s, dir)
+      .groupBy("assigned").agg(count(lit(1)).as("list_size"))
+      .withColumn("share", round(col("list_size").cast("double")
+        / sum("list_size").over(w), 6))
+      .withColumn("imbalance", round(col("list_size").cast("double")
+        * count(lit(1)).over(w) / sum("list_size").over(w), 6))
+      .select("assigned", "list_size", "share", "imbalance")
+      .orderBy("assigned")
+  }
+
   // ------------------------------------------------------- sim_silhouette
 
   /** INTERNAL clustering evaluation — the simplified silhouette (distance
@@ -1647,6 +1675,7 @@ object Similarity extends QueryModule {
     "sim_cluster_purity" -> (clusterPurity(_, _)),
     "sim_outlier_prune" -> (outlierPrune(_, _)),
     "sim_silhouette" -> (silhouette(_, _)),
+    "sim_ivf_balance" -> (ivfBalance(_, _)),
     "sim_drift" -> (drift(_, _)),
     "sim_ivf_topk" -> (ivfTopK(_, _)),
     "sim_kmeans_step" -> (kmeansStep(_, _)),
@@ -2181,6 +2210,18 @@ object Similarity extends QueryModule {
          |  a.cos < c.c_lo AS outlier
          |FROM asg a JOIN cut c ON a.assigned = c.assigned
          |ORDER BY a.vec_id""".stripMargin,
+    "sim_ivf_balance" ->
+      s"""WITH $assignSql, asg AS (
+         |  SELECT vec_id, c_label AS assigned FROM ranked WHERE rnk = 1
+         |), sz AS (
+         |  SELECT assigned, count(*)::BIGINT AS list_size
+         |  FROM asg GROUP BY assigned
+         |)
+         |SELECT assigned, list_size,
+         |  round(list_size::DOUBLE / sum(list_size) OVER (), 6) AS share,
+         |  round(list_size::DOUBLE * count(*) OVER ()
+         |    / sum(list_size) OVER (), 6) AS imbalance
+         |FROM sz ORDER BY assigned""".stripMargin,
     "sim_silhouette" ->
       s"""WITH $assignSql, t2 AS (
          |  SELECT vec_id,

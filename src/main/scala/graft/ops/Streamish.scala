@@ -1088,6 +1088,57 @@ object Streamish extends QueryModule {
       .transform(Dedup.materializeThenRelease(_, daily))
   }
 
+  // -------------------------------------------------------- ev_change_point
+
+  /** CUSUM change-point screen — the level-shift detector [[anomaly]]'s
+    * pointwise z-score cannot be: a sustained small drift never trips a
+    * per-day z but accumulates in the CUSUM. Per event type, over the
+    * daily counts in day order, the one-sided cumulative sum
+    * S_t = max(0, S_{t−1} + (x_t·n_days − total)) — deviations against
+    * the mean scaled by n_days so EVERYTHING stays in exact BIGINTs
+    * (x·n − total is the mean-deviation times n_days) — reported at its
+    * peak day with the excess in event units and a flag at the 10 %-of-
+    * corpus threshold (integer compare: S·10 > total·n_days, so the
+    * verdict can't float-flip across engines).
+    *
+    * The recursion is computed CLOSED-FORM via the prefix identity
+    * S_t = cum_t − min(0, min_{j≤t} cum_j): two running windows instead
+    * of a sequential fold — no collect_list, no HOF over a
+    * corpus-dependent array.
+    *
+    * Scale shape: the corpus collapses to |type × day| rows in ONE hash
+    * aggregate; every window runs per-type over the bounded calendar
+    * frame (days, not events). Overflow bound: |S| ≤ n_days·total —
+    * documented safe to ~10⁵ days × 10¹³ events against 2⁶³.
+    */
+  def changePoint(s: SparkSession, dir: String): DataFrame =
+    changePointOf(Tables.events(s, dir))
+
+  private[graft] def changePointOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val tot = Window.partitionBy("event_type")
+    val run = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val s = daily
+      .withColumn("n_days", count(lit(1)).over(tot))
+      .withColumn("total", sum("x").over(tot))
+      .withColumn("cum",
+        sum(col("x") * col("n_days") - col("total")).over(run))
+      .withColumn("s",
+        col("cum") - least(lit(0L), min("cum").over(run)))
+    s.withColumn("rnk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("s").desc, col("day").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("event_type"), col("n_days"), col("total").as("total_events"),
+        col("day").as("peak_day"),
+        round(col("s").cast("double") / col("n_days"), 4)
+          .as("cum_excess_events"),
+        (col("s") * 10 > col("total") * col("n_days")).as("flagged"))
+      .orderBy("event_type")
+  }
+
   // ----------------------------------------------------------- ev_cohort_ltv
 
   /** Cohort LTV curves — the revenue companion to [[retention]] every
@@ -1329,6 +1380,7 @@ object Streamish extends QueryModule {
     "ev_ab_test" -> (abTest(_, _)),
     "ev_power_analysis" -> (powerAnalysis(_, _)),
     "ev_forecast_baseline" -> (forecastBaseline(_, _)),
+    "ev_change_point" -> (changePoint(_, _)),
     "ev_cohort_ltv" -> (cohortLtv(_, _)),
     "ev_dau_stickiness" -> (dauStickiness(_, _)),
     "ev_hll_merge" -> (hllMerge(_, _)),
@@ -1768,6 +1820,34 @@ object Streamish extends QueryModule {
         |FROM daily d JOIN daily p
         |  ON p.event_type = d.event_type AND p.day = d.day - 7
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "ev_change_point" ->
+      """WITH daily AS (
+        |  SELECT ts::TIMESTAMP::DATE AS day, event_type, count(*)::BIGINT AS x
+        |  FROM events GROUP BY day, event_type
+        |), w AS (
+        |  SELECT event_type, day, x,
+        |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n_days,
+        |    sum(x) OVER (PARTITION BY event_type)::BIGINT AS total
+        |  FROM daily
+        |), c AS (
+        |  SELECT *,
+        |    sum(x * n_days - total) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM w
+        |), sform AS (
+        |  SELECT *,
+        |    (cum - least(0, min(cum) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING)))::BIGINT AS s
+        |  FROM c
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY s DESC, day ASC) AS rnk
+        |  FROM sform
+        |)
+        |SELECT event_type, n_days, total AS total_events, day AS peak_day,
+        |  round(s::DOUBLE / n_days, 4) AS cum_excess_events,
+        |  s * 10 > total * n_days AS flagged
+        |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin,
     "ev_anomaly" ->
       """WITH daily AS (
         |  SELECT ts::TIMESTAMP::DATE AS day, event_type, count(*) AS n

@@ -236,7 +236,10 @@ object TextOps extends QueryModule {
     * marker hits, predict the argmax (ties + zero-evidence → "und").
     * Deterministic, SQL-expressible, and embarrassingly parallel.
     */
-  def languageId(s: SparkSession, dir: String): DataFrame = {
+  def languageId(s: SparkSession, dir: String): DataFrame =
+    languageIdOf(Tables.documents(s, dir))
+
+  private[graft] def languageIdOf(documents: DataFrame): DataFrame = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "a", "and", "of", "is"),
       "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -244,7 +247,7 @@ object TextOps extends QueryModule {
       "fr" -> Seq("le", "les", "est", "et", "une"),
       "zh" -> Seq("de", "shi", "le", "wo", "ni"))
     val toks = tokens(col("text")).as("toks")
-    val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"), toks)
+    val scored = documents.select(col("doc_id"), col("lang"), toks)
       .select(col("doc_id") +: col("lang") +: markers.map { case (l, ws) =>
         size(filter(col("toks"), t => array_contains(array(ws.map(lit): _*), t))).as(s"score_$l")
       }: _*)
@@ -259,6 +262,70 @@ object TextOps extends QueryModule {
         (col("predicted") === col("lang")).as("hit"))
       .orderBy("doc_id")
   }
+
+  // ----------------------------------------------------- txt_langid_confusion
+
+  /** Confusion-matrix acceptance audit for [[languageId]] — the eval table
+    * a language-ID deployment publishes before its verdicts route corpus
+    * traffic: per (declared lang, predicted lang) cell the document count
+    * and the row share (the per-true-language confusion profile; the
+    * diagonal cells are recall). The serving families carry recall audits
+    * (sim_recall_*, dd_lsh_recall) — this is the same contract for the
+    * classifier tier.
+    *
+    * Scale shape: one documents scan through the shared per-row marker
+    * scoring, then ONE hash aggregate onto ≤ |langs|·(|langs|+1) cells;
+    * the row share is a window over that bounded frame. Nothing after the
+    * aggregate scales with the corpus.
+    */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame =
+    langidConfusionOf(Tables.documents(s, dir))
+
+  private[graft] def langidConfusionOf(documents: DataFrame): DataFrame =
+    languageIdOf(documents)
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_share", round(col("n_docs").cast("double")
+        / sum("n_docs").over(Window.partitionBy("lang")), 6))
+      .orderBy("lang", "predicted")
+
+  // ----------------------------------------------------------- txt_fertility
+
+  /** Tokenizer fertility by corpus slice — the per-(lang, source) table a
+    * tokenizer evaluation publishes: BPE-ish pieces per whitespace word
+    * (fertility — the classic cross-lingual tokenizer-equity metric; a
+    * slice tokenizing at 2× the pieces pays 2× the compute per word) plus
+    * document and token volumes and mean document length. [[tokenCount]]
+    * is the per-document budget view; this is the corpus rollup a mix
+    * designer actually reads.
+    *
+    * Determinism: both counts are exact BIGINT sums of per-row regex
+    * counts; fertility and tokens_per_doc are ONE double division each —
+    * no engine-ordered double summation anywhere.
+    *
+    * Scale shape: one scan, per-row codegen'd regex counting, ONE hash
+    * aggregate onto |lang × source| rows. The cheapest rollup shape.
+    */
+  def fertility(s: SparkSession, dir: String): DataFrame =
+    fertilityOf(Tables.documents(s, dir))
+
+  private[graft] def fertilityOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("nws"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          .cast("long").as("nbpe"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("nws").as("n_ws_tokens"),
+        sum("nbpe").as("n_bpe_pieces"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_ws_tokens"),
+        col("n_bpe_pieces"),
+        when(col("n_ws_tokens") > 0,
+          round(col("n_bpe_pieces").cast("double") / col("n_ws_tokens"), 6))
+          .as("fertility"),
+        round(col("n_ws_tokens").cast("double") / col("n_docs"), 6)
+          .as("tokens_per_doc"))
+      .orderBy("lang", "source")
 
   /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single other
     * non-space characters — the shape GPT-style byte-pair pre-tokenization
@@ -1789,6 +1856,8 @@ object TextOps extends QueryModule {
     "txt_quality" -> (qualityScore(_, _)),
     "txt_domain_cap" -> (domainCap(_, _)),
     "txt_langid" -> (languageId(_, _)),
+    "txt_langid_confusion" -> (langidConfusion(_, _)),
+    "txt_fertility" -> (fertility(_, _)),
     "txt_fingerprint" -> (fingerprints(_, _)),
     "txt_token_count" -> (tokenCount(_, _)),
     "txt_yield_curve" -> (yieldCurve(_, _)),
@@ -1804,6 +1873,33 @@ object TextOps extends QueryModule {
     "txt_blocklist" -> (blocklist(_, _)))
 
   private val toksSql = graft.OracleSql.toks("lower(text)")
+
+  /** Marker-scored language prediction as a complete SELECT (no terminal
+    * ORDER BY) — the SQL twin of [[languageIdOf]], shared by the
+    * txt_langid and txt_langid_confusion oracles so the marker sets and
+    * the tie chain cannot drift apart.
+    */
+  private lazy val langidCoreSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(toks, t -> t IN ('the','a','and','of','is'))) AS score_en,
+       |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS score_de,
+       |    len(list_filter(toks, t -> t IN ('el','los','las','es','y'))) AS score_es,
+       |    len(list_filter(toks, t -> t IN ('le','les','est','et','une'))) AS score_fr,
+       |    len(list_filter(toks, t -> t IN ('de','shi','le','wo','ni'))) AS score_zh
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+       |)
+       |SELECT doc_id, lang,
+       |  CASE
+       |    WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
+       |    WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+       |    WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+       |    WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+       |    WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+       |    ELSE 'zh'
+       |  END AS predicted,
+       |  predicted = lang AS hit
+       |FROM scored""".stripMargin
   private val stopsSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** The txt_lm_perplexity oracle — also the scored-docs CTE the
@@ -2319,27 +2415,29 @@ object TextOps extends QueryModule {
          |  END AS quality
          |FROM (SELECT doc_id, n_chars, $toksSql AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
-    "txt_langid" ->
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang,
-         |    len(list_filter(toks, t -> t IN ('the','a','and','of','is'))) AS score_en,
-         |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS score_de,
-         |    len(list_filter(toks, t -> t IN ('el','los','las','es','y'))) AS score_es,
-         |    len(list_filter(toks, t -> t IN ('le','les','est','et','une'))) AS score_fr,
-         |    len(list_filter(toks, t -> t IN ('de','shi','le','wo','ni'))) AS score_zh
-         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+    "txt_langid" -> s"$langidCoreSql ORDER BY doc_id",
+    "txt_langid_confusion" ->
+      s"""WITH p AS ($langidCoreSql)
+         |SELECT lang, predicted, count(*)::BIGINT AS n_docs,
+         |  round(count(*)::DOUBLE
+         |    / sum(count(*)) OVER (PARTITION BY lang), 6) AS row_share
+         |FROM p GROUP BY lang, predicted
+         |ORDER BY lang, predicted""".stripMargin,
+    "txt_fertility" ->
+      s"""WITH n AS (
+         |  SELECT lang, source,
+         |    len($toksSql)::BIGINT AS nws,
+         |    len(regexp_extract_all(lower(text), '$BpePattern'))::BIGINT AS nbpe
+         |  FROM documents
          |)
-         |SELECT doc_id, lang,
-         |  CASE
-         |    WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
-         |    WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
-         |    WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
-         |    WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
-         |    WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
-         |    ELSE 'zh'
-         |  END AS predicted,
-         |  predicted = lang AS hit
-         |FROM scored ORDER BY doc_id""".stripMargin,
+         |SELECT lang, source, count(*)::BIGINT AS n_docs,
+         |  sum(nws)::BIGINT AS n_ws_tokens,
+         |  sum(nbpe)::BIGINT AS n_bpe_pieces,
+         |  CASE WHEN sum(nws) > 0
+         |    THEN round(sum(nbpe)::DOUBLE / sum(nws), 6) END AS fertility,
+         |  round(sum(nws)::DOUBLE / count(*), 6) AS tokens_per_doc
+         |FROM n GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin,
     "txt_fingerprint" ->
       s"""SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
          |FROM (SELECT doc_id, md5(list_aggregate($toksSql, 'string_agg', ' ')) AS fp FROM documents)

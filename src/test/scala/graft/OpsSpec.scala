@@ -369,6 +369,72 @@ class OpsSpec extends AnyFunSuite {
       (512L, 1L, 700L, y(1, 700)._1, y(1, 700)._2)))
   }
 
+  test("txt_langid_confusion: cells equal the per-doc verdicts and row shares sum to 1") {
+    import spark.implicits._
+    val perDoc = graft.ops.TextOps.languageId(spark, dir)
+      .groupBy("lang", "predicted").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, p, n) => (l, p) -> n }.toMap
+    val cells = graft.ops.TextOps.langidConfusion(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(cells.nonEmpty)
+    assert(cells.map(c => (c._1, c._2) -> c._3).toMap ===
+      perDoc)
+    cells.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("txt_fertility: exact sums and one-division ratios on a 3-doc fixture") {
+    import spark.implicits._
+    // en/a: "ab cd" (2 ws, 2 bpe) + "x1y" (1 ws, 3 bpe: x|1|y);
+    // de/b: "u2" (1 ws, 2 bpe)
+    val docs = Seq(
+      (1L, "ab cd", "en", "a"), (2L, "x1y", "en", "a"), (3L, "u2", "de", "b"))
+    val out = graft.ops.TextOps.fertilityOf(
+      docs.toDF("doc_id", "text", "lang", "source"))
+      .as[(String, String, Long, Long, Long, Option[Double], Double)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("de", "b", 1L, 1L, 2L, Some(2.0), 1.0),
+      ("en", "a", 2L, 3L, 5L, Some(math.rint(5.0 / 3 * 1e6) / 1e6), 1.5)))
+  }
+
+  test("sim_ivf_balance: list sizes cover the corpus and imbalance means 1") {
+    import spark.implicits._
+    val rows = graft.ops.Similarity.ivfBalance(spark, dir)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_._2).sum === total)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum / rows.size - 1.0) < 1e-4)
+    val byAssigned = graft.ops.Similarity.ivfAssign(spark, dir)
+      .groupBy("assigned").count().as[(Int, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === byAssigned)
+  }
+
+  test("ev_change_point: planted level shift peaks at the horizon, flat series stays flat") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00").getTime)
+    // click: 1/day days 1-5 then 3/day days 6-10 -> d = x*10-20 is -10
+    // then +10; CUSUM bottoms at -50 (day 5) and recovers to 50 by day 10
+    // (the shift accumulates); excess 50/10 = 5 events, flagged
+    // (50*10 > 20*10). view: constant 2/day days 1-4 -> s = 0 everywhere,
+    // peak ties to the EARLIEST day, not flagged.
+    val click = (1 to 5).map(d => (1L, ts(d), "click")) ++
+      (6 to 10).flatMap(d => Seq.fill(3)((1L, ts(d), "click")))
+    val view = (1 to 4).flatMap(d => Seq.fill(2)((2L, ts(d), "view")))
+    val out = graft.ops.Streamish.changePointOf(
+      (click ++ view).toDF("user_id", "ts", "event_type"))
+      .as[(String, Long, Long, java.sql.Date, Double, Boolean)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("click", 10L, 20L, java.sql.Date.valueOf("2024-01-10"), 5.0, true),
+      ("view", 4L, 8L, java.sql.Date.valueOf("2024-01-01"), 0.0, false)))
+  }
+
   test("sim_silhouette: partitions the corpus, bounded range, consistent with the assignment") {
     import spark.implicits._
     val sil = graft.ops.Similarity.silhouette(spark, dir)

@@ -25,6 +25,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_ivf_assign", "sim_ivf_topk", "sim_kmeans_step", "sim_kmeans_train",
     "sim_cluster_purity", // same bounded centroid-broadcast subtree as ivf_assign
     "sim_silhouette", // same bounded centroid-broadcast subtree as ivf_assign
+    "sim_ivf_balance", // same bounded centroid-broadcast subtree as ivf_assign
     "sim_recall_at_k", // composes brute + LSH, both bounded as above
     "sim_pq_encode", "sim_graph_rank", "ev_range_join",
     // 1-ROW aggregate scalars (vocab size / corpus total / normalizer)
