@@ -1006,8 +1006,16 @@ object Streamish extends QueryModule {
   def powerAnalysis(s: SparkSession, dir: String): DataFrame =
     powerAnalysisOf(Tables.events(s, dir))
 
-  private[graft] def powerAnalysisOf(events: DataFrame): DataFrame = {
-    val users = abBaseOf(events)
+  private[graft] def powerAnalysisOf(events: DataFrame): DataFrame =
+    powerFromBase(abBaseOf(events))
+
+  /** Read-time half over whatever per-user profile frame the caller
+    * holds — the batch aggregate or [[abBaseOf]]'s streamed store, so the
+    * live experiment dashboard serves the power readout beside the
+    * z-test (StreamingSpec pins streamed ≡ batch).
+    */
+  private[graft] def powerFromBase(perUser: DataFrame): DataFrame = {
+    val users = perUser
       .select(col("user_id"),
         when(col("first_buy_us") <= col("first_us") + AbActivationUs, 1L)
           .otherwise(0L).as("converted"))

@@ -335,6 +335,14 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double, Double, Double, Option[Double],
         Double, Double, Double, Boolean)].collect().toSeq
     assert(want.nonEmpty && got === want)
+    // the SAME profile store serves the power/MDE readout (ev_power_analysis)
+    val gotPower = Streamish.powerFromBase(sink)
+      .as[(Long, Long, Double, Double, Option[Double], Double, Boolean,
+        Option[Long])].collect().toSeq
+    val wantPower = Streamish.powerAnalysis(spark, dir)
+      .as[(Long, Long, Double, Double, Option[Double], Double, Boolean,
+        Option[Long])].collect().toSeq
+    assert(wantPower.nonEmpty && gotPower === wantPower)
   }
 
   test("streamed materialized view equals the batch snapshot∪delta merge, sketch estimate included") {
