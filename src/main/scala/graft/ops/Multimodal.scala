@@ -45,6 +45,15 @@ final case class JpegDecoded(doc_id: Long, media_type: String, width: Int,
     ch0_src_mean: Double, ch1_src_mean: Double, ch2_src_mean: Double,
     ch0_dec_mean: Double, ch1_dec_mean: Double, ch2_dec_mean: Double)
 
+/** mm_gif_decode output row: geometry + palette size + exact-integer RGB
+  * means through the color table. `gif_bytes` (the LZW-encoded size) is
+  * dropped before declaration — not oracle-recomputable, the png_bytes
+  * rule.
+  */
+final case class GifDecoded(doc_id: Long, media_type: String, width: Int,
+    height: Int, palette_size: Int, gif_bytes: Int,
+    r_mean: Double, g_mean: Double, b_mean: Double)
+
 /** Multimodal-column battery: image/audio/video handled as opaque `binary`
   * columns with typed metadata, per the LLM-pipeline mandate.
   *
@@ -1829,6 +1838,285 @@ object Multimodal extends QueryModule {
     * a channel with no body bytes pins to 0.0 (never NULL/NaN, so the
     * cross-engine compare has one canonical value).
     */
+  // ---------------------------------------------------------- mm_gif_decode
+
+  private[graft] val GifN = 16 // synthesized image side (N×N)
+  private[graft] val GifPalBits = 6 // 64-entry global color table
+  private[graft] val GifPalSize = 1 << GifPalBits
+
+  /** Deterministic global color table: entry k = (4k, 7k mod 256,
+    * 13k mod 256) — SQL-recomputable, so the oracle rebuilds the decoded
+    * RGB means from the synthesized indices alone.
+    */
+  private[graft] def gifPalette(k: Int): (Int, Int, Int) =
+    (k * 4, (k * 7) % 256, (k * 13) % 256)
+
+  /** Real GIF87a encoder — the synthesis half of the round-trip (and the
+    * fixture encoder, like [[encodePng]]): global color table, ONE
+    * non-interlaced image, variable-width LSB-first LZW with CLEAR up
+    * front and on dictionary overflow, EOI, sub-block framing, trailer.
+    * Emit-before-add ordering and the widen-after-add rule
+    * (`next == 2^width → width+1`, cap 12) mirror [[decodeGif]] exactly —
+    * the code widths only stay in lockstep because BOTH sides count adds
+    * the same way (the classic compress/decompress alignment).
+    */
+  private[graft] def encodeGif(w: Int, h: Int, idx: Array[Byte]): Array[Byte] = {
+    require(idx.length == w * h, "index body must be exactly w*h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | ((GifPalBits - 1) << 4) | (GifPalBits - 1))
+    out.write(0); out.write(0) // background index, aspect
+    var k = 0
+    while (k < GifPalSize) {
+      val (r, g, b) = gifPalette(k)
+      out.write(r); out.write(g); out.write(b); k += 1
+    }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h)
+    out.write(0) // no local table, not interlaced
+    val minCode = GifPalBits
+    out.write(minCode)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var next = eoi + 1
+    var width = minCode + 1
+    val dict = new java.util.HashMap[Int, Integer]()
+    var bitBuf = 0L; var bitCnt = 0
+    val data = new java.io.ByteArrayOutputStream()
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) {
+        data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    emit(clear)
+    var cur = idx(0) & 0xff
+    var i = 1
+    while (i < idx.length) {
+      val c = idx(i) & 0xff
+      val key = (cur << 8) | c // cur ≤ 4095, c ≤ 255 — unique 20-bit key
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur) // emit BEFORE add — keeps decoder's add count aligned
+        // widen BEFORE this step's add: the encoder's dictionary runs one
+        // entry ahead of the decoder's (the decoder adds while processing
+        // the NEXT code), so the pre-add count here equals the decoder's
+        // post-add count at the same stream position — checking after the
+        // add widens one code early and desynchronizes every code width
+        // past the first 2^width boundary
+        if (next == (1 << width) && width < 12) width += 1
+        if (next < 4096) { dict.put(key, next); next += 1 }
+        else {
+          emit(clear)
+          dict.clear(); next = eoi + 1; width = minCode + 1
+        }
+        cur = c
+      }
+      i += 1
+    }
+    emit(cur)
+    // the decoder adds one more entry while processing that final data
+    // code — mirror its possible widen before writing EOI
+    if (next == (1 << width) && width < 12) width += 1
+    emit(eoi)
+    if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val nb = math.min(255, bytes.length - off)
+      out.write(nb); out.write(bytes, off, nb); off += nb
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Strict GIF decoder — the palette/LZW branch of the real-codec tier
+    * (PNG covers filters+Deflate, JPEG covers entropy+transform coding;
+    * GIF's LZW-over-palette is the remaining classic still-image class).
+    * GIF87a/89a signatures; a GLOBAL color table is required; extension
+    * blocks are skipped by their sub-block framing; decodes the FIRST
+    * image only and requires the trailer after it. Returns
+    * (w, h, palette_size, palette r,g,b flattened, indices) or None.
+    * Rejected outright: interlaced images, a missing global table, LZW
+    * codes above the dictionary's next slot, an output longer than w·h
+    * or a stream that ends before filling it, a missing EOI/terminator/
+    * trailer, and any truncation (every read is bounds-checked).
+    */
+  private[graft] def decodeGif(p: Array[Byte]): Option[(Int, Int, Int, Array[Int], Array[Byte])] = {
+    if (p.length < 13) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val packed = u8(10)
+    if ((packed & 0x80) == 0) return None // global color table required
+    val palBits = (packed & 0x07) + 1
+    val palSize = 1 << palBits
+    var i = 13
+    if (i + palSize * 3 > p.length) return None
+    val pal = new Array[Int](palSize * 3)
+    var k = 0
+    while (k < palSize * 3) { pal(k) = u8(i + k); k += 1 }
+    i += palSize * 3
+    // skip extensions; find the first image descriptor
+    while (i < p.length && u8(i) == 0x21) {
+      i += 2 // introducer + label
+      while (i < p.length && u8(i) != 0) {
+        i += 1 + u8(i)
+        if (i > p.length) return None
+      }
+      i += 1 // sub-block terminator
+    }
+    if (i >= p.length || u8(i) != 0x2c) return None
+    if (i + 10 > p.length) return None
+    val w = le16(i + 5); val h = le16(i + 7)
+    val ipacked = u8(i + 9)
+    if (w <= 0 || h <= 0) return None
+    if ((ipacked & 0x40) != 0) return None // interlaced: rejected
+    var palUse = pal; var palSizeUse = palSize
+    i += 10
+    if ((ipacked & 0x80) != 0) { // local color table overrides
+      val lb = (ipacked & 0x07) + 1
+      val ls = 1 << lb
+      if (i + ls * 3 > p.length) return None
+      val lp = new Array[Int](ls * 3)
+      var q = 0
+      while (q < ls * 3) { lp(q) = u8(i + q); q += 1 }
+      palUse = lp; palSizeUse = ls; i += ls * 3
+    }
+    if (i >= p.length) return None
+    val minCode = u8(i); i += 1
+    if (minCode < 2 || minCode > 11) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // concatenate sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (i < p.length && u8(i) != 0) {
+      val nb = u8(i)
+      if (i + 1 + nb > p.length) return None
+      data.write(p, i + 1, nb); i += 1 + nb
+    }
+    if (i >= p.length || u8(i) != 0) return None
+    i += 1
+    if (i >= p.length || u8(i) != 0x3b) return None // trailer required
+    val bytes = data.toByteArray
+    // LZW decode, LSB-first variable width
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = eoi + 1
+    var width = minCode + 1
+    val out = new Array[Byte](w * h)
+    var outN = 0
+    var bitBuf = 0L; var bitCnt = 0; var bi = 0
+    var prev = -1
+    val stack = new Array[Byte](4096)
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      c
+    }
+    // writes code's byte sequence (plus one extra literal for the KwKwK
+    // case) into out; false on overflow past w·h
+    def writeSeq(code: Int, extra: Int): Boolean = {
+      var sp = 0; var c = code
+      while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val len = sp + 1 + (if (extra >= 0) 1 else 0)
+      if (outN + len > out.length) return false
+      out(outN) = c.toByte; outN += 1
+      while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+      if (extra >= 0) { out(outN) = extra.toByte; outN += 1 }
+      true
+    }
+    var done = false
+    while (!done) {
+      while (bitCnt < width && bi < bytes.length) {
+        bitBuf |= (bytes(bi) & 0xffL) << bitCnt; bitCnt += 8; bi += 1
+      }
+      if (bitCnt < width) return None // truncated before EOI
+      val code = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      if (code == eoi) done = true
+      else if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        if (outN + 1 > out.length) return None
+        out(outN) = code.toByte; outN += 1
+        prev = code
+      } else if (code <= next) {
+        // code == next is the KwKwK case: seq(prev) + first(seq(prev))
+        val first = firstOf(if (code == next) prev else code)
+        val ok =
+          if (code == next) writeSeq(prev, first) else writeSeq(code, -1)
+        if (!ok) return None
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first.toByte; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        } else if (code == next) return None // KwKwK needs a free slot
+        prev = code
+      } else return None // code above the dictionary's next slot
+    }
+    if (outN != w * h) return None // wrong pixel count
+    var v = 0
+    while (v < outN) { if ((out(v) & 0xff) >= palSizeUse) return None; v += 1 }
+    Some((w, h, palSizeUse, palUse, out))
+  }
+
+  /** GIF decode over the asset battery: payload bytes are reduced mod the
+    * palette size into a [[GifN]]² index body, framed as a REAL GIF87a by
+    * [[encodeGif]] and round-tripped through [[decodeGif]] — sub-block
+    * deframing, variable-width LZW and the palette lookup exercised per
+    * row, not faked — then reduced to exact-integer per-channel RGB means
+    * through the color table. On a corpus whose blobs already ARE GIFs
+    * the synthesis step disappears and the identical plan runs.
+    *
+    * Scale shape: one typed mapPartitions (same codec slot as PNG/JPEG —
+    * blob bytes never shuffle), fixed 8-column row per asset out.
+    */
+  def gifDecode(s: SparkSession, dir: String): DataFrame =
+    gifDecodeOf(assets(s, dir))
+
+  private[graft] def gifDecodeOf(assetFrame: DataFrame): DataFrame = {
+    import assetFrame.sparkSession.implicits._
+    assetFrame
+      .filter(length(col("payload")) > 0)
+      .as[MediaAsset]
+      .mapPartitions { it =>
+        it.map { a =>
+          val idx = new Array[Byte](GifN * GifN)
+          var k = 0
+          while (k < idx.length) {
+            idx(k) = ((a.payload(k % a.payload.length) & 0xff) % GifPalSize).toByte
+            k += 1
+          }
+          val gif = encodeGif(GifN, GifN, idx)
+          val (w, h, ps, pal, outIdx) = decodeGif(gif).getOrElse(
+            throw new IllegalStateException(s"GIF round-trip failed: doc ${a.doc_id}"))
+          val sums = new Array[Long](3)
+          var j = 0
+          while (j < outIdx.length) {
+            val q = (outIdx(j) & 0xff) * 3
+            sums(0) += pal(q); sums(1) += pal(q + 1); sums(2) += pal(q + 2)
+            j += 1
+          }
+          val n = w.toLong * h
+          GifDecoded(a.doc_id, a.media_type, w, h, ps, gif.length,
+            sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+        }
+      }
+      .toDF()
+      .withColumn("r_mean", round(col("r_mean"), 6))
+      .withColumn("g_mean", round(col("g_mean"), 6))
+      .withColumn("b_mean", round(col("b_mean"), 6))
+      // LZW output size is engine-only evidence (not SQL-recomputable) —
+      // dropped rather than weakening the hash gate, the png_bytes rule
+      .drop("gif_bytes")
+      .orderBy("doc_id")
+  }
+
   private val HeaderBytes = 8
   private val MagicBytes = 4
 
@@ -2008,7 +2296,8 @@ object Multimodal extends QueryModule {
     "mm_wav_vad" -> (wavVad(_, _)),
     "mm_wav_downsample" -> (wavDownsample(_, _)),
     "mm_png_decode" -> (pngDecode(_, _)),
-    "mm_jpeg_decode" -> (jpegDecode(_, _)))
+    "mm_jpeg_decode" -> (jpegDecode(_, _)),
+    "mm_gif_decode" -> (gifDecode(_, _)))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -2055,6 +2344,29 @@ object Multimodal extends QueryModule {
          |  round(sum(CASE WHEN c = 3 THEN v ELSE 0 END)::DOUBLE / ${PngN * PngN}, 6)
          |    AS alpha_mean
          |FROM s GROUP BY doc_id, media_type, color_type, ch
+         |ORDER BY doc_id""".stripMargin,
+    "mm_gif_decode" ->
+      // the GIF container round-trip (sub-block deframing, variable-width
+      // LZW, palette lookup) is engine-side structure and LOSSLESS; the
+      // oracle recomputes the RGB means from the same mod-palette index
+      // synthesis and the SQL-expressible color-table formula — any LZW
+      // or palette bug breaks the byte-exact round-trip and lands here
+      // as a mean mismatch
+      s"""WITH a AS (
+         |  SELECT doc_id, $mtSql AS media_type, text, length(text)::BIGINT AS len
+         |  FROM documents WHERE length(text) > 0
+         |), s AS (
+         |  SELECT doc_id, media_type,
+         |    ascii(substr(text, ((i % len) + 1)::INT, 1))::BIGINT % $GifPalSize AS k
+         |  FROM (SELECT doc_id, media_type, text, len,
+         |          unnest(range(${GifN * GifN})) AS i FROM a)
+         |)
+         |SELECT doc_id, media_type, $GifN::INT AS width, $GifN::INT AS height,
+         |  $GifPalSize::INT AS palette_size,
+         |  round(sum(k * 4)::DOUBLE / ${GifN * GifN}, 6) AS r_mean,
+         |  round(sum((k * 7) % 256)::DOUBLE / ${GifN * GifN}, 6) AS g_mean,
+         |  round(sum((k * 13) % 256)::DOUBLE / ${GifN * GifN}, 6) AS b_mean
+         |FROM s GROUP BY doc_id, media_type
          |ORDER BY doc_id""".stripMargin,
     "mm_jpeg_decode" ->
       // the compressed round-trip (huffman, dequant, IDCT, color transform)
