@@ -388,7 +388,15 @@ object Dedup extends QueryModule {
     fin
   }
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsAbove(s, dir, JaccardT)
+
+  /** Banded candidates verified by exact Jaccard, kept at `jac >= minJac`
+    * — [[minhashPairs]] at the production [[JaccardT]]; [[thresholdSweep]]
+    * at the sweep grid's floor.
+    */
+  private def minhashPairsAbove(s: SparkSession, dir: String,
+      minJac: Double): DataFrame = {
     // sh feeds the signature path AND both verify sides — persist to avoid
     // re-tokenizing/re-shingling three times (the ngramJaccard lesson).
     val sh = shingled(s, dir)
@@ -403,7 +411,7 @@ object Dedup extends QueryModule {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jac") >= JaccardT)
+      .filter(col("jac") >= minJac)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Materialize the (bounded, verified) pair list, then release the full
@@ -423,6 +431,45 @@ object Dedup extends QueryModule {
     minhashPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+
+  // ------------------------------------------------------ dd_threshold_sweep
+
+  /** Candidate Jaccard thresholds for [[thresholdSweep]] — the range real
+    * near-dup deployments tune in (C4/RefinedWeb-era pipelines sit at
+    * 0.7–0.9).
+    */
+  private[graft] val SweepTs = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Near-dup threshold sweep — the diagnostic that SETS [[JaccardT]], the
+    * way txt_yield_curve sets the length cut and ev_gap_audit the session
+    * gap: for every candidate threshold, the verified pair count and the
+    * documents a keep-min-id dedup would drop at that cut. A curator reads
+    * the curve once instead of re-running the dedup per candidate; the
+    * knee (pairs exploding as t drops) is where near-dup stops being
+    * duplication and starts eating genuine variation.
+    *
+    * Scale shape: ONE banded-candidate + verify pass at the grid's FLOOR
+    * (the sweep adds nothing corpus-scale beyond what dd_neardup already
+    * pays — candidates are banded, never all-pairs), then the bounded
+    * verified-pair frame crossed with the broadcast 5-row grid and rolled
+    * up by threshold (the txt_yield_curve one-pass shape, keyed instead of
+    * stacked because the dropped-doc count needs a per-threshold
+    * distinct).
+    */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairsAbove(s, dir, SweepTs.min)
+    val grid = SweepTs.toDF("threshold")
+    val out = pairs.crossJoin(broadcast(grid))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("jac") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_pairs"),
+        countDistinct(when(col("jac") >= col("threshold"), col("doc_b")))
+          .as("n_dropped_docs"))
+      .orderBy("threshold")
+    materializeThenRelease(out, pairs)
+  }
 
   // ------------------------------------------------------- dd_lsh_recall
 
@@ -1497,6 +1544,7 @@ object Dedup extends QueryModule {
     "dd_decontaminate" -> (decontaminate(_, _)),
     "dd_simhash" -> (simhash(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "dd_threshold_sweep" -> (thresholdSweep(_, _)),
     "dd_embed_neardup" -> (embedNearDup(_, _)),
     "dd_semantic_decontaminate" -> (semanticDecontaminate(_, _)),
     "dd_passage_overlap" -> (passageOverlap(_, _)),
@@ -1689,6 +1737,15 @@ object Dedup extends QueryModule {
       s"""WITH $neardupVerSql
          |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM ver
          |WHERE jac >= $JaccardT ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_threshold_sweep" ->
+      s"""WITH $neardupVerSql, thr AS (
+         |  SELECT unnest([${SweepTs.mkString(", ")}])::DOUBLE AS threshold
+         |)
+         |SELECT threshold,
+         |  sum(CASE WHEN jac >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_pairs,
+         |  count(DISTINCT CASE WHEN jac >= threshold THEN doc_b END)::BIGINT
+         |    AS n_dropped_docs
+         |FROM ver, thr GROUP BY threshold ORDER BY threshold""".stripMargin,
     "dd_lsh_recall" ->
       // truth side as plain inverted-index all-pairs (oracle compactness
       // over efficiency, the dd_ngram_jaccard precedent) — identical pair

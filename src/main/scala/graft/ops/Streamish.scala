@@ -200,8 +200,21 @@ object Streamish extends QueryModule {
     * a side actually fits and a shuffled hash join (on the same high-
     * cardinality user_id both sides already aggregate on) when it doesn't.
     */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelStagesOf(Tables.events(s, dir))
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy("user_id")
+
+  /** The per-user stage-timestamp frame (user_id, t_view, t_click,
+    * t_purchase, NULL past the user's exit) — the shared core of
+    * [[funnel]] and [[funnelTtc]].
+    */
+  private[graft] def funnelStagesOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
     val tView = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t_view"))
     val tClick = ev.filter(col("event_type") === "click")
@@ -216,12 +229,49 @@ object Streamish extends QueryModule {
       .join(tView, Seq("user_id"), "left")
       .join(tClick, Seq("user_id"), "left")
       .join(tPurchase, Seq("user_id"), "left")
-      .withColumn("stage",
-        when(col("t_purchase").isNotNull, 3)
-          .when(col("t_click").isNotNull, 2)
-          .when(col("t_view").isNotNull, 1)
-          .otherwise(0))
-      .orderBy("user_id")
+  }
+
+  // ----------------------------------------------------------- ev_funnel_ttc
+
+  /** Funnel time-to-convert — the latency half of the funnel readout
+    * ([[funnel]] counts WHO converts; this measures HOW LONG each hop
+    * takes): per transition (view→click, click→purchase, and end-to-end
+    * view→purchase) the completing-user count and the p50/p90/max of the
+    * gap, in integer microseconds. The p90 is what an abandonment window
+    * or a retargeting delay is actually set from — the
+    * threshold-setting-diagnostic family (ev_gap_audit, txt_yield_curve).
+    *
+    * Scale shape: the shared [[funnelStagesOf]] frame collapses the log to
+    * one row per user; `stack` unrolls it to ≤ 3 gap rows per user (a
+    * per-row generate, no shuffle), the rollup is a hash aggregate onto 3
+    * rows, and the quantiles ride [[Quantiles.exact]]'s bounded-state rank
+    * selection — gaps are near-unique µs, exactly the domain where the
+    * value-buffering `percentile` dies.
+    */
+  def funnelTtc(s: SparkSession, dir: String): DataFrame =
+    funnelTtcOf(Tables.events(s, dir))
+
+  private[graft] def funnelTtcOf(events: DataFrame): DataFrame = {
+    val gaps = funnelStagesOf(events)
+      .selectExpr(
+        "stack(3, " +
+          "'1_view_to_click', unix_micros(t_click) - unix_micros(t_view), " +
+          "'2_click_to_purchase', unix_micros(t_purchase) - unix_micros(t_click), " +
+          "'3_view_to_purchase', unix_micros(t_purchase) - unix_micros(t_view)" +
+          ") AS (step, gap_us)")
+      .filter(col("gap_us").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = gaps.groupBy("step")
+      .agg(count(lit(1)).as("n_users"), max("gap_us").as("max_gap_us"))
+    val qs = Quantiles.exact(gaps, Seq("step"), "gap_us",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+    val out = stats.join(broadcast(qs), "step")
+      .select(col("step"), col("n_users"),
+        round(col("p50"), 4).as("p50_gap_us"),
+        round(col("p90"), 4).as("p90_gap_us"),
+        col("max_gap_us"))
+      .orderBy("step")
+    Dedup.materializeThenRelease(out, gaps)
   }
 
   // ------------------------------------------------------------ ev_retention
@@ -1403,9 +1453,37 @@ object Streamish extends QueryModule {
     "ev_json" -> (jsonProps(_, _)),
     "ev_asof" -> (asofJoin(_, _)),
     "ev_attribution" -> (attribution(_, _)),
-    "ev_funnel" -> (funnel(_, _)))
+    "ev_funnel" -> (funnel(_, _)),
+    "ev_funnel_ttc" -> (funnelTtc(_, _)))
 
   // ------------------------------------------------------------ oracle SQL
+
+  /** Per-user funnel stage timestamps as a CTE chain ending in
+    * `st(user_id, t_view, t_click, t_purchase)` — the SQL twin of
+    * [[funnelStagesOf]], shared by the ev_funnel and ev_funnel_ttc
+    * oracles so the strictly-after step semantics cannot drift apart.
+    */
+  private lazy val funnelStagesSql =
+    """u AS (
+      |  SELECT DISTINCT user_id FROM events
+      |), v AS (
+      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click
+      |  GROUP BY e.user_id
+      |), st AS (
+      |  SELECT u.user_id, t_view, t_click, t_purchase
+      |  FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |    LEFT JOIN p USING (user_id)
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ev_windowed_topk" ->
@@ -1946,30 +2024,32 @@ object Streamish extends QueryModule {
         |  (epoch_us(ts) - epoch_us(last_click_ts))::DOUBLE / 1000000.0 AS gap_sec
         |FROM lk WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
     "ev_funnel" ->
-      """WITH u AS (
-        |  SELECT DISTINCT user_id FROM events
-        |), v AS (
-        |  SELECT user_id, min(ts::TIMESTAMP) AS t_view
-        |  FROM events WHERE event_type = 'view' GROUP BY user_id
-        |), c AS (
-        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
-        |  FROM events e JOIN v ON e.user_id = v.user_id
-        |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view
-        |  GROUP BY e.user_id
-        |), p AS (
-        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
-        |  FROM events e JOIN c ON e.user_id = c.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click
-        |  GROUP BY e.user_id
-        |)
-        |SELECT u.user_id, t_view, t_click, t_purchase,
+      s"""WITH $funnelStagesSql
+        |SELECT user_id, t_view, t_click, t_purchase,
         |  CASE WHEN t_purchase IS NOT NULL THEN 3
         |       WHEN t_click IS NOT NULL THEN 2
         |       WHEN t_view IS NOT NULL THEN 1
         |       ELSE 0 END AS stage
-        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
-        |  LEFT JOIN p USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+        |FROM st ORDER BY user_id""".stripMargin,
+    "ev_funnel_ttc" ->
+      s"""WITH $funnelStagesSql, g AS (
+        |  SELECT '1_view_to_click' AS step,
+        |    epoch_us(t_click) - epoch_us(t_view) AS gap_us
+        |  FROM st WHERE t_click IS NOT NULL
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase',
+        |    epoch_us(t_purchase) - epoch_us(t_click)
+        |  FROM st WHERE t_purchase IS NOT NULL
+        |  UNION ALL
+        |  SELECT '3_view_to_purchase',
+        |    epoch_us(t_purchase) - epoch_us(t_view)
+        |  FROM st WHERE t_purchase IS NOT NULL
+        |)
+        |SELECT step, count(*)::BIGINT AS n_users,
+        |  round(quantile_cont(gap_us, 0.5), 4) AS p50_gap_us,
+        |  round(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us,
+        |  max(gap_us)::BIGINT AS max_gap_us
+        |FROM g GROUP BY step ORDER BY step""".stripMargin,
     "ev_attribution" ->
       s"""WITH c AS (
          |  SELECT event_id AS click_id, user_id, epoch_us(ts::TIMESTAMP) AS c_us

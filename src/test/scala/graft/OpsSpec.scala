@@ -414,6 +414,43 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._2).toMap === byAssigned)
   }
 
+  test("ev_funnel_ttc: hand-built funnel gaps with interpolated p50/p90") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00").getTime)
+    // u1 completes the funnel (v d1, c d2, p d4); u2 stalls after click
+    // (v d1, c d3); u3 views only -> no gap rows
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(4), "purchase"),
+      (2L, ts(1), "view"), (2L, ts(3), "click"),
+      (3L, ts(1), "view"))
+    val out = graft.ops.Streamish.funnelTtcOf(ev.toDF("user_id", "ts", "event_type"))
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    val d = 86400000000L // one day in µs
+    // view->click gaps {1d, 2d}: p50 = 1.5d, p90 = 1.9d (interpolated)
+    assert(out === Seq(
+      ("1_view_to_click", 2L, 1.5 * d, 1.9 * d, 2 * d),
+      ("2_click_to_purchase", 1L, 2.0 * d, 2.0 * d, 2 * d),
+      ("3_view_to_purchase", 1L, 3.0 * d, 3.0 * d, 3 * d)))
+  }
+
+  test("dd_threshold_sweep: monotone yields and agreement with dd_neardup at the production cut") {
+    import spark.implicits._
+    val sweep = graft.ops.Dedup.thresholdSweep(spark, dir)
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(sweep.map(_._1) === graft.ops.Dedup.SweepTs)
+    // yields can only fall as the threshold rises
+    sweep.sliding(2).foreach {
+      case Seq((_, p1, d1), (_, p2, d2)) => assert(p2 <= p1 && d2 <= d1)
+      case _ =>
+    }
+    // the 0.8 row must agree with the production dd_neardup pair list
+    val prod = graft.ops.Dedup.minhashNearDup(spark, dir)
+    val at08 = sweep.find(_._1 == 0.8).get
+    assert(at08._2 === prod.count())
+    assert(at08._3 === prod.select("doc_b").distinct().count())
+  }
+
   test("ev_change_point: planted level shift peaks at the horizon, flat series stays flat") {
     import spark.implicits._
     def ts(day: Int) = new java.sql.Timestamp(

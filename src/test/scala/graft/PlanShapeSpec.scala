@@ -35,6 +35,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "txt_vocab_coverage", "dd_cluster_stats",
     "sim_semantic_dedup", // same bounded centroid-broadcast subtree
     "txt_collocations", // 1-row (nu, nb) corpus-totals scalar broadcast
+    "dd_threshold_sweep", // 5-row threshold-grid broadcast onto bounded pairs
     "q_tpch_q11", // 1-row value-threshold scalar broadcast
     "q_tpch_q22", // 1-row avg-balance scalar broadcast
     "ev_lift", // 1-row user-count scalar broadcast
