@@ -443,7 +443,11 @@ object Dedup extends QueryModule {
   /** Near-dup threshold sweep — the diagnostic that SETS [[JaccardT]], the
     * way txt_yield_curve sets the length cut and ev_gap_audit the session
     * gap: for every candidate threshold, the verified pair count and the
-    * documents a keep-min-id dedup would drop at that cut. A curator reads
+    * docs with at least one SMALLER-ID near-dup neighbor at the cut (the
+    * pairwise keep-min rule; a full connected-components keep-min — see
+    * [[cluster]] — can drop slightly more, via docs reached only through
+    * larger-id neighbors, so this column is the cheap per-threshold lower
+    * bound, not the transitive drop count). A curator reads
     * the curve once instead of re-running the dedup per candidate; the
     * knee (pairs exploding as t drops) is where near-dup stops being
     * duplication and starts eating genuine variation.
@@ -709,12 +713,13 @@ object Dedup extends QueryModule {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(MEMORY_AND_DISK)
-    // Eager checkpoint per round: materializes the labels AND truncates
-    // plan lineage to a LogicalRDD. Without it each round's plan embeds
-    // the previous round's TWICE (stepped feeds both sides of the jump
-    // join) — exponential plan growth that OOMs the driver around round 8.
-    // The previous round's checkpoint is released explicitly once the next
-    // round is materialized (catalog.clearCache can't see checkpoint
+    // Eager checkpoint per ITERATION (= two fused rounds since r18):
+    // materializes the labels AND truncates plan lineage to a LogicalRDD.
+    // Without it each round's plan embeds the previous round's TWICE
+    // (stepped feeds both sides of the jump join) — exponential plan
+    // growth that OOMs the driver around round 8.
+    // The previous iteration's checkpoint is released explicitly once the
+    // next is materialized (catalog.clearCache can't see checkpoint
     // state, and waiting for the ContextCleaner would let one full
     // label-table copy per round accumulate on a long convergence).
     //
@@ -748,29 +753,49 @@ object Dedup extends QueryModule {
       })
     // superseded rounds: blocks AND files go eagerly (O(1 round) store)
     def release(df: DataFrame): Unit = { releaseBlocks(df); deleteFiles(df) }
+    // One monotone round (neighbor-min + pointer jump); `old_label` rides
+    // through untouched so the caller can fuse several rounds into one
+    // lineage and still test convergence against the iteration's START.
+    def round(lab: DataFrame): DataFrame = {
+      val viaNbr = edges
+        .join(lab.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node")).agg(min("label").as("nbr_label"))
+      val stepped = lab.join(viaNbr, Seq("node"), "left")
+        .select(col("node"), col("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid"))
+      // node → mid mapping, re-keyed so joining on v.mid yields mid[mid[v]]
+      val ptr = stepped.select(col("node").as("ptr_node"), col("mid").as("ptr_label"))
+      stepped.join(ptr, stepped("mid") === ptr("ptr_node"), "left")
+        .select(col("node"), col("old_label"),
+          least(col("mid"), coalesce(col("ptr_label"), col("mid"))).as("label"))
+    }
     var chk = materialize(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
     var labels = chk
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
-      rounds += 1
-      val viaNbr = edges
-        .join(labels.select(col("node").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("node")).agg(min("label").as("nbr_label"))
-      val stepped = labels.join(viaNbr, Seq("node"), "left")
-        .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid"))
-      // node → mid mapping, re-keyed so joining on v.mid yields mid[mid[v]]
-      val ptr = stepped.select(col("node").as("ptr_node"), col("mid").as("ptr_label"))
-      val next = materialize(stepped
-        .join(ptr, stepped("mid") === ptr("ptr_node"), "left")
-        .select(col("node"),
-          least(col("mid"), coalesce(col("ptr_label"), col("mid"))).as("label"),
-          (least(col("mid"), coalesce(col("ptr_label"), col("mid")))
-            < col("old_label")).as("chg")))
+      // TWO rounds per barrier (r18): the per-round checkpoint+count pair
+      // was the dominant term of dd_cluster's local-cluster dispatch tax
+      // (+4.6 s, the r17 verdict's largest cluster delta) — labels only
+      // ever DECREASE, so convergence checked every second round is the
+      // same fixpoint, reached with half the barriers at the cost of at
+      // most one no-op round of joins. The mid-iteration frame is a plain
+      // persist, not a checkpoint: it bounds plan growth and intra-
+      // iteration recompute while keeping its lineage rooted at the
+      // previous checkpoint, so the reliable-mode recovery story (an
+      // executor death mid-iteration replays from the last durable round)
+      // is unchanged — OpsSpec's block-loss tests pin both modes.
+      rounds += 2
+      val r1 = round(labels.select(col("node"), col("label").as("old_label"),
+          col("label")))
+        .persist(MEMORY_AND_DISK)
+      val next = materialize(round(r1)
+        .select(col("node"), col("label"),
+          (col("label") < col("old_label")).as("chg")))
       changed = next.filter(col("chg")).count() // next materialized, THEN...
       release(chk) // ...last round's blocks / checkpoint files go
+      r1.unpersist(false)
       chk = next
       labels = next.select("node", "label")
     }
@@ -1000,12 +1025,24 @@ object Dedup extends QueryModule {
       .filter(col("pos") <= col("n") - ceil(col("n") * lit(GramJaccardT)) + 1 &&
         col("df") >= 2)
       .select("doc_id", "bk", "gram", "pos", "n")
-      // cached PRE-PARTITIONED AND PRE-SORTED on the self-join keys: the
-      // cached plan reports HashPartitioning(bk, gram) + matching order,
-      // so the self-join below plans with ZERO exchanges and ZERO sorts —
-      // one prefix shuffle total where the plain cache paid it once per
-      // join side (measured at the r17 factor-100 stage probe: 2 × 665 MB)
-      .repartition(col("bk"), col("gram"))
+      // cached PRE-PARTITIONED on bk ALONE and PRE-SORTED on the self-join
+      // keys: HashPartitioning(bk) satisfies the join's clustering (bk is
+      // a subset of the equi-keys) and the (bk, gram) order feeds the SMJ,
+      // so the self-join still plans with ZERO exchanges and ZERO sorts —
+      // one prefix shuffle total (the r17 (bk, gram) version measured
+      // 2 × 665 MB saved vs a plain cache). bk-only is the r18 lever on
+      // the WITNESS-PAIR aggregate, the query's fattest remaining stage
+      // (3.36 GB at the r17 factor-100 probe): candidate pairs live
+      // entirely inside one block, so co-partitioning by bk puts EVERY
+      // witness of a pair in the same partition and the aggregate's
+      // map-side combine collapses each pair to ONE row before the
+      // exchange — under (bk, gram) a pair's ~cnt witnesses scattered
+      // across partitions and the combine caught almost nothing. Skew
+      // note: a block's whole witness volume now lands on one task, but
+      // blocks are (lang × 16-char length bucket) — thousands of cells
+      // with bounded population; the per-gram d²/2 witness blowup was
+      // single-partition under either scheme.
+      .repartition(col("bk"))
       .sortWithinPartitions("bk", "gram")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin-style candidate pruning (Xiao et al., WWW'08), applied while

@@ -64,6 +64,14 @@ final case class GifDecoded(doc_id: Long, media_type: String, width: Int,
   * operator below works on the BYTES, never the string: the same plans run
   * unchanged on real jpeg/wav blobs.
   *
+  * ASCII-corpus assumption (shared by every oracle in [[oracles]]): the
+  * engine side indexes PAYLOAD BYTES while the oracles index text with
+  * character-based `ascii(substr(text, i, 1))` / `length(text)` — on pure
+  * ASCII the two are identical, but any non-ASCII fixture breaks the
+  * equivalence (byte count ≠ char count, byte value ≠ code point). A
+  * non-ASCII corpus needs the oracles rewritten on `octet_length` + a
+  * bytes view of `text` before the hash gate means anything.
+  *
   * Decode itself (the codec) is STUBBED — no image/audio libraries exist in
   * this container — as a deterministic fake that treats payload bytes as
   * decoded samples ([[Multimodal.decodeStub]], clearly marked). Everything
@@ -2070,8 +2078,11 @@ object Multimodal extends QueryModule {
     * [[encodeGif]] and round-tripped through [[decodeGif]] — sub-block
     * deframing, variable-width LZW and the palette lookup exercised per
     * row, not faked — then reduced to exact-integer per-channel RGB means
-    * through the color table. On a corpus whose blobs already ARE GIFs
-    * the synthesis step disappears and the identical plan runs.
+    * through the color table. [[decodeGif]] is the strict single-image
+    * round-trip half (trailer immediately after the first image;
+    * animations and trailing extensions rejected) — a real-GIF corpus
+    * would additionally need a sniff-and-passthrough branch in place of
+    * the synthesis step before this plan ran unchanged.
     *
     * Scale shape: one typed mapPartitions (same codec slot as PNG/JPEG —
     * blob bytes never shuffle), fixed 8-column row per asset out.

@@ -191,7 +191,7 @@ object Pipeline extends QueryModule {
         sum("score").as("sum_margin"),
         min("score").as("min_margin"), max("score").as("max_margin"))
       .orderBy("split", "tier")
-    Dedup.materializeThenRelease(out, scored)
+    Dedup.materializeThenRelease(out, scored, cuts)
   }
 
   /** Tokens drawn per training epoch, apportioned by [[epochPlan]]. */

@@ -906,13 +906,12 @@ object Relational extends QueryModule {
       .select(col("o_orderpriority").as("priority"),
         col("o_totalprice").cast("double").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // med is |priorities| rows but its LINEAGE is the whole first quantile
-    // pipeline — and the second Quantiles.exact call evaluates its input
-    // ~4 times (bounds, bucketing, ranking, cells), so an unpersisted med
-    // re-runs the entire first pass inside every one of them (measured:
-    // 204 s at factor 100 unpersisted vs one-pass cost ~3× a single call).
+    // Quantiles.exact evaluates its input ~4-5× and its lineage would
+    // otherwise re-run the whole first pass per evaluation (measured here:
+    // 204 s at factor 100 unpersisted vs 59.8 s); as of r18 the module
+    // persists its projection AND returns med already materialized into
+    // its own bounded cache — released below with the corpus frame.
     val med = Quantiles.exact(o, Seq("priority"), "v", Seq("med" -> 0.5))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dev = o.join(broadcast(med), "priority")
       .select(col("priority"), col("v"), col("med"),
         abs(col("v") - col("med")).as("ad"))
@@ -931,7 +930,7 @@ object Relational extends QueryModule {
         round(col("n_outliers").cast("double") / col("n"), 6)
           .as("outlier_rate"))
       .orderBy("priority")
-    Dedup.materializeThenRelease(out, o, med)
+    Dedup.materializeThenRelease(out, o, med, mad)
   }
 
   private[graft] def giniOf(orders: DataFrame, customer: DataFrame,

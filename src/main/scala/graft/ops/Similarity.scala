@@ -1069,7 +1069,7 @@ object Similarity extends QueryModule {
         round(col("c_lo"), 6).as("cut_lo"),
         (col("cos") < col("c_lo")).as("outlier"))
       .orderBy("vec_id")
-    Dedup.materializeThenRelease(out, a)
+    Dedup.materializeThenRelease(out, a, cuts)
   }
 
   // ----------------------------------------------------- sim_cluster_purity
@@ -1181,7 +1181,7 @@ object Similarity extends QueryModule {
         round(col("median_sil"), 6).as("median_sil"),
         round(col("mn"), 6).as("min_sil"))
       .orderBy("assigned")
-    Dedup.materializeThenRelease(out, sil)
+    Dedup.materializeThenRelease(out, sil, med)
   }
 
   // ---------------------------------------------------- sim_semantic_dedup

@@ -271,7 +271,7 @@ object Streamish extends QueryModule {
         round(col("p90"), 4).as("p90_gap_us"),
         col("max_gap_us"))
       .orderBy("step")
-    Dedup.materializeThenRelease(out, gaps)
+    Dedup.materializeThenRelease(out, gaps, qs)
   }
 
   // ------------------------------------------------------------ ev_retention
@@ -622,22 +622,27 @@ object Streamish extends QueryModule {
         .rowsBetween(Window.unboundedPreceding, -1)))
       .join(broadcast(chunkPrefix), "ck")
       .select(col("b"), greatest(col("imx"), col("pmx")).as("hwm"))
+    // late is the corpus-scale events⋈hwm join feeding BOTH the counting
+    // rollup and the quantile pass — persist so the join runs once (the
+    // Quantiles module caches only its own 2-column projection).
     val late = e.join(hwm, "b")
       .withColumn("late_us",
         greatest(lit(0L), coalesce(col("hwm") - col("ts_us"), lit(0L))))
       .select("event_type", "late_us")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = late.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
         max("late_us").as("max_late_us"))
     val qs = Quantiles.exact(late, Seq("event_type"), "late_us",
       Seq("p95" -> 0.95, "p99" -> 0.99))
-    stats.join(qs, "event_type")
+    val out = stats.join(qs, "event_type")
       .select(col("event_type"), col("n_events"), col("n_late"),
         col("max_late_us"),
         round(col("p95"), 4).as("p95_late_us"),
         round(col("p99"), 4).as("p99_late_us"))
       .orderBy("event_type")
+    Dedup.materializeThenRelease(out, late, qs)
   }
 
   // ----------------------------------------------------- ev_growth_accounting
@@ -721,25 +726,30 @@ object Streamish extends QueryModule {
 
   private[graft] def gapAuditOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // gaps is the user-keyed lag window over the full log, read by BOTH
+    // the counting rollup and the quantile pass — persist so the window
+    // runs once (Quantiles caches only its own 2-column projection).
     val gaps = events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("ts"))
       .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
       .filter(col("gap_us").isNotNull)
       .select("event_type", "gap_us")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = gaps.groupBy("event_type")
       .agg(count(lit(1)).as("n_gaps"),
         sum(when(col("gap_us") > GapUs, 1L).otherwise(0L))
           .as("n_over_session_gap"))
     val qs = Quantiles.exact(gaps, Seq("event_type"), "gap_us",
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
-    stats.join(qs, "event_type")
+    val out = stats.join(qs, "event_type")
       .select(col("event_type"), col("n_gaps"),
         round(col("p50"), 4).as("p50_gap_us"),
         round(col("p90"), 4).as("p90_gap_us"),
         round(col("p99"), 4).as("p99_gap_us"),
         col("n_over_session_gap"))
       .orderBy("event_type")
+    Dedup.materializeThenRelease(out, gaps, qs)
   }
 
   // ------------------------------------------------------ ev_dau_stickiness
@@ -900,10 +910,14 @@ object Streamish extends QueryModule {
     */
   private[graft] def rfmFromBase(perUser: DataFrame): DataFrame = {
     val anchor = broadcast(perUser.agg(max("last_day").as("corpus_day")))
+    // base (one row per user) feeds the stacked quantile pass AND the
+    // scoring join — persist so the per-user profile aggregate runs once
+    // (Quantiles caches only its own 2-column projection of the stack).
     val base = perUser.crossJoin(anchor)
       .select(col("user_id"),
         datediff(col("corpus_day"), col("last_day")).cast("long").as("recency_days"),
         col("n_events"), col("monetary_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stacked = base.select(expr(
       """stack(3, 'r', cast(recency_days as double),
         |         'f', cast(n_events as double),
@@ -919,7 +933,7 @@ object Streamish extends QueryModule {
     def above(x: Column, cutsCol: String): Column =
       (1 to 4).map(i =>
         when(x > element_at(col(cutsCol), i), 1L).otherwise(0L)).reduce(_ + _)
-    base.crossJoin(cuts)
+    val out = base.crossJoin(cuts)
       .select(col("user_id"), col("recency_days"), col("n_events"),
         col("monetary_cents"),
         (lit(5L) - above(col("recency_days"), "rc")).as("r_score"),
@@ -928,6 +942,7 @@ object Streamish extends QueryModule {
       .withColumn("rfm",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy("user_id")
+    Dedup.materializeThenRelease(out, base, cutsPerMetric)
   }
 
   // -------------------------------------------------------------- ev_ab_test
@@ -1084,13 +1099,19 @@ object Streamish extends QueryModule {
       (lit(1.0) / col("users_c") + lit(1.0) / col("users_t")))
     val mde = zsum * se
     val obs = rt - rc
+    // Degenerate-assignment guard: if every user hashed to one variant,
+    // rc/rt/se divide by zero and NaN/Infinity propagate into a
+    // cross-engine-fragile `detectable` verdict — every readout that
+    // touches an arm rate goes NULL instead (abTest guards se > 0; this is
+    // the same discipline, mirrored in the oracle's CASE).
+    val armed = col("users_c") > 0 && col("users_t") > 0
     agg.select(col("users_c"), col("users_t"),
-      round(p, 6).as("rate_pooled"),
-      round(mde, 6).as("mde_abs"),
-      when(p > 0, round(mde / p, 6)).otherwise(lit(null)).as("mde_rel"),
-      round(obs, 6).as("obs_lift"),
-      (abs(obs) >= mde).as("detectable"),
-      when(abs(obs) > 0,
+      when(armed, round(p, 6)).otherwise(lit(null)).as("rate_pooled"),
+      when(armed, round(mde, 6)).otherwise(lit(null)).as("mde_abs"),
+      when(armed && p > 0, round(mde / p, 6)).otherwise(lit(null)).as("mde_rel"),
+      when(armed, round(obs, 6)).otherwise(lit(null)).as("obs_lift"),
+      when(armed, abs(obs) >= mde).otherwise(lit(null)).as("detectable"),
+      when(armed && abs(obs) > 0,
         ceil(lit(2.0) * (zsum * zsum) * p * (lit(1.0) - p) / (obs * obs))
           .cast("long")).otherwise(lit(null)).as("n_req_per_arm"))
   }
@@ -1848,12 +1869,17 @@ object Streamish extends QueryModule {
         |  FROM k
         |)
         |SELECT users_c, users_t,
-        |  round(p, 6) AS rate_pooled,
-        |  round(mde, 6) AS mde_abs,
-        |  CASE WHEN p > 0 THEN round(mde / p, 6) END AS mde_rel,
-        |  round(obs, 6) AS obs_lift,
-        |  abs(obs) >= mde AS detectable,
-        |  CASE WHEN abs(obs) > 0 THEN
+        |  CASE WHEN users_c > 0 AND users_t > 0
+        |    THEN round(p, 6) END AS rate_pooled,
+        |  CASE WHEN users_c > 0 AND users_t > 0
+        |    THEN round(mde, 6) END AS mde_abs,
+        |  CASE WHEN users_c > 0 AND users_t > 0 AND p > 0
+        |    THEN round(mde / p, 6) END AS mde_rel,
+        |  CASE WHEN users_c > 0 AND users_t > 0
+        |    THEN round(obs, 6) END AS obs_lift,
+        |  CASE WHEN users_c > 0 AND users_t > 0
+        |    THEN abs(obs) >= mde END AS detectable,
+        |  CASE WHEN users_c > 0 AND users_t > 0 AND abs(obs) > 0 THEN
         |    ceil(2.0 * (zsum * zsum) * p * (1.0 - p) / (obs * obs))::BIGINT
         |  END AS n_req_per_arm
         |FROM s""".stripMargin,

@@ -1237,17 +1237,18 @@ object TextOps extends QueryModule {
     // p·(n−1) on identical doubles (parity pinned by q_percentiles)
     val cuts = Quantiles.exact(scored, Seq.empty, "ppl",
       Seq("q33" -> 0.3333333333333333, "q66" -> 0.6666666666666666))
-    scored.crossJoin(broadcast(cuts))
+    val out = scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("ppl"),
         when(col("ppl").isNull, "unscoreable")
           .when(col("ppl") <= col("q33"), "head")
           .when(col("ppl") <= col("q66"), "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
-    // LAZY return, scored left as the query's one cached frame — the
-    // knPerplexityOf reasoning; scored and the output are the same per-doc
-    // row count, so retaining the input side costs nothing extra while the
-    // eager swap cost a full LM-scoring pass.
+    // Eager since r18: Quantiles.exact now returns its cuts materialized
+    // into their own cache, so the query must end with exactly one
+    // surviving frame — materialize the (same-row-count) bucketed output
+    // and release both the LM-score cache and the 1-row cuts cache.
+    graft.ops.Dedup.materializeThenRelease(out, scored, cuts)
   }
 
   // ------------------------------------------------------- txt_mix_weights
