@@ -1598,6 +1598,240 @@ object TextOps extends QueryModule {
     out
   }
 
+  // ------------------------------------------------------ txt_unigram_train
+
+  private[graft] val UniPieceMax = 4  // longest candidate piece (chars)
+  private[graft] val UniWordMax = 8   // trainable word length cap (documented)
+  private[graft] val UniSeedKeep = 44 // multi-char pieces surviving the seed cut
+  private[graft] val UniPruneKeep = 24 // multi-char pieces surviving the EM prune
+
+  /** The shared Viterbi-segmentation expression chain — ONE generator emits
+    * the (alias, expression) list for BOTH engines (Spark `selectExpr` and
+    * the DuckDB oracle's lateral-alias SELECT), so the arithmetic cannot
+    * drift token-for-token. The chain is the classic unigram-LM dynamic
+    * program (Kudo 2018, SentencePiece — public algorithm), unrolled to
+    * the [[UniWordMax]] position bound:
+    *
+    *   dp[0] = 1;  dp[j] = max over l ≤ [[UniPieceMax]] of
+    *               dp[j−l] · p(substring(w, j−l+1, l))
+    *
+    * then a backtrack of ≤ [[UniWordMax]] steps emitting the argmax path
+    * (ties broken toward the LONGEST piece — the CASE probes l descending).
+    * Every probability is count/total — ONE double division — and the DP
+    * composes them with only `*`, `greatest`, and `=`: no transcendentals,
+    * no reordering freedom, so the doubles are bit-identical across
+    * engines (the ev_anomaly fixed-expression rule; log-space would hit
+    * libm-vs-JDK `ln` divergence). Missing pieces read as 0.0 and every
+    * inventory keeps all single characters, so dp[len] > 0 always.
+    *
+    * `lookup(sub)` renders a map probe (`try_element_at` / `map_extract`),
+    * `arrIdx` a 1-based list index, `arrayCtor` a list literal.
+    */
+  private def uniSegExprs(lookup: String => String,
+      arrIdx: (String, String) => String,
+      arrayCtor: Seq[String] => String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    out += ("dp0" -> "CAST(1.0 AS DOUBLE)")
+    for (j <- 1 to UniWordMax) {
+      val opts = (1 to UniPieceMax).filter(_ <= j).map(l =>
+        s"(dp${j - l} * ${lookup(s"substring(w, ${j - l + 1}, $l)")})")
+      out += (s"dp$j" ->
+        (if (opts.size == 1) opts.head
+         else opts.mkString("greatest(", ", ", ")")))
+    }
+    out += ("dparr" -> arrayCtor((0 to UniWordMax).map(j => s"dp$j")))
+    out += ("pos0" -> "CAST(length(w) AS INT)")
+    for (k <- 1 to UniWordMax) {
+      val pos = s"pos${k - 1}"
+      for (l <- 1 to UniPieceMax)
+        out += (s"v${k}_$l" ->
+          (s"CASE WHEN $pos >= $l THEN " +
+            s"${arrIdx("dparr", s"$pos - $l + 1")} * " +
+            s"${lookup(s"substring(w, $pos - $l + 1, $l)")} " +
+            "ELSE CAST(-1.0 AS DOUBLE) END"))
+      out += (s"bk$k" ->
+        (1 to UniPieceMax).map(l => s"v${k}_$l")
+          .mkString("greatest(", ", ", ")"))
+      out += (s"lk$k" ->
+        (s"CASE WHEN $pos <= 0 THEN 0 " +
+          (UniPieceMax to 1 by -1)
+            .map(l => s"WHEN v${k}_$l = bk$k THEN $l").mkString(" ") +
+          " ELSE 0 END"))
+      out += (s"pc$k" ->
+        s"CASE WHEN lk$k > 0 THEN substring(w, $pos - lk$k + 1, lk$k) END")
+      out += (s"pos$k" -> s"$pos - lk$k")
+    }
+    out.result()
+  }
+
+  /** Viterbi-segment every vocab word under the one-row probability map
+    * `pm` (column `m`): returns (w, f, pieces). One broadcast of an
+    * ~(|chars| + [[UniSeedKeep]])-entry map, vocab-scale expression work,
+    * zero shuffles.
+    *
+    * Each chain expression lands in its OWN projection (withColumn), so a
+    * reference like `dp7` stays an attribute of the previous layer. A
+    * single lateral-alias SELECT would textually inline the recurrence —
+    * dp8 expands dp7..dp4, each of those expands four more — an
+    * exponentially-sized expression tree that hangs the analyzer (measured:
+    * Catalyst walked minutes of TreeNode.exists before this split; the
+    * oracle layers its subqueries for the same reason). CollapseProject
+    * keeps the layers apart because every dp/pos alias is non-cheap and
+    * multiply-referenced.
+    */
+  private def segmentWords(vocab: DataFrame, pm: DataFrame): DataFrame = {
+    val pieces = (1 to UniWordMax).map("pc" + _).mkString("array(", ", ", ")")
+    var df = vocab.crossJoin(broadcast(pm))
+    uniSegExprs(
+      sub => s"coalesce(try_element_at(m, $sub), CAST(0.0 AS DOUBLE))",
+      (a, i) => s"try_element_at($a, $i)",
+      xs => xs.mkString("array(", ", ", ")"))
+      .foreach { case (n, e) => df = df.withColumn(n, expr(e)) }
+    df.withColumn("pieces", expr(s"filter($pieces, x -> x IS NOT NULL)"))
+      .select("w", "f", "pieces")
+  }
+
+  /** Piece table (piece, cnt) → one-row broadcastable probability map:
+    * p = cnt / Σcnt, the single double division per piece.
+    */
+  private def pieceMap(pieces: DataFrame): DataFrame =
+    pieces.crossJoin(broadcast(pieces.groupBy().agg(sum("cnt").as("t"))))
+      .select(col("piece"), (col("cnt").cast("double") / col("t")).as("p"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("p")))).as("m"))
+
+  /** The unigram-LM training loop (SentencePiece-style hard-EM + prune —
+    * the second real tokenizer family beside [[bpeTrain]]'s merge learner):
+    * seed inventory = all substrings of length ≤ [[UniPieceMax]]
+    * occurrence-weighted by word frequency, cut to all single chars + the
+    * top [[UniSeedKeep]] multi-char (count desc, piece asc — the
+    * deterministic tiebreak both engines share); Viterbi-segment the vocab
+    * under seed probabilities; re-estimate counts from piece USAGE; prune
+    * to all chars (add-one smoothed — the coverage floor SentencePiece
+    * guarantees, so no word ever loses its last path) + the top
+    * [[UniPruneKeep]] multi-char; re-segment under the pruned model.
+    * Returns the final segmentation (w, f, pieces) + the checkpoint
+    * release hook.
+    *
+    * Scale shape: the ONLY corpus-scale shuffle is the word-frequency
+    * aggregate (map-side partials, vocab Heaps-sublinear — the bpeLoop
+    * shape); seeding explodes VOCAB rows ≤ [[UniWordMax]]·[[UniPieceMax]]
+    * ways; each EM round is vocab-scale expression work under a broadcast
+    * ~70-entry map, and the piece tables are eager localCheckpoints whose
+    * predecessors release per round (the [[Dedup.labelPropagate]]
+    * discipline). Words longer than [[UniWordMax]] chars are excluded
+    * from training and readouts alike (documented contract, mirrored in
+    * the oracle).
+    */
+  private def uniLoop(docs: DataFrame): (DataFrame, () => Unit) = {
+    def chk(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
+    val vocab = chk(docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")).between(1, UniWordMax))
+      .groupBy("w").agg(count(lit(1)).as("f")))
+    val subs = vocab
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")))).as("s"))
+      .select(col("w"), col("f"), col("s"),
+        explode(sequence(lit(1), lit(UniPieceMax))).as("l"))
+      .filter(col("s") + col("l") - 1 <= length(col("w")))
+      .select(expr("substring(w, s, l)").as("piece"), col("f"))
+      .groupBy("piece").agg(sum("f").as("cnt"))
+    val chars0 = subs.filter(length(col("piece")) === 1)
+    val multi0 = subs.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(UniSeedKeep)
+    val pieces0 = chk(chars0.unionAll(multi0))
+    // Each segmentation is checkpointed BEFORE anything explodes it:
+    // InferFiltersFromGenerate plants a size(pieces) > 0 predicate under
+    // the explode, and predicate pushdown would then substitute it down
+    // the 70-layer chain — re-inlining the DP recurrence exponentially
+    // (the exact blowup the layering exists to prevent). The checkpoint
+    // makes the chain a leaf, so the inferred filter stops there; it also
+    // guarantees the segmentation pass executes exactly once per round.
+    val seg1 = chk(segmentWords(vocab, pieceMap(pieces0)))
+    val counts1 = seg1
+      .select(col("f"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("f").as("cnt"))
+    val chars1 = pieces0.filter(length(col("piece")) === 1).select("piece")
+      .join(counts1, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("cnt"), lit(0L)) + 1L).as("cnt"))
+    val multi1 = counts1.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(UniPruneKeep)
+    val pieces1 = chk(chars1.unionAll(multi1))
+    release(pieces0)
+    release(seg1)
+    val seg2 = chk(segmentWords(vocab, pieceMap(pieces1)))
+    release(pieces1)
+    (seg2, () => { release(seg2); release(vocab) })
+  }
+
+  /** Unigram-LM tokenizer training — emits the learned piece inventory
+    * (piece, length, usage count under the final model, probability): the
+    * artifact a unigram tokenizer ships, the way [[bpeTrain]] ships its
+    * merge list. See [[uniLoop]] for the algorithm and scale shape and
+    * [[uniSegExprs]] for the cross-engine determinism argument.
+    */
+  def unigramTrain(s: SparkSession, dir: String): DataFrame =
+    unigramTrainOf(Tables.documents(s, dir))
+
+  private[graft] def unigramTrainOf(docs: DataFrame): DataFrame = {
+    val (seg2, release) = uniLoop(docs)
+    // counts2 feeds its own total AND the per-piece rows; both branches
+    // re-aggregate the CHECKPOINTED segmentation blocks — cheap by design
+    val counts2 = seg2
+      .select(col("f"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("f").as("n_uses"))
+    val out = counts2
+      .crossJoin(broadcast(counts2.groupBy().agg(sum("n_uses").as("t"))))
+      .select(col("piece"), length(col("piece")).cast("int").as("len"),
+        col("n_uses"),
+        round(col("n_uses").cast("double") / col("t"), 6).as("prob"))
+      .orderBy(col("n_uses").desc, col("piece").asc)
+    val fin = Dedup.materializeThenRelease(out)
+    release()
+    fin
+  }
+
+  // -------------------------------------------------- txt_unigram_fertility
+
+  /** The unigram tokenizer's fertility readout — [[fertility]]'s
+    * per-(lang, source) equity table, but under the TRAINED [[uniLoop]]
+    * model instead of the regex piece proxy: pieces per word, characters
+    * per piece. The corpus is never re-segmented row by row — the final
+    * vocabulary already holds every word's piece count, so application is
+    * a vocab-scale join against one (lang, source, word) aggregate (the
+    * bpeTokenize shape).
+    */
+  def unigramFertility(s: SparkSession, dir: String): DataFrame =
+    unigramFertilityOf(Tables.documents(s, dir))
+
+  private[graft] def unigramFertilityOf(docs: DataFrame): DataFrame = {
+    val (seg2, release) = uniLoop(docs)
+    val np = seg2.select(col("w"), size(col("pieces")).cast("long").as("np"))
+    val out = docs
+      .select(col("lang"), col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")).between(1, UniWordMax))
+      .groupBy("lang", "source", "w").agg(count(lit(1)).as("c"))
+      .join(np.hint("shuffle_hash"), "w")
+      .groupBy("lang", "source")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("np")).as("n_pieces"),
+        sum(col("c") * length(col("w"))).as("n_chars"))
+      .select(col("lang"), col("source"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"))
+      .orderBy("lang", "source")
+    val fin = Dedup.materializeThenRelease(out)
+    release()
+    fin
+  }
+
   // ---------------------------------------------------------- txt_hash_embed
 
   private[graft] val EmbedDim = 64 // hashing-trick dimensionality
@@ -1834,6 +2068,8 @@ object TextOps extends QueryModule {
     "txt_bpe_step" -> (bpeStep(_, _)),
     "txt_bpe_train" -> (bpeTrain(_, _)),
     "txt_bpe_tokenize" -> (bpeTokenize(_, _)),
+    "txt_unigram_train" -> (unigramTrain(_, _)),
+    "txt_unigram_fertility" -> (unigramFertility(_, _)),
     "txt_hash_embed" -> (hashEmbed(_, _)),
     "txt_classifier_train" -> (classifierTrain(_, _)),
     "txt_classifier_score" -> (classifierScore(_, _)),
@@ -2008,6 +2244,105 @@ object TextOps extends QueryModule {
        |FROM tok JOIN ns USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Shared oracle core of the unigram-LM pair — the SAME [[uniSegExprs]]
+    * generator renders the Viterbi chain here (DuckDB dialect: `[i]` list
+    * index, `map_extract(..)[1]` probe, lateral column aliases), so the
+    * engine and oracle DPs are token-identical by construction. Ends at
+    * `seg2` (w, f, pieces), the final segmentation both readouts consume.
+    */
+  private def uniCoreSql: String = {
+    val pieces = (1 to UniWordMax).map("pc" + _).mkString("[", ", ", "]")
+    // One nested-subquery layer per chain expression: alias references
+    // bind to REAL columns of the inner layer. Lateral aliases in one
+    // SELECT would be textually inlined through the DP recurrence —
+    // exponential expression expansion (the segmentWords scaladoc).
+    def seg(mapCte: String) = {
+      val base = s"SELECT w, f, m FROM vocab CROSS JOIN $mapCte"
+      val layered = uniSegExprs(
+        sub => s"coalesce(map_extract(m, $sub)[1], CAST(0.0 AS DOUBLE))",
+        (a, i) => s"$a[$i]",
+        xs => xs.mkString("[", ", ", "]"))
+        .foldLeft(base) { case (inner, (n, e)) =>
+          s"SELECT *, $e AS $n FROM ($inner)"
+        }
+      s"""  SELECT w, f, list_filter($pieces, x -> x IS NOT NULL) AS pieces
+         |  FROM ($layered)""".stripMargin
+    }
+    s"""vocab AS (
+       |  SELECT w, count(*)::BIGINT AS f
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE length(w) BETWEEN 1 AND $UniWordMax
+       |  GROUP BY w
+       |), subs AS (
+       |  SELECT substring(w, s, l) AS piece, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM vocab,
+       |    unnest(range(1, length(w) + 1)) AS rs(s),
+       |    unnest(range(1, ${UniPieceMax + 1})) AS rl(l)
+       |  WHERE s + l - 1 <= length(w)
+       |  GROUP BY 1
+       |), chars0 AS (
+       |  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+       |), p0 AS (
+       |  SELECT piece, cnt FROM chars0
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+       |    ORDER BY cnt DESC, piece ASC LIMIT $UniSeedKeep)
+       |), m0 AS (
+       |  SELECT map_from_entries(list(struct_pack(k := piece,
+       |    v := cnt::DOUBLE / t))) AS m
+       |  FROM p0, (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM p0)
+       |), seg1 AS (
+       |${seg("m0")}
+       |), c1 AS (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (SELECT f, unnest(pieces) AS piece FROM seg1)
+       |  GROUP BY piece
+       |), p1 AS (
+       |  SELECT chars0.piece, coalesce(c1.cnt, 0) + 1 AS cnt
+       |  FROM chars0 LEFT JOIN c1 USING (piece)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM c1 WHERE length(piece) >= 2
+       |    ORDER BY cnt DESC, piece ASC LIMIT $UniPruneKeep)
+       |), m1 AS (
+       |  SELECT map_from_entries(list(struct_pack(k := piece,
+       |    v := cnt::DOUBLE / t))) AS m
+       |  FROM p1, (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM p1)
+       |), seg2 AS (
+       |${seg("m1")}
+       |)""".stripMargin
+  }
+
+  private def unigramTrainSql: String =
+    s"""WITH $uniCoreSql, c2 AS (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS n_uses
+       |  FROM (SELECT f, unnest(pieces) AS piece FROM seg2)
+       |  GROUP BY piece
+       |)
+       |SELECT piece, length(piece)::INT AS len, n_uses,
+       |  round(n_uses::DOUBLE / t, 6) AS prob
+       |FROM c2, (SELECT CAST(sum(n_uses) AS BIGINT) AS t FROM c2)
+       |ORDER BY n_uses DESC, piece ASC""".stripMargin
+
+  private def unigramFertilitySql: String =
+    s"""WITH $uniCoreSql, np AS (
+       |  SELECT w, len(pieces)::BIGINT AS np FROM seg2
+       |), tok AS (
+       |  SELECT lang, source, w, count(*)::BIGINT AS c
+       |  FROM (SELECT lang, source, unnest($toksSql) AS w FROM documents)
+       |  WHERE length(w) BETWEEN 1 AND $UniWordMax
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT lang, source, CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * np.np) AS BIGINT) AS n_pieces,
+       |  round(sum(c * np.np)::DOUBLE / sum(c), 6) AS fertility,
+       |  round(sum(c * length(w))::DOUBLE / sum(c * np.np), 6)
+       |    AS chars_per_piece
+       |FROM tok JOIN np USING (w)
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+
   /** Unrolled-CTE twin of [[classifierTrainOf]] — one
     * (score → misclassify → bias/weight update → norms) block per round,
     * the [[bpeTrainSql]] / PageRank precedent. Feature hashing is the
@@ -2092,6 +2427,8 @@ object TextOps extends QueryModule {
     "txt_classifier_score" -> classifierScoreSql,
     "txt_bpe_train" -> bpeTrainSql,
     "txt_bpe_tokenize" -> bpeTokenizeSql,
+    "txt_unigram_train" -> unigramTrainSql,
+    "txt_unigram_fertility" -> unigramFertilitySql,
     "txt_bpe_step" ->
       s"""WITH vocab AS (
          |  SELECT w, count(*) AS f

@@ -2948,6 +2948,56 @@ class OpsSpec extends AnyFunSuite {
     assert((got.head._2, got.head._3, got.head._4) === step1)
   }
 
+  test("txt_unigram_train: hand-computed EM on an exact-rational fixture") {
+    import spark.implicits._
+    // "abab"×4: seed counts a=8 b=8 ab=8 ba=4 aba=4 bab=4 abab=4, T=40.
+    // Round-1 Viterbi on "abab": dp4 candidates .02/.04/.02/.1 — the whole
+    // word wins outright, so counts collapse to {abab: 4}; the prune keeps
+    // abab plus the add-one-smoothed chars {a: 1, b: 1}; round 2 picks
+    // abab again (4/6 beats any char product). Every probability above is
+    // an exact binary/decimal rational, so the double DP is EXACT and the
+    // assertion is equality, not tolerance.
+    val docs = Seq.fill(4)("abab").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.unigramTrainOf(docs)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(got === Seq(("abab", 4, 4L, 1.0)))
+  }
+
+  test("txt_unigram_train: add-one char smoothing keeps coverage, unused chars drop from the readout") {
+    import spark.implicits._
+    // "xy"×6 + "x"×1: round 1 segments xy as the whole piece (6/19 beats
+    // (7/19)·(6/19)), so y's usage is 0 — smoothing (+1) keeps y IN the
+    // model (a later word could need it) while the readout, which reports
+    // USAGE under the final model, rightly omits it. 6/7 and 1/7 round to
+    // the fixed 6-decimal grid both engines share.
+    val docs = (Seq.fill(6)("xy") :+ "x").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.unigramTrainOf(docs)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(got === Seq(("xy", 2, 6L, 0.857143), ("x", 1, 1L, 0.142857)))
+  }
+
+  test("txt_unigram_fertility: word-length cap and per-slice rollup") {
+    import spark.implicits._
+    // "abcdefghi" (9 chars) is over the UniWordMax=8 trainable cap and
+    // must vanish from BOTH the trainer and the readout; "abab abab xy"
+    // gives en/web fertility 1.0 (whole-word pieces at this corpus).
+    val docs = Seq((1L, "en", "web", "abab abab xy abcdefghi"),
+      (2L, "en", "wiki", "abab")).toDF("doc_id", "lang", "source", "text")
+    val got = TextOps.unigramFertilityOf(docs)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    // en/web: words abab(2) abab xy → 3 words; en/wiki: 1 word
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Seq(("en", "web", 3L), ("en", "wiki", 1L)))
+    // segmentation concatenates back to the words: chars/piece ≤ 4 and
+    // fertility ≥ 1 by construction
+    got.foreach { r =>
+      assert(r._4 >= r._3, s"pieces ${r._4} < words ${r._3}")
+      assert(r._5 >= 1.0 && r._6 <= 4.0, r.toString)
+    }
+  }
+
   test("txt_bpe_tokenize: hand-computed compression stats on the train fixture") {
     import spark.implicits._
     // Same corpus as the train fixture (5 merges, then every word is one
