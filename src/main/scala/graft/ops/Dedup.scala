@@ -967,6 +967,24 @@ object Dedup extends QueryModule {
     * can be property-tested against blocked all-pairs on random corpora.
     */
   private[graft] def ngramJaccardOf(documents: DataFrame): DataFrame = {
+    // The bk-only prefix cache partitioning is a SUBSET of the self-join's
+    // (bk, gram) keys; Spark rejects subset-key co-partitioning for joins
+    // by default (spark.sql.requireAllClusterKeysForCoPartition) and would
+    // re-shuffle BOTH cached sides (measured at the r18 factor-100 probe:
+    // 2 × 483 MB back). The query is eager, so every plan it compiles is
+    // compiled inside this window.
+    val sess = documents.sparkSession
+    val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevCo = sess.conf.getOption(coKey)
+    sess.conf.set(coKey, "false")
+    try ngramJaccardBody(documents)
+    finally prevCo match {
+      case Some(v) => sess.conf.set(coKey, v)
+      case None    => sess.conf.unset(coKey)
+    }
+  }
+
+  private def ngramJaccardBody(documents: DataFrame): DataFrame = {
     val tx = lower(col("text"))
     val base = documents
       .filter(length(tx) >= 4)
@@ -1045,6 +1063,13 @@ object Dedup extends QueryModule {
       .repartition(col("bk"))
       .sortWithinPartitions("bk", "gram")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // MATERIALIZED before the self-join plans: an unbuilt cache is an
+    // unfinalized adaptive plan whose output partitioning reads as
+    // unknown, and the join would re-shuffle both sides on (bk, gram)
+    // even with subset co-partitioning allowed (the r18 probe's 2 × 483
+    // MB). The count costs nothing extra — it performs the cache build
+    // the first consumer would have paid anyway.
+    prefix.count()
     // PPJoin-style candidate pruning (Xiao et al., WWW'08), applied while
     // the pair rows are still NARROW — before any gram array attaches.
     // Three lossless bounds, combined at the pair aggregate:
