@@ -55,7 +55,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "pipe_epoch_plan", // 1-row Σa + spare-seat scalars over the bounded cell table
     "sim_graph_search", // 1-row entry-node scalar broadcast seeding the beam
     "sim_outlier_prune", // same bounded centroid-broadcast subtree as sim_ivf_*
-    "ev_cohort_ltv") // 1-row corpus-min date-anchor scalar broadcast
+    "ev_cohort_ltv", // 1-row corpus-min date-anchor scalar broadcast
+    // 1-row piece-probability-map + Σuses scalar broadcasts (the unigram
+    // trainer's map and normalizer — both bounded by the piece inventory)
+    "txt_unigram_train", "txt_unigram_fertility")
 
   test("q_tpch_q10: quarter and return-flag predicates reach the parquet scans") {
     val plan = graft.ops.Relational.tpchQ10(spark, dir)
