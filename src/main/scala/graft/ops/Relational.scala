@@ -1798,7 +1798,96 @@ object Relational extends QueryModule {
         floor(col("o_totalprice") / 1000.0).cast("long").as("price_kbucket"))
   }
 
+  // ---------------------------------------------------------- q_bloom_audit
+
+  /** Bloom parameters for [[bloomAudit]]: k = 3 independent universal
+    * hashes h_i(x) = ((x·A_i + B_i) mod P) mod M over a 2¹³-bit space —
+    * every constant fixed so the SAME positions fall out of the oracle's
+    * SQL. A_i are the classic odd 32-bit multiplicative-hash constants;
+    * x·A_i ≤ 10⁹·3.3·10⁹ ≈ 3.3·10¹⁸ stays under 2⁶³.
+    */
+  private[graft] val BloomM = 8192L
+  private[graft] val BloomP = 1000000007L
+  private[graft] val BloomA = Seq(2654435761L, 2246822519L, 3266489917L)
+  private[graft] val BloomB = Seq(97L, 1031L, 65537L)
+
+  private def bloomPos(key: Column, i: Int): Column =
+    pmod(pmod(key * BloomA(i) + BloomB(i), lit(BloomP)), lit(BloomM))
+
+  /** Runtime-filter false-positive audit — the measured-quality companion
+    * every approximate pre-filter in this engine ships (dd_lsh_recall,
+    * sim_recall_*): dd_bloom_decontaminate USES a bloom pre-filter whose
+    * false positives are invisible (an exact verify join follows); this
+    * query MEASURES the fp rate of the same technique on the join the
+    * optimizer's own runtime filters target — lineitem probed against the
+    * suppliers of one region. The bloom is an explicit deterministic
+    * bitset (see [[BloomA]]) so both engines compute identical positions;
+    * Spark's native bloom_agg hashes with Murmur3 and could not be
+    * oracle-mirrored.
+    *
+    * Declarative bitset: the dim side collapses to its ≤ M DISTINCT bit
+    * positions (8 KiB as a table — bounded BY CONSTRUCTION at M = 8192
+    * rows, regardless of dim cardinality); a fact key "might be in the
+    * set" iff all three of its positions hit, expressed as three broadcast
+    * hash semi-probes (left joins against the position table). The fact
+    * never shuffles — every join side it meets is broadcast and the final
+    * counts aggregate map-side. Exactness of the AUDIT: bloom-pass is
+    * compared against the true membership join, and no-false-negatives is
+    * a theorem of the construction (every true key set its own bits).
+    *
+    * At 100 TB this is the shape Spark's InjectRuntimeFilter builds
+    * internally: scan the 10 GB dim once, ship 8 KiB, prune the 100 TB
+    * fact at the scan. The audit's readout (fp_rate vs bits-set density)
+    * is what decides M before anyone pays for the real run.
+    */
+  def bloomAudit(s: SparkSession, dir: String): DataFrame = {
+    // the dim subset feeds the position build (once, all three hashes via
+    // one explode), the exact-membership side, and the two readout counts —
+    // persist so the supplier⋈nation scan runs once
+    val sel = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_regionkey") === 0)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("dim_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = sel
+      .select(explode(array((0 until 3).map(i => bloomPos(col("dim_key"), i)): _*))
+        .as("p"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val dimFlag = sel.distinct().withColumn("in_dim", lit(1))
+    val fact = Tables.lineitem(s, dir).select(col("l_suppkey"))
+    val probed = (0 until 3).foldLeft(
+        fact.withColumn("key", col("l_suppkey"))) { (df, i) =>
+      df.join(broadcast(pos.select(col("p").as(s"p$i"), col("hit").as(s"hit$i"))),
+          bloomPos(col("key"), i) === col(s"p$i"), "left")
+        .drop(s"p$i")
+    }
+    val flagged = probed
+      .withColumn("bloom_pass",
+        col("hit0").isNotNull && col("hit1").isNotNull && col("hit2").isNotNull)
+      .join(broadcast(dimFlag), col("key") === col("dim_key"), "left")
+      .withColumn("exact_pass", col("in_dim").isNotNull)
+    flagged.agg(
+        count(lit(1)).as("n_fact_rows"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+        sum(when(col("exact_pass"), 1L).otherwise(0L)).as("n_exact_pass"),
+        sum(when(col("bloom_pass") && !col("exact_pass"), 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .crossJoin(broadcast(pos.agg(count(lit(1)).as("n_bits_set"))))
+      .crossJoin(broadcast(dimFlag.agg(count(lit(1)).as("n_dim_keys"))))
+      .select(col("n_dim_keys"), col("n_bits_set"),
+        round(col("n_bits_set").cast("double") / BloomM, 6).as("fill_frac"),
+        col("n_fact_rows"), col("n_bloom_pass"), col("n_exact_pass"),
+        col("n_false_pos"),
+        when(col("n_fact_rows") > col("n_exact_pass"),
+          round(col("n_false_pos").cast("double")
+            / (col("n_fact_rows") - col("n_exact_pass")), 6))
+          .otherwise(lit(null)).as("fp_rate"))
+      .transform(Dedup.materializeThenRelease(_, sel))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_audit" -> (bloomAudit(_, _)),
     "q_filter_project" -> (filterProject(_, _)),
     "q_agg_pricing" -> (aggPricing(_, _)),
     "q_distinct_having" -> (distinctHaving(_, _)),
@@ -1863,6 +1952,43 @@ object Relational extends QueryModule {
   private val chargeSql = s"$discSql * CAST(1.0 + l_tax AS DECIMAL(8,2))"
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_audit" ->
+      s"""WITH sel AS (
+         |  SELECT s_suppkey AS dim_key FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 0
+         |), pos AS (
+         |  SELECT DISTINCT ((dim_key * a + b) % $BloomP) % $BloomM AS p
+         |  FROM sel, (VALUES (${BloomA(0)}, ${BloomB(0)}),
+         |                    (${BloomA(1)}, ${BloomB(1)}),
+         |                    (${BloomA(2)}, ${BloomB(2)})) h(a, b)
+         |), dimk AS (
+         |  SELECT DISTINCT dim_key FROM sel
+         |), probed AS (
+         |  SELECT
+         |    ((l_suppkey * ${BloomA(0)} + ${BloomB(0)}) % $BloomP) % $BloomM
+         |        IN (SELECT p FROM pos)
+         |      AND ((l_suppkey * ${BloomA(1)} + ${BloomB(1)}) % $BloomP) % $BloomM
+         |        IN (SELECT p FROM pos)
+         |      AND ((l_suppkey * ${BloomA(2)} + ${BloomB(2)}) % $BloomP) % $BloomM
+         |        IN (SELECT p FROM pos) AS bloom_pass,
+         |    l_suppkey IN (SELECT dim_key FROM dimk) AS exact_pass
+         |  FROM lineitem
+         |)
+         |SELECT
+         |  (SELECT count(*) FROM dimk)::BIGINT AS n_dim_keys,
+         |  (SELECT count(*) FROM pos)::BIGINT AS n_bits_set,
+         |  round((SELECT count(*) FROM pos)::DOUBLE / $BloomM, 6) AS fill_frac,
+         |  count(*)::BIGINT AS n_fact_rows,
+         |  sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+         |  sum(CASE WHEN exact_pass THEN 1 ELSE 0 END)::BIGINT AS n_exact_pass,
+         |  sum(CASE WHEN bloom_pass AND NOT exact_pass THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_false_pos,
+         |  CASE WHEN count(*) > sum(CASE WHEN exact_pass THEN 1 ELSE 0 END)
+         |    THEN round(
+         |      sum(CASE WHEN bloom_pass AND NOT exact_pass THEN 1 ELSE 0 END)::DOUBLE
+         |        / (count(*) - sum(CASE WHEN exact_pass THEN 1 ELSE 0 END)), 6)
+         |  END AS fp_rate
+         |FROM probed""".stripMargin,
     // Sketch tolerance gates: the oracle carries the EXACT stats (a real
     // cross-engine check) and a literal within_tol = 1; the Spark side
     // computes within_tol from the live sketch against the exact value, so

@@ -1445,7 +1445,121 @@ object Streamish extends QueryModule {
       .transform(Dedup.materializeThenRelease(_, ut))
   }
 
+  // ------------------------------------------------------------ ev_ols_trend
+
+  /** OLS linear trend of daily traffic per event type — the growth readout
+    * every ops dashboard pairs with [[forecastBaseline]]'s error metric:
+    * is this stream rising, and how much of its day-to-day variance does a
+    * straight line explain? Slope, intercept and R² of `count ~ day_index`
+    * from the closed-form normal equations.
+    *
+    * Determinism: the five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate in DECIMAL(38,0) — exact, order-independent (x = integer
+    * day offset from the corpus-min day, y = exact daily count; the q_gini
+    * accumulator discipline) — and each readout is ONE fixed double
+    * expression over them, mirrored token-for-token in the oracle. A
+    * single-day or zero-variance series has no defined slope: every
+    * readout goes NULL behind the same exact-integer denominator guard in
+    * both engines (the powerFromBase degenerate-arm discipline).
+    *
+    * Scale shape: the corpus collapses map-side to |days × types| daily
+    * rows in ONE hash aggregate; the day-anchor is a 1-row broadcast
+    * scalar (the ev_cohort_ltv pattern) and the regression algebra runs on
+    * the per-type sufficient-statistic rows. Overflow: Σxy ≤ n_days·x_max·
+    * y_max ≈ 10⁵·10⁵·10¹² = 10²² against DECIMAL(38,0)'s 10³⁸ — safe past
+    * any conceivable calendar.
+    */
+  def olsTrend(s: SparkSession, dir: String): DataFrame =
+    olsTrendOf(Tables.events(s, dir))
+
+  private[graft] def olsTrendOf(events: DataFrame): DataFrame = {
+    def dec0(c: Column): Column = c.cast(DecimalType(38, 0))
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    val anchor = broadcast(daily.agg(min("day").as("day0")))
+    val xy = daily.crossJoin(anchor)
+      .select(col("event_type"),
+        dec0(datediff(col("day"), col("day0"))).as("x"), dec0(col("y")).as("y"))
+    val stats = xy.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = dec0(col("n"))
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val denX = n * col("sxx") - col("sx") * col("sx")
+    val denY = n * col("syy") - col("sy") * col("sy")
+    val slope = num.cast("double") / denX.cast("double")
+    val intercept = (col("sy").cast("double") - slope * col("sx").cast("double")) /
+      col("n").cast("double")
+    stats.select(col("event_type"), col("n").as("n_days"),
+        col("sy").cast("long").as("total_events"),
+        when(denX > 0, round(slope, 6)).otherwise(lit(null)).as("slope_per_day"),
+        when(denX > 0, round(intercept, 4)).otherwise(lit(null)).as("intercept"),
+        when(denX > 0 && denY > 0,
+          round((num * num).cast("double") /
+            (denX.cast("double") * denY.cast("double")), 6))
+          .otherwise(lit(null)).as("r2"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------- ev_seasonality
+
+  /** Weekday seasonality profile per event type — the diagnostic that
+    * decides whether [[forecastBaseline]]'s lag-7 seasonal-naive is even
+    * the right baseline: the peak weekday with its traffic share, and a
+    * chi-square goodness-of-fit statistic against the uniform-weekday
+    * null, flagged at the 1 % critical value (df = 6, 16.81).
+    *
+    * Determinism: weekday = epoch-day mod 7 (0 = Thursday) — pure integer
+    * arithmetic identical in both engines, immune to the engines'
+    * dayofweek() origin disagreement (Spark 1 = Sunday, DuckDB
+    * 0 = Sunday). The chi-square reduces algebraically to
+    * 7·Σo²/total − total (absent weekdays contribute 0 to Σo², exactly as
+    * the full 7-cell sum requires), so it is ONE double division over
+    * exact DECIMAL(38,0) integers; the significance verdict is the exact
+    * integer compare 700·Σo² > total·(100·total + 1681) — equivalent to
+    * chi² > 16.81 with nothing floating to flip across engines.
+    *
+    * Scale shape: ONE map-side-partial hash aggregate collapses the corpus
+    * to ≤ |types|·7 cells; everything after runs on that bounded frame.
+    * Overflow: Σo² ≤ total² ≈ 10²⁴ at 10¹² events — DECIMAL(38,0)-safe.
+    */
+  def seasonality(s: SparkSession, dir: String): DataFrame =
+    seasonalityOf(Tables.events(s, dir))
+
+  private[graft] def seasonalityOf(events: DataFrame): DataFrame = {
+    def dec0(c: Column): Column = c.cast(DecimalType(38, 0))
+    val cells = events
+      .groupBy(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val byType = cells.groupBy("event_type").agg(
+      count(lit(1)).as("n_dows"),
+      sum("o").as("total"),
+      sum(dec0(col("o")) * dec0(col("o"))).as("sq"))
+    val peak = cells.withColumn("rnk",
+        row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("o").desc, col("dow").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("event_type"), col("dow").as("peak_dow"), col("o").as("peak_o"))
+    val t = dec0(col("total"))
+    byType.join(peak, "event_type")
+      .select(col("event_type"), col("n_dows"), col("total").as("total_events"),
+        col("peak_dow"),
+        round(col("peak_o").cast("double") / col("total"), 6).as("peak_share"),
+        round((lit(7) * col("sq")).cast("double") / col("total")
+          - col("total"), 4).as("chi2"),
+        (lit(700) * col("sq") > t * (lit(100) * t + lit(1681))).as("nonuniform"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ols_trend" -> (olsTrend(_, _)),
+    "ev_seasonality" -> (seasonality(_, _)),
     "ev_windowed_topk" -> (windowedTopK(_, _)),
     "ev_lift" -> (lift(_, _)),
     "ev_markov" -> (markov(_, _)),
@@ -1507,6 +1621,56 @@ object Streamish extends QueryModule {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT ts::TIMESTAMP::DATE AS day, event_type, count(*)::BIGINT AS y
+        |  FROM events GROUP BY day, event_type
+        |), xy AS (
+        |  SELECT event_type,
+        |    (day - (SELECT min(day) FROM daily))::HUGEINT AS x, y::HUGEINT AS y
+        |  FROM daily
+        |), stats AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |    sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy,
+        |    sum(y * y)::HUGEINT AS syy
+        |  FROM xy GROUP BY event_type
+        |), alg AS (
+        |  SELECT *, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y,
+        |    (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope
+        |  FROM stats
+        |)
+        |SELECT event_type, n AS n_days, sy::BIGINT AS total_events,
+        |  CASE WHEN den_x > 0 THEN round(slope, 6) END AS slope_per_day,
+        |  CASE WHEN den_x > 0
+        |    THEN round((sy::DOUBLE - slope * sx::DOUBLE) / n, 4) END AS intercept,
+        |  CASE WHEN den_x > 0 AND den_y > 0
+        |    THEN round((num * num)::DOUBLE / (den_x::DOUBLE * den_y::DOUBLE), 6)
+        |  END AS r2
+        |FROM alg ORDER BY event_type""".stripMargin,
+    "ev_seasonality" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    (ts::TIMESTAMP::DATE - DATE '1970-01-01') % 7 AS dow,
+        |    count(*)::BIGINT AS o
+        |  FROM events GROUP BY event_type, dow
+        |), by_type AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_dows, sum(o)::BIGINT AS total,
+        |    sum(o::HUGEINT * o::HUGEINT)::HUGEINT AS sq
+        |  FROM cells GROUP BY event_type
+        |), peak AS (
+        |  SELECT event_type, dow AS peak_dow, o AS peak_o
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |          ORDER BY o DESC, dow ASC) AS rnk FROM cells)
+        |  WHERE rnk = 1
+        |)
+        |SELECT event_type, n_dows, total AS total_events, peak_dow,
+        |  round(peak_o::DOUBLE / total, 6) AS peak_share,
+        |  round((7 * sq)::DOUBLE / total - total, 4) AS chi2,
+        |  700 * sq > total::HUGEINT * (100 * total::HUGEINT + 1681) AS nonuniform
+        |FROM by_type JOIN peak USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "ev_windowed_topk" ->
       s"""WITH b AS (
          |  SELECT make_timestamp(

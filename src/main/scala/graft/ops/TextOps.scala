@@ -2064,7 +2064,64 @@ object TextOps extends QueryModule {
     out
   }
 
+  // -------------------------------------------------------- txt_heaps_law
+
+  /** Heaps'-law vocabulary-growth curve — the readout that sizes a
+    * tokenizer's vocab budget and predicts how much NEW vocabulary the
+    * next 10× of corpus will bring: distinct-token count vs cumulative
+    * token count at ten doc_id-prefix checkpoints. A token counts toward
+    * checkpoint d iff its FIRST occurrence (min doc_id) lands at or below
+    * the cut, so the curve is exactly "replay the corpus in doc_id order
+    * and watch the vocabulary grow" without any ordered replay.
+    *
+    * Determinism: cuts are integer arithmetic (`max_id·d div 10`, floor
+    * division on non-negatives in both engines); every curve point is an
+    * exact BIGINT count; the only double is the type/token ratio, one
+    * division per output row.
+    *
+    * Scale shape: the token explode feeds TWO corpus-collapsing hash
+    * aggregates (per-token min doc_id → |vocab| rows; per-doc token count
+    * → |docs| rows) — persisted once, released after the plan
+    * materializes. Each bounded frame then crosses the broadcast 10-row
+    * checkpoint grid (the dd_threshold_sweep shape) into conditional
+    * sums; nothing after the explode scales with raw text.
+    */
+  def heapsLaw(s: SparkSession, dir: String): DataFrame =
+    heapsLawOf(Tables.documents(s, dir))
+
+  private[graft] def heapsLawOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val perTok = toks.groupBy("token").agg(min("doc_id").as("first_doc"))
+    val grid = broadcast(docs.sparkSession.range(1, 11)
+      .select(col("id").cast("int").as("decile"))
+      .crossJoin(broadcast(docs.agg(max("doc_id").as("max_id"))))
+      .select(col("decile"), expr("(max_id * decile) div 10").as("cut")))
+    val nDocs = docs.select("doc_id").crossJoin(grid)
+      .groupBy("decile", "cut")
+      .agg(sum(when(col("doc_id") <= col("cut"), 1L).otherwise(0L)).as("n_docs"))
+    val cumToks = perDoc.crossJoin(grid)
+      .groupBy("decile")
+      .agg(sum(when(col("doc_id") <= col("cut"), col("n_toks")).otherwise(0L))
+        .as("cum_tokens"))
+    val vocab = perTok.crossJoin(grid)
+      .groupBy("decile")
+      .agg(sum(when(col("first_doc") <= col("cut"), 1L).otherwise(0L))
+        .as("vocab"))
+    val out = nDocs.join(cumToks, "decile").join(vocab, "decile")
+      .select(col("decile"), col("cut").as("cut_doc_id"), col("n_docs"),
+        col("cum_tokens"), col("vocab"),
+        when(col("cum_tokens") > 0,
+          round(col("vocab").cast("double") / col("cum_tokens"), 6))
+          .otherwise(lit(null)).as("ttr"))
+      .orderBy("decile")
+    Dedup.materializeThenRelease(out, toks)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_heaps_law" -> (heapsLaw(_, _)),
     "txt_bpe_step" -> (bpeStep(_, _)),
     "txt_bpe_train" -> (bpeTrain(_, _)),
     "txt_bpe_tokenize" -> (bpeTokenize(_, _)),
@@ -2585,6 +2642,36 @@ object TextOps extends QueryModule {
       s"""WITH $cdcChunksCtesSql
          |SELECT doc_id, chunk_idx, start_pos, n_tokens, chunk_hash
          |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "txt_heaps_law" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), per_doc AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_toks FROM toks GROUP BY doc_id
+         |), per_tok AS (
+         |  SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY token
+         |), grid AS (
+         |  SELECT d::INT AS decile,
+         |    ((SELECT max(doc_id) FROM documents) * d) // 10 AS cut
+         |  FROM generate_series(1, 10) t(d)
+         |), nd AS (
+         |  SELECT decile, cut,
+         |    sum(CASE WHEN doc_id <= cut THEN 1 ELSE 0 END)::BIGINT AS n_docs
+         |  FROM documents, grid GROUP BY decile, cut
+         |), ct AS (
+         |  SELECT decile,
+         |    sum(CASE WHEN doc_id <= cut THEN n_toks ELSE 0 END)::BIGINT
+         |      AS cum_tokens
+         |  FROM per_doc, grid GROUP BY decile
+         |), v AS (
+         |  SELECT decile,
+         |    sum(CASE WHEN first_doc <= cut THEN 1 ELSE 0 END)::BIGINT AS vocab
+         |  FROM per_tok, grid GROUP BY decile
+         |)
+         |SELECT decile, cut AS cut_doc_id, n_docs, cum_tokens, vocab,
+         |  CASE WHEN cum_tokens > 0
+         |    THEN round(vocab::DOUBLE / cum_tokens, 6) END AS ttr
+         |FROM nd JOIN ct USING (decile) JOIN v USING (decile)
+         |ORDER BY decile""".stripMargin,
     "txt_vocab_coverage" ->
       s"""WITH tok AS (
          |  SELECT unnest($toksSql) AS token FROM documents

@@ -3117,4 +3117,91 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_bloom_audit: no false negatives, counts reconcile with direct joins") {
+    import spark.implicits._
+    val out = graft.ops.Relational.bloomAudit(spark, dir)
+      .as[(Long, Long, Double, Long, Long, Long, Long, Option[Double])]
+      .collect().head
+    val (nDim, nBits, fill, nFact, nBloom, nExact, nFp, fpRate) = out
+    // direct recomputes of the exact sides
+    val sel = graft.Tables.supplier(spark, dir)
+      .join(graft.Tables.nation(spark, dir).filter($"n_regionkey" === 0),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey").distinct()
+    assert(nDim === sel.count())
+    assert(nFact === graft.Tables.lineitem(spark, dir).count())
+    assert(nExact === graft.Tables.lineitem(spark, dir)
+      .join(sel, $"l_suppkey" === $"s_suppkey", "left_semi").count())
+    // a bloom has false positives, never false negatives: every true
+    // member set its own bits, so exact ⊆ bloom and the fp count is the
+    // exact set-difference
+    assert(nBloom >= nExact)
+    assert(nFp === nBloom - nExact)
+    assert(nBits <= math.min(3 * nDim, graft.ops.Relational.BloomM))
+    assert(math.abs(fill - nBits.toDouble / graft.ops.Relational.BloomM) < 1e-6)
+    fpRate.foreach(r => assert(r >= 0.0 && r <= 1.0))
+  }
+
+  test("txt_heaps_law: first-occurrence vocabulary replay on a hand fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a b a"), (20L, "b c"), (30L, "c d d"), (40L, "   ")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.heapsLawOf(docs)
+      .as[(Int, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    // max_id 40 -> cuts 4,8,...,40. Vocabulary grows at FIRST occurrence:
+    // a,b enter at doc 10, c at 20, d at 30; the empty doc 40 counts
+    // toward n_docs but adds nothing to tokens or vocab.
+    assert(out === Seq(
+      (1, 4L, 0L, 0L, 0L, None),
+      (2, 8L, 0L, 0L, 0L, None),
+      (3, 12L, 1L, 3L, 2L, Some(0.666667)),
+      (4, 16L, 1L, 3L, 2L, Some(0.666667)),
+      (5, 20L, 2L, 5L, 3L, Some(0.6)),
+      (6, 24L, 2L, 5L, 3L, Some(0.6)),
+      (7, 28L, 2L, 5L, 3L, Some(0.6)),
+      (8, 32L, 3L, 8L, 4L, Some(0.5)),
+      (9, 36L, 3L, 8L, 4L, Some(0.5)),
+      (10, 40L, 4L, 8L, 4L, Some(0.5))))
+  }
+
+  test("ev_ols_trend: exact line, flat series, and single-day NULL guards") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00").getTime)
+    // click: d events on day d, days 1..5 — the exact line y = x + 1
+    // (x = offset from the corpus-min day): slope 1, intercept 1, r² 1.
+    // view: constant 2/day days 1..3 — slope 0, intercept 2, r² NULL
+    // (den_y = 0). error: a single day — den_x = 0, every readout NULL.
+    val click = (1 to 5).flatMap(d => Seq.fill(d)((1L, ts(d), "click")))
+    val view = (1 to 3).flatMap(d => Seq.fill(2)((2L, ts(d), "view")))
+    val err = Seq.fill(2)((3L, ts(7), "error"))
+    val out = graft.ops.Streamish.olsTrendOf(
+      (click ++ view ++ err).toDF("user_id", "ts", "event_type"))
+      .as[(String, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("click", 5L, 15L, Some(1.0), Some(1.0), Some(1.0)),
+      ("error", 1L, 2L, None, None, None),
+      ("view", 3L, 6L, Some(0.0), Some(2.0), None)))
+  }
+
+  test("ev_seasonality: epoch-day weekday cells, chi-square identity, tie to smallest dow") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00").getTime)
+    // 2024-01-01 is epoch day 19723 -> dow 4; Jan 1..7 cover dows 4,5,6,0,1,2,3.
+    // click: 7 events dow 4 + 1 event dow 5: chi² = 7·50/8 − 8 = 35.75,
+    // nonuniform (35.75 > 16.81). view: 1 event on each of the 7 days —
+    // perfectly uniform, chi² 0, peak ties break to the SMALLEST dow (0).
+    val click = Seq.fill(7)((1L, ts(1), "click")) :+ ((1L, ts(2), "click"))
+    val view = (1 to 7).map(d => (2L, ts(d), "view"))
+    val out = graft.ops.Streamish.seasonalityOf(
+      (click ++ view).toDF("user_id", "ts", "event_type"))
+      .as[(String, Long, Long, Int, Double, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      ("click", 2L, 8L, 4, 0.875, 35.75, true),
+      ("view", 7L, 7L, 0, 0.142857, 0.0, false)))
+  }
 }

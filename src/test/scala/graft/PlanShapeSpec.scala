@@ -36,6 +36,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_semantic_dedup", // same bounded centroid-broadcast subtree
     "txt_collocations", // 1-row (nu, nb) corpus-totals scalar broadcast
     "dd_threshold_sweep", // 5-row threshold-grid broadcast onto bounded pairs
+    "txt_heaps_law", // 10-row checkpoint-grid broadcast (itself a 1-row max-id scalar)
     "q_tpch_q11", // 1-row value-threshold scalar broadcast
     "q_tpch_q22", // 1-row avg-balance scalar broadcast
     "ev_lift", // 1-row user-count scalar broadcast
@@ -56,6 +57,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_graph_search", // 1-row entry-node scalar broadcast seeding the beam
     "sim_outlier_prune", // same bounded centroid-broadcast subtree as sim_ivf_*
     "ev_cohort_ltv", // 1-row corpus-min date-anchor scalar broadcast
+    "ev_ols_trend", // 1-row corpus-min day-anchor scalar broadcast
+    "q_bloom_audit", // 1-row bits-set + dim-count readout scalar broadcasts
     // 1-row piece-probability-map + Σuses scalar broadcasts (the unigram
     // trainer's map and normalizer — both bounded by the piece inventory)
     "txt_unigram_train", "txt_unigram_fertility")
