@@ -706,12 +706,19 @@ object Dedup extends QueryModule {
       pairs: DataFrame): (DataFrame, Int, () => Unit) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both directions in ONE pass over the (unpersisted, expensive) pairs
-    // pipeline — a self-union would execute it once per branch
+    // pipeline — a self-union would execute it once per branch.
+    // Repartitioned by dst BEFORE the persist (r18, guide §2.4): every
+    // round's neighbor-min join keys edges on dst, so the cached
+    // partitioning satisfies the join's distribution and the edge frame —
+    // the loop's biggest side — is shuffled ONCE for the whole
+    // convergence instead of once per round; only the (smaller) label
+    // table moves each round.
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .persist(MEMORY_AND_DISK)
     // Eager checkpoint per ITERATION (= two fused rounds since r18):
     // materializes the labels AND truncates plan lineage to a LogicalRDD.

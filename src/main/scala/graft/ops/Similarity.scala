@@ -558,7 +558,13 @@ object Similarity extends QueryModule {
     * — one deterministic double on every engine.
     */
   private[graft] def graphRankOf(edgeList: DataFrame, nodeList: DataFrame): DataFrame = {
-    val edges = edgeList.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Repartitioned by src BEFORE the persist (r18, guide §2.4): every
+    // round joins edges⋈deg⋈rank on src and deg itself is a groupBy(src),
+    // so the cached partitioning satisfies all of them — the edge frame
+    // shuffles once for all [[RankIters]] rounds, and the degree aggregate
+    // needs no exchange at all; only the n-row rank vector moves per round.
+    val edges = edgeList.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nn = broadcast(nodeList.agg(count(lit(1)).as("n")))
     var r = nodeList.crossJoin(nn)
@@ -614,8 +620,11 @@ object Similarity extends QueryModule {
   }
 
   private[graft] def graphRankFullOf(edgeList: DataFrame, nodeList: DataFrame): DataFrame = {
-    val edges = edgeList.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deg feeds the per-round inflow join AND the dangling anti join
+    // src-partitioned before the persist — see [[graphRankOf]] (r18)
+    val edges = edgeList.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg feeds the per-round inflow join AND the dangling anti join;
+    // it inherits the src partitioning (no exchange to build or join it)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nn = broadcast(nodeList.agg(count(lit(1)).as("n")))
@@ -752,6 +761,7 @@ object Similarity extends QueryModule {
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src")) // every hop joins on src — shuffle once (r18)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = corpus(s, dir).select(col("vec_id"))
       .filter(col("vec_id") < NumQueries)
@@ -821,6 +831,7 @@ object Similarity extends QueryModule {
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src")) // every beam hop joins on src — shuffle once (r18)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vq").as("qv"), col("n2").as("qn2"))
